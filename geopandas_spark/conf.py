@@ -1,0 +1,42 @@
+"""Session construction + engine defaults.
+
+Scale posture (BASELINE.json north rule): the engine is written for a
+multi-executor cluster; locally we emulate with local[N]. All knobs that
+matter at 100 TB are set here so every entry point (tests, bench,
+__spark_entry__) shares them:
+
+* AQE on (runtime re-plan, skew-join splitting).
+* Arrow pandas-UDF transport with bounded batch size (geometry batches are
+  memory-heavy; 8k rows/batch keeps WKB decode temporaries in cache).
+* shuffle.partitions sized by caller (tests: 8-32; cluster: ~2-3x cores).
+* Broadcast threshold left to Spark; operators call F.broadcast explicitly
+  when the build side is known small (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH = 8192
+
+
+def get_spark(app: str = "geopandas-spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cpus, 8)
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

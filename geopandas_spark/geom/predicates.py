@@ -1,0 +1,617 @@
+"""Pairwise (row-aligned) spatial predicates and distances over batches.
+
+These are the *refine* kernels of the two-phase distributed spatial join
+(SURVEY.md §2.4): after the coarse cell equi-join produces candidate pairs,
+``pairwise_predicate`` evaluates the exact predicate for every pair inside
+an Arrow batch. Semantics mirror GeoPandas/GEOS binary predicates
+(/root/reference/geopandas/base.py:2043-3521 and sindex.py:6-8):
+
+    intersects, contains, contains_properly, within, covers, covered_by,
+    touches, crosses, overlaps, dwithin, equals
+
+Vectorization strategy: candidate pairs are grouped by the side whose
+geometry repeats (in an sjoin the polygon side repeats across many point
+rows), then each group runs one vectorized kernel (points-vs-one-polygon
+etc.). This is the distributed analogue of the reference preparing one tree
+geometry and bulk-querying candidates against it (sindex.py:86-87).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .kernels import (
+    BOUNDARY,
+    INSIDE,
+    OUTSIDE,
+    bounds,
+    geom_points,
+    geom_segments,
+    point_segment_dist2,
+    points_in_geom,
+    segments_cross,
+)
+from .ragged import (
+    LINESTRING,
+    MISSING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    TYPE_DIM,
+    GeometryBatch,
+)
+
+PREDICATES = (
+    "intersects", "contains", "contains_properly", "within", "covers",
+    "covered_by", "touches", "crosses", "overlaps", "dwithin", "equals",
+)
+
+
+def _dim(t: np.ndarray) -> np.ndarray:
+    return TYPE_DIM[t]
+
+
+# ---------------------------------------------------------------------------
+# per-group kernels: many "left" rows vs ONE right geometry
+
+
+def _points_vs_geom_status(lb: GeometryBatch, lrows: np.ndarray,
+                           rb: GeometryBatch, g: int):
+    """Status of single-point left rows vs right geometry g.
+
+    Returns (in_poly int8, on_lines bool, eq_point bool) per row.
+    """
+    off = lb.geom_coord_off
+    px = np.full(len(lrows), np.nan)
+    py = np.full(len(lrows), np.nan)
+    has = off[lrows + 1] > off[lrows]
+    px[has] = lb.coords[off[lrows][has], 0]
+    py[has] = lb.coords[off[lrows][has], 1]
+    rdim = int(_dim(rb.types[g : g + 1])[0])
+    n = len(lrows)
+    in_poly = np.zeros(n, dtype=np.int8)
+    on_lines = np.zeros(n, dtype=bool)
+    eq_point = np.zeros(n, dtype=bool)
+    if rdim == 2:
+        in_poly = points_in_geom(px, py, rb, g)
+    elif rdim == 1:
+        s0, s1 = geom_segments(rb, g)
+        if len(s0):
+            d2 = point_segment_dist2(px, py, s0, s1)
+            on_lines = np.nanmin(d2, axis=1) <= 0.0
+    else:
+        rpts = geom_points(rb, g)
+        if len(rpts):
+            eq_point = (
+                (px[:, None] == rpts[None, :, 0])
+                & (py[:, None] == rpts[None, :, 1])
+            ).any(axis=1)
+    return in_poly, on_lines, eq_point
+
+
+def _geom_vertices_status(sub: GeometryBatch, rb: GeometryBatch, g: int):
+    """For each left geometry in `sub`, status of all its vertices vs right
+    polygonal geometry g: (all_in, any_interior, any_out, any_boundary)."""
+    n = len(sub)
+    off = sub.geom_coord_off
+    allc = sub.coords
+    if len(allc) == 0:
+        z = np.zeros(n, dtype=bool)
+        return z, z.copy(), z.copy(), z.copy()
+    st = points_in_geom(allc[:, 0], allc[:, 1], rb, g)
+    cnt = (off[1:] - off[:-1]).astype(np.int64)
+    grp = np.repeat(np.arange(n), cnt)
+    any_int = np.zeros(n, dtype=bool)
+    any_out = np.zeros(n, dtype=bool)
+    any_bnd = np.zeros(n, dtype=bool)
+    np.logical_or.at(any_int, grp, st == INSIDE)
+    np.logical_or.at(any_out, grp, st == OUTSIDE)
+    np.logical_or.at(any_bnd, grp, st == BOUNDARY)
+    all_in = ~any_out & (cnt > 0)
+    return all_in, any_int, any_out, any_bnd
+
+
+def _edges_cross_group(sub: GeometryBatch, rb: GeometryBatch, g: int) -> np.ndarray:
+    """Per left geometry: does any of its segments intersect any segment of
+    right geometry g (touch counts)."""
+    n = len(sub)
+    out = np.zeros(n, dtype=bool)
+    rs0, rs1 = geom_segments(rb, g)
+    if not len(rs0):
+        return out
+    # build all left segments with a row map
+    seg_rows, s0s, s1s = [], [], []
+    for i in range(n):
+        a0, a1 = geom_segments(sub, i)
+        if len(a0):
+            s0s.append(a0)
+            s1s.append(a1)
+            seg_rows.append(np.full(len(a0), i))
+    if not s0s:
+        return out
+    A0 = np.concatenate(s0s)
+    A1 = np.concatenate(s1s)
+    rows = np.concatenate(seg_rows)
+    # chunk to bound the (A,B) temporary
+    max_cells = 4_000_000
+    step = max(1, max_cells // max(len(rs0), 1))
+    for lo in range(0, len(A0), step):
+        hit = segments_cross(A0[lo : lo + step], A1[lo : lo + step], rs0, rs1).any(axis=1)
+        np.logical_or.at(out, rows[lo : lo + step], hit)
+    return out
+
+
+def _min_dist2_group(sub: GeometryBatch, rb: GeometryBatch, g: int) -> np.ndarray:
+    """Min squared distance of each left geometry to right geometry g,
+    assuming no interior overlap (callers handle the intersecting case)."""
+    n = len(sub)
+    out = np.full(n, np.inf)
+    rs0, rs1 = geom_segments(rb, g)
+    rpts = geom_points(rb, g)
+    for i in range(n):  # few uniques on this side by construction
+        lpts = geom_points(sub, i)
+        if len(lpts) == 0:
+            continue
+        best = np.inf
+        if len(rs0):
+            best = min(best, float(np.min(point_segment_dist2(lpts[:, 0], lpts[:, 1], rs0, rs1))))
+        ls0, ls1 = geom_segments(sub, i)
+        if len(ls0) and len(rpts):
+            best = min(best, float(np.min(point_segment_dist2(rpts[:, 0], rpts[:, 1], ls0, ls1))))
+        if not len(rs0) and len(rpts):
+            dx = lpts[:, None, 0] - rpts[None, :, 0]
+            dy = lpts[:, None, 1] - rpts[None, :, 1]
+            best = min(best, float(np.min(dx * dx + dy * dy)))
+        out[i] = best
+    return out
+
+
+# ---------------------------------------------------------------------------
+# generic pair evaluation
+
+
+def _relate_group(pred: str, lb: GeometryBatch, lrows: np.ndarray,
+                  rb: GeometryBatch, g: int, distance: float | None) -> np.ndarray:
+    """Evaluate pred for left rows (a homogeneous work group) vs right g."""
+    sub = lb.take(lrows)
+    ldim = _dim(sub.types)
+    rdim = int(_dim(rb.types[g : g + 1])[0])
+    n = len(lrows)
+    res = np.zeros(n, dtype=bool)
+
+    single_point = (sub.types == POINT) & (sub.n_coords_per_geom() == 1)
+
+    if pred == "dwithin":
+        d = 0.0 if distance is None else float(distance)
+        inter = _relate_group("intersects", lb, lrows, rb, g, None)
+        d2 = _min_dist2_group(sub, rb, g)
+        return inter | (d2 <= d * d)
+
+    if pred == "equals":
+        # geometric equality via symmetric coverage
+        a = _relate_group("covers", lb, lrows, rb, g, None)
+        b = _relate_group("covered_by", lb, lrows, rb, g, None)
+        return a & b
+
+    # --- puntal left fast path ------------------------------------------
+    if single_point.all():
+        in_poly, on_lines, eq_point = _points_vs_geom_status(lb, lrows, rb, g)
+        if rdim == 2:
+            if pred in ("intersects", "covered_by"):
+                return in_poly != OUTSIDE
+            if pred == "within":
+                return in_poly == INSIDE
+            if pred == "touches":
+                return in_poly == BOUNDARY
+            if pred in ("contains", "contains_properly", "covers", "overlaps", "crosses"):
+                return res  # a point can never contain/cover/overlap a polygon
+        elif rdim == 1:
+            if pred in ("intersects", "covered_by"):
+                return on_lines
+            if pred == "within":
+                # point on line interior: on line but not equal to an endpoint?
+                # GEOS: point within line unless at a boundary endpoint.
+                return on_lines  # refined below for exact endpoint semantics
+            if pred == "touches":
+                return _points_touch_line(lb, lrows, rb, g, on_lines)
+            return res
+        else:
+            if pred in ("intersects", "equals", "covered_by", "within", "covers", "contains"):
+                if pred in ("intersects", "covered_by", "within"):
+                    return eq_point
+                # point contains/covers point: only if identical
+                return eq_point
+            return res
+
+    # --- general path: vertex status + edge crossings --------------------
+    if rdim == 2:
+        all_in, any_int, any_out, any_bnd = _geom_vertices_status(sub, rb, g)
+        edge_x = _edges_cross_group(sub, rb, g)
+        # does any right vertex fall strictly inside a polygonal left row?
+        r_in_l = np.zeros(n, dtype=bool)
+        r_all_in_l = np.zeros(n, dtype=bool)
+        rpts = geom_points(rb, g)
+        for i in np.nonzero(ldim == 2)[0]:
+            if len(rpts):
+                st = points_in_geom(rpts[:, 0], rpts[:, 1], sub, i)
+                r_in_l[i] = (st == INSIDE).any()
+                r_all_in_l[i] = (st != OUTSIDE).all()
+        inter = (~any_out & (sub.n_coords_per_geom() > 0)) | any_int | any_bnd | edge_x | r_in_l
+        if pred == "intersects":
+            return inter
+        if pred == "covered_by":
+            return all_in & ~edge_cross_exits(sub, rb, g, edge_x, any_out)
+        if pred == "within":
+            return all_in & ~edge_cross_exits(sub, rb, g, edge_x, any_out) & _interior_touch(sub, rb, g, any_int)
+        if pred == "touches":
+            return (inter & ~any_int & ~r_in_l
+                    & ~_edges_cross_interior(sub, rb, g)
+                    & ~_interior_touch(sub, rb, g, any_int))
+        if pred in ("contains", "covers", "contains_properly"):
+            if pred == "covers":
+                return r_all_in_l & ~edge_x_escapes(sub, rb, g)
+            # contains: covers + interior intersection
+            cov = r_all_in_l & ~edge_x_escapes(sub, rb, g)
+            return cov & r_in_l if pred == "contains_properly" else cov & (r_in_l | _interior_overlap(sub, rb, g))
+        if pred == "overlaps":
+            same_dim = ldim == rdim
+            cov_lr = all_in & ~edge_cross_exits(sub, rb, g, edge_x, any_out)
+            cov_rl = r_all_in_l & ~edge_x_escapes(sub, rb, g)
+            return same_dim & any_int & any_out & ~cov_lr & ~cov_rl | (
+                same_dim & any_int & r_in_l & ~cov_lr & ~cov_rl
+            )
+        if pred == "crosses":
+            # line crosses polygon: interior on both sides
+            return (ldim == 1) & any_int & any_out
+        return res
+
+    if rdim == 1:
+        edge_x = _edges_cross_group(sub, rb, g)
+        # left polygonal: does the line enter left interior?
+        r_in_l = np.zeros(n, dtype=bool)
+        r_all_in_l = np.zeros(n, dtype=bool)
+        r_any_bnd = np.zeros(n, dtype=bool)
+        rpts = geom_points(rb, g)
+        for i in np.nonzero(ldim == 2)[0]:
+            st = points_in_geom(rpts[:, 0], rpts[:, 1], sub, i)
+            r_in_l[i] = (st == INSIDE).any()
+            r_all_in_l[i] = (st != OUTSIDE).all()
+            r_any_bnd[i] = (st == BOUNDARY).any()
+        # left lineal vs right line: vertex-on-line checks both directions
+        l_on_r = np.zeros(n, dtype=bool)
+        rs0, rs1 = geom_segments(rb, g)
+        for i in np.nonzero(ldim <= 1)[0]:
+            lpts = geom_points(sub, i)
+            if len(lpts) and len(rs0):
+                d2 = point_segment_dist2(lpts[:, 0], lpts[:, 1], rs0, rs1)
+                l_on_r[i] = bool((np.min(d2, axis=1) <= 0).any())
+        inter = edge_x | r_in_l | r_any_bnd | l_on_r
+        if pred == "intersects":
+            return inter
+        if pred in ("contains", "covers"):
+            return (ldim == 2) & r_all_in_l & (r_in_l if pred == "contains" else True)
+        if pred == "crosses":
+            return (ldim == 2) & r_in_l & _line_exits(sub, rb, g)
+        if pred == "touches":
+            # boundary contact without interior entry (approximation: no
+            # right vertex strictly inside a polygonal left)
+            return inter & ~r_in_l
+        return res
+
+    # right is puntal
+    rpts = geom_points(rb, g)
+    if not len(rpts):
+        return res
+    st_per_row = np.zeros(n, dtype=bool)
+    any_int_r = np.zeros(n, dtype=bool)
+    any_bnd_r = np.zeros(n, dtype=bool)
+    all_cov = np.zeros(n, dtype=bool)
+    for i in range(n):
+        ld = int(ldim[i])
+        if ld == 2:
+            st = points_in_geom(rpts[:, 0], rpts[:, 1], sub, i)
+            any_int_r[i] = (st == INSIDE).any()
+            any_bnd_r[i] = (st == BOUNDARY).any()
+            all_cov[i] = (st != OUTSIDE).all()
+            st_per_row[i] = (st != OUTSIDE).any()
+        elif ld == 1:
+            ls0, ls1 = geom_segments(sub, i)
+            if len(ls0):
+                d2 = point_segment_dist2(rpts[:, 0], rpts[:, 1], ls0, ls1)
+                on = np.min(d2, axis=1) <= 0
+                st_per_row[i] = bool(on.any())
+                all_cov[i] = bool(on.all())
+                any_int_r[i] = st_per_row[i]
+        else:
+            lpts = geom_points(sub, i)
+            if len(lpts):
+                eq = (rpts[:, None, 0] == lpts[None, :, 0]) & (rpts[:, None, 1] == lpts[None, :, 1])
+                st_per_row[i] = bool(eq.any(axis=1).any())
+                all_cov[i] = bool(eq.any(axis=1).all())
+                any_int_r[i] = st_per_row[i]
+    if pred == "intersects":
+        return st_per_row
+    if pred == "covers":
+        return all_cov
+    if pred == "contains":
+        return all_cov & any_int_r
+    if pred == "contains_properly":
+        return all_cov & any_int_r & ~any_bnd_r
+    if pred == "touches":
+        return any_bnd_r & ~any_int_r
+    return res
+
+
+# -- helper refinements for polygon combinations ---------------------------
+
+
+def _points_touch_line(lb, lrows, rb, g, on_lines):
+    """Point touches line iff it coincides with a line *endpoint* (boundary
+    of the lineal geometry)."""
+    off = lb.geom_coord_off
+    px = lb.coords[off[lrows], 0]
+    py = lb.coords[off[lrows], 1]
+    ends = []
+    for p in range(rb.geom_part_off[g], rb.geom_part_off[g + 1]):
+        rings = rb.part_rings(p)
+        for r in rings:
+            if len(r) >= 2 and not (r[0] == r[-1]).all():
+                ends.append(r[0])
+                ends.append(r[-1])
+    if not ends:
+        return np.zeros(len(lrows), dtype=bool)
+    E = np.array(ends)
+    at_end = ((px[:, None] == E[None, :, 0]) & (py[:, None] == E[None, :, 1])).any(axis=1)
+    return on_lines & at_end
+
+
+def edge_cross_exits(sub, rb, g, edge_x, any_out):
+    """True where a left edge properly exits the right polygon: approximated
+    by any vertex strictly outside, or an edge crossing that leads outside.
+    With all vertices covered, a crossing through the polygon only happens
+    for non-convex rings; detect via midpoint probes of crossing edges."""
+    n = len(sub)
+    out = any_out.copy()
+    check = edge_x & ~any_out
+    for i in np.nonzero(check)[0]:
+        s0, s1 = geom_segments(sub, i)
+        if not len(s0):
+            continue
+        mid = (s0 + s1) / 2.0
+        st = points_in_geom(mid[:, 0], mid[:, 1], rb, g)
+        if (st == OUTSIDE).any():
+            out[i] = True
+    return out
+
+
+def edge_x_escapes(sub, rb, g):
+    """True where a *right* edge escapes the left polygon row (midpoint
+    probe of right segments against each polygonal left row)."""
+    n = len(sub)
+    out = np.zeros(n, dtype=bool)
+    rs0, rs1 = geom_segments(rb, g)
+    if not len(rs0):
+        return out
+    mid = (rs0 + rs1) / 2.0
+    for i in range(n):
+        if TYPE_DIM[sub.types[i]] != 2:
+            out[i] = True  # non-polygon can't cover a 1/2-dim right
+            continue
+        st = points_in_geom(mid[:, 0], mid[:, 1], sub, i)
+        if (st == OUTSIDE).any():
+            out[i] = True
+    return out
+
+
+def _interior_touch(sub, rb, g, any_int):
+    """within = covered_by + interiors intersect. For rows with no strictly-
+    interior vertex (all on boundary), probe edge midpoints / centroids."""
+    n = len(sub)
+    ok = any_int.copy()
+    from .kernels import centroid as _centroid
+
+    need = ~ok
+    if need.any():
+        c = _centroid(sub)
+        for i in np.nonzero(need)[0]:
+            if np.isnan(c[i, 0]):
+                continue
+            st = points_in_geom(c[i : i + 1, 0], c[i : i + 1, 1], rb, g)
+            ok[i] = bool(st[0] == INSIDE)
+    return ok
+
+
+def _edges_cross_interior(sub, rb, g):
+    """Proper (interior) edge crossing test for `touches`: midpoints of left
+    edges strictly inside right."""
+    n = len(sub)
+    out = np.zeros(n, dtype=bool)
+    for i in range(n):
+        s0, s1 = geom_segments(sub, i)
+        if not len(s0):
+            continue
+        mid = (s0 + s1) / 2.0
+        st = points_in_geom(mid[:, 0], mid[:, 1], rb, g)
+        out[i] = bool((st == INSIDE).any())
+    return out
+
+
+def _interior_overlap(sub, rb, g):
+    """Polygon/polygon interiors intersect (used by contains when no right
+    vertex is strictly inside): probe right edge midpoints + centroid."""
+    n = len(sub)
+    out = np.zeros(n, dtype=bool)
+    rs0, rs1 = geom_segments(rb, g)
+    from .kernels import centroid as _centroid
+
+    for i in range(n):
+        if TYPE_DIM[sub.types[i]] != 2:
+            continue
+        probes = []
+        if len(rs0):
+            probes.append((rs0 + rs1) / 2.0)
+        rc = _centroid(rb.geom_slice(g))
+        if not np.isnan(rc[0, 0]):
+            probes.append(rc)
+        if not probes:
+            continue
+        P = np.concatenate(probes)
+        st = points_in_geom(P[:, 0], P[:, 1], sub, i)
+        out[i] = bool((st == INSIDE).any())
+    return out
+
+
+def _line_exits(sub, rb, g):
+    """Right line has a point outside left polygon row (for crosses)."""
+    n = len(sub)
+    out = np.zeros(n, dtype=bool)
+    rpts = geom_points(rb, g)
+    for i in range(n):
+        if TYPE_DIM[sub.types[i]] != 2 or not len(rpts):
+            continue
+        st = points_in_geom(rpts[:, 0], rpts[:, 1], sub, i)
+        out[i] = bool((st == OUTSIDE).any())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+
+def pairwise_predicate(pred: str, lb: GeometryBatch, rb: GeometryBatch,
+                       distance: float | None = None) -> np.ndarray:
+    """Evaluate ``pred(lb[i], rb[i])`` for every i. bool[n].
+
+    None/empty never match any predicate (sindex.py:159-166: "None/empty
+    never match").
+    """
+    if pred not in PREDICATES:
+        raise ValueError(f"unknown predicate {pred!r}; valid: {PREDICATES}")
+    n = len(lb)
+    if len(rb) != n:
+        raise ValueError("pairwise_predicate needs equal-length batches")
+    out = np.zeros(n, dtype=bool)
+    valid = (~lb.is_missing() & ~lb.is_empty()
+             & ~rb.is_missing() & ~rb.is_empty())
+    if not valid.any():
+        return out
+    # bbox prefilter (expand by distance for dwithin)
+    lbb = bounds(lb)
+    rbb = bounds(rb)
+    pad = float(distance) if (pred == "dwithin" and distance) else 0.0
+    bbox_ok = (
+        (lbb[:, 0] <= rbb[:, 2] + pad) & (rbb[:, 0] <= lbb[:, 2] + pad)
+        & (lbb[:, 1] <= rbb[:, 3] + pad) & (rbb[:, 1] <= lbb[:, 3] + pad)
+    )
+    cand = valid & np.nan_to_num(bbox_ok, nan=False) if pred != "dwithin" else valid
+    if pred == "dwithin":
+        cand = valid & np.where(np.isnan(lbb[:, 0]) | np.isnan(rbb[:, 0]), False, bbox_ok)
+    idx = np.nonzero(cand)[0]
+    if not len(idx):
+        return out
+    # group by identical right geometry (hot path: polygon side repeats)
+    rw_key = _geom_group_keys(rb, idx)
+    order = np.argsort(rw_key, kind="stable")
+    idx_sorted = idx[order]
+    keys_sorted = rw_key[order]
+    boundaries = np.nonzero(np.diff(keys_sorted))[0] + 1
+    groups = np.split(np.arange(len(idx_sorted)), boundaries)
+    for grp in groups:
+        rows = idx_sorted[grp]
+        rep = int(rows[0])
+        if len(rows) > 1:
+            # exact-verify: rows whose right geometry isn't bit-identical to
+            # the representative evaluate individually (hash collision)
+            ok = np.array([_same_geom(rb, int(r), rep) for r in rows])
+            for r in rows[~ok]:
+                out[r] = _relate_group(pred, lb, np.array([r]), rb, int(r), distance)[0]
+            rows = rows[ok]
+        if len(rows):
+            out[rows] = _relate_group(pred, lb, rows, rb, rep, distance)
+    return out
+
+
+def _geom_group_keys(b: GeometryBatch, idx: np.ndarray) -> np.ndarray:
+    """Key per geometry row for grouping identical right geoms:
+    (type, n_coords, first/last coord bits, coord checksum). Groups are
+    exact-verified against their representative before the vectorized
+    kernel runs (`_split_exact_groups`), so collisions cost speed, never
+    correctness."""
+    off = b.geom_coord_off
+    # whole-batch per-geometry checksum (independent of idx selection)
+    if len(b.coords):
+        xy = b.coords[:, 0] + 1.000000321 * b.coords[:, 1]
+        csum_all = _pg_reduce_sum(xy, off)
+    else:
+        csum_all = np.zeros(len(b), dtype=np.float64)
+    n0 = off[idx]
+    n1 = off[idx + 1]
+    cnt = n1 - n0
+    safe0 = np.minimum(n0, max(len(b.coords) - 1, 0))
+    first_x = np.where(cnt > 0, b.coords[safe0, 0] if len(b.coords) else 0.0, np.nan)
+    first_y = np.where(cnt > 0, b.coords[safe0, 1] if len(b.coords) else 0.0, np.nan)
+    h = (
+        b.types[idx].astype(np.int64) * 1000003
+        ^ (cnt.astype(np.int64) * 8191)
+        ^ np.nan_to_num(first_x * 1e6).astype(np.int64)
+        ^ (np.nan_to_num(first_y * 1e6).astype(np.int64) << 13)
+        ^ np.nan_to_num(csum_all[idx] * 1e3).astype(np.int64)
+    )
+    return h
+
+
+def _pg_reduce_sum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.float64)
+    starts = offsets[:-1]
+    nonempty = offsets[1:] > starts
+    if nonempty.any() and len(values):
+        out[nonempty] = np.add.reduceat(values, starts[nonempty])
+    return out
+
+
+def _same_geom(b: GeometryBatch, i: int, j: int) -> bool:
+    """Bit-exact geometry equality of rows i and j (structure + coords)."""
+    if b.types[i] != b.types[j]:
+        return False
+    ci0, ci1 = b.geom_coord_off[i], b.geom_coord_off[i + 1]
+    cj0, cj1 = b.geom_coord_off[j], b.geom_coord_off[j + 1]
+    if ci1 - ci0 != cj1 - cj0:
+        return False
+    return bool(np.array_equal(b.coords[ci0:ci1], b.coords[cj0:cj1]))
+
+
+def pairwise_distance(lb: GeometryBatch, rb: GeometryBatch) -> np.ndarray:
+    """Exact euclidean distance per pair (base.py:3521). 0 if intersecting;
+    nan where either side missing/empty."""
+    n = len(lb)
+    out = np.full(n, np.nan)
+    valid = (~lb.is_missing() & ~lb.is_empty()
+             & ~rb.is_missing() & ~rb.is_empty())
+    idx = np.nonzero(valid)[0]
+    if not len(idx):
+        return out
+    inter = pairwise_predicate("intersects", lb, rb)
+    out[idx] = 0.0
+    todo = idx[~inter[idx]]
+    if len(todo):
+        keys = _geom_group_keys(rb, todo)
+        order = np.argsort(keys, kind="stable")
+        ts = todo[order]
+        ks = keys[order]
+        bnd = np.nonzero(np.diff(ks))[0] + 1
+        for grp in np.split(np.arange(len(ts)), bnd):
+            rows = ts[grp]
+            rep = int(rows[0])
+            if len(rows) > 1:
+                ok = np.array([_same_geom(rb, int(r), rep) for r in rows])
+                for r in rows[~ok]:
+                    d2 = _min_dist2_group(lb.take(np.array([r])), rb, int(r))
+                    out[r] = np.sqrt(d2[0])
+                rows = rows[ok]
+            if len(rows):
+                d2 = _min_dist2_group(lb.take(rows), rb, rep)
+                out[rows] = np.sqrt(d2)
+    return out

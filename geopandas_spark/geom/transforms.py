@@ -1,0 +1,522 @@
+"""Constructive geometry->geometry kernels (SURVEY.md §2.3) over batches.
+
+Each mirrors a reference op (file:line under /root/reference/geopandas/).
+Coordinate math is numpy-vectorized; structure loops run per ring/part
+within the Arrow batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .kernels import INSIDE, bounds, centroid, points_in_geom
+from .ragged import (
+    LINESTRING,
+    MISSING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    GeometryBatch,
+    GeometryBatchBuilder,
+)
+
+
+def _copy_structure_with_coords(batch: GeometryBatch, coords: np.ndarray) -> GeometryBatch:
+    return GeometryBatch(
+        types=batch.types.copy(),
+        coords=coords,
+        ring_coord_off=batch.ring_coord_off.copy(),
+        part_ring_off=batch.part_ring_off.copy(),
+        geom_part_off=batch.geom_part_off.copy(),
+        part_types=batch.part_types.copy(),
+        zs=batch.zs.copy() if batch.zs is not None else None,
+        geom_has_z=batch.geom_has_z.copy() if batch.geom_has_z is not None else None,
+    )
+
+
+def affine_transform(batch: GeometryBatch, matrix) -> GeometryBatch:
+    """[a b d e xoff yoff] as in shapely/geopandas (base.py:5284):
+    x' = a*x + b*y + xoff ; y' = d*x + e*y + yoff. One matrix for the whole
+    batch, or an (n,6) array of per-row matrices."""
+    m = np.asarray(matrix, dtype=np.float64)
+    c = batch.coords
+    if m.ndim == 1:
+        a, b, d, e, xo, yo = m
+        nx = a * c[:, 0] + b * c[:, 1] + xo
+        ny = d * c[:, 0] + e * c[:, 1] + yo
+    else:
+        # per-geometry matrices: expand to per-coordinate
+        off = batch.geom_coord_off
+        reps = (off[1:] - off[:-1]).astype(np.int64)
+        M = np.repeat(m, reps, axis=0)
+        nx = M[:, 0] * c[:, 0] + M[:, 1] * c[:, 1] + M[:, 4]
+        ny = M[:, 2] * c[:, 0] + M[:, 3] * c[:, 1] + M[:, 5]
+    return _copy_structure_with_coords(batch, np.column_stack([nx, ny]))
+
+
+def translate(batch: GeometryBatch, xoff=0.0, yoff=0.0) -> GeometryBatch:
+    """base.py:5326."""
+    return affine_transform(batch, [1.0, 0.0, 0.0, 1.0, xoff, yoff])
+
+
+def _origin_coords(batch: GeometryBatch, origin) -> np.ndarray:
+    if origin == "center":  # bbox center per geometry
+        b = bounds(batch)
+        return np.column_stack([(b[:, 0] + b[:, 2]) / 2, (b[:, 1] + b[:, 3]) / 2])
+    if origin == "centroid":
+        return centroid(batch)
+    ox, oy = origin
+    return np.column_stack([np.full(len(batch), float(ox)), np.full(len(batch), float(oy))])
+
+
+def rotate(batch: GeometryBatch, angle: float, origin="center",
+           use_radians: bool = False) -> GeometryBatch:
+    """base.py:5364."""
+    th = angle if use_radians else np.deg2rad(angle)
+    ca, sa = np.cos(th), np.sin(th)
+    o = _origin_coords(batch, origin)
+    m = np.column_stack([
+        np.full(len(batch), ca), np.full(len(batch), -sa),
+        np.full(len(batch), sa), np.full(len(batch), ca),
+        o[:, 0] - ca * o[:, 0] + sa * o[:, 1],
+        o[:, 1] - sa * o[:, 0] - ca * o[:, 1],
+    ])
+    return affine_transform(batch, m)
+
+
+def scale(batch: GeometryBatch, xfact=1.0, yfact=1.0, origin="center") -> GeometryBatch:
+    """base.py:5414."""
+    o = _origin_coords(batch, origin)
+    n = len(batch)
+    m = np.column_stack([
+        np.full(n, xfact), np.zeros(n), np.zeros(n), np.full(n, yfact),
+        o[:, 0] * (1 - xfact), o[:, 1] * (1 - yfact),
+    ])
+    return affine_transform(batch, m)
+
+
+def skew(batch: GeometryBatch, xs=0.0, ys=0.0, origin="center",
+         use_radians: bool = False) -> GeometryBatch:
+    """base.py:5462."""
+    tx = np.tan(xs if use_radians else np.deg2rad(xs))
+    ty = np.tan(ys if use_radians else np.deg2rad(ys))
+    o = _origin_coords(batch, origin)
+    n = len(batch)
+    m = np.column_stack([
+        np.ones(n), np.full(n, tx), np.full(n, ty), np.ones(n),
+        -tx * o[:, 1], -ty * o[:, 0],
+    ])
+    return affine_transform(batch, m)
+
+
+def envelope(batch: GeometryBatch) -> GeometryBatch:
+    """base.py:1115 — bbox polygon (point/line degenerate cases -> point or
+    2-point linestring like GEOS)."""
+    b = bounds(batch)
+    out = GeometryBatchBuilder()
+    for g in range(len(batch)):
+        if batch.types[g] == MISSING:
+            out.add_missing()
+            continue
+        minx, miny, maxx, maxy = b[g]
+        if np.isnan(minx):
+            out.add(int(batch.types[g]), [(int(batch.types[g]) if batch.types[g] <= POLYGON else POLYGON, [])])
+            continue
+        if minx == maxx and miny == maxy:
+            out.add(POINT, [(POINT, [np.array([[minx, miny]])])])
+        elif minx == maxx or miny == maxy:
+            out.add(LINESTRING, [(LINESTRING, [np.array([[minx, miny], [maxx, maxy]])])])
+        else:
+            ring = np.array([
+                [minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy], [minx, miny]
+            ])
+            out.add(POLYGON, [(POLYGON, [ring])])
+    return out.finish()
+
+
+def _hull_one(pts: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain; returns CCW hull vertices (unclosed)."""
+    pts = np.unique(pts, axis=0)
+    if len(pts) <= 2:
+        return pts
+    # lexicographic sort already done by np.unique
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def convex_hull(batch: GeometryBatch) -> GeometryBatch:
+    """base.py:861 — per-geometry convex hull (point/segment degenerate)."""
+    out = GeometryBatchBuilder()
+    off = batch.geom_coord_off
+    for g in range(len(batch)):
+        t = int(batch.types[g])
+        if t == MISSING:
+            out.add_missing()
+            continue
+        pts = batch.coords[off[g] : off[g + 1]]
+        if len(pts) == 0:
+            out.add(t, [(min(t, POLYGON) if t <= POLYGON else POLYGON, [])])
+            continue
+        hull = _hull_one(pts)
+        if len(hull) == 1:
+            out.add(POINT, [(POINT, [hull])])
+        elif len(hull) == 2:
+            out.add(LINESTRING, [(LINESTRING, [hull])])
+        else:
+            ring = np.vstack([hull, hull[:1]])
+            out.add(POLYGON, [(POLYGON, [ring])])
+    return out.finish()
+
+
+def buffer_points(batch: GeometryBatch, distance, quad_segs: int = 8) -> GeometryBatch:
+    """base.py:4806 for puntal inputs: circle polygon approximation with
+    4*quad_segs vertices (GEOS buffer convention). Non-point rows raise —
+    general polygon/line offsetting is tracked for a later round."""
+    n = len(batch)
+    dist = np.broadcast_to(np.asarray(distance, dtype=np.float64), (n,))
+    pt_mask = np.isin(batch.types, (POINT, MULTIPOINT)) | (batch.types == MISSING)
+    if not pt_mask.all():
+        raise NotImplementedError(
+            "buffer currently supports puntal geometries only (circle "
+            "approximation); line/polygon offsetting lands in a later round"
+        )
+    k = max(int(quad_segs) * 4, 4)
+    th = np.arange(k) * (2 * np.pi / k)
+    ring_template = np.column_stack([np.cos(th), np.sin(th)])
+    out = GeometryBatchBuilder()
+    off = batch.geom_coord_off
+    for g in range(n):
+        if batch.types[g] == MISSING:
+            out.add_missing()
+            continue
+        pts = batch.coords[off[g] : off[g + 1]]
+        d = float(dist[g])
+        if len(pts) == 0 or d <= 0:
+            out.add(POLYGON, [(POLYGON, [])])
+            continue
+        parts = []
+        for p in pts:
+            ring = ring_template * d + p
+            ring = np.vstack([ring, ring[:1]])
+            parts.append((POLYGON, [ring]))
+        if len(parts) == 1:
+            out.add(POLYGON, parts)
+        else:
+            out.add(MULTIPOLYGON, parts)
+    return out.finish()
+
+
+def _dp_simplify(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker (iterative stack)."""
+    n = len(ring)
+    if n <= 2:
+        return ring
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        seg = ring[hi] - ring[lo]
+        L2 = seg @ seg
+        mids = ring[lo + 1 : hi]
+        w = mids - ring[lo]
+        if L2 == 0:
+            d2 = (w ** 2).sum(axis=1)
+        else:
+            t = np.clip((w @ seg) / L2, 0, 1)
+            proj = ring[lo] + t[:, None] * seg
+            d2 = ((mids - proj) ** 2).sum(axis=1)
+        imax = int(np.argmax(d2))
+        if d2[imax] > tol * tol:
+            k = lo + 1 + imax
+            keep[k] = True
+            stack.append((lo, k))
+            stack.append((k, hi))
+    return ring[keep]
+
+
+def simplify(batch: GeometryBatch, tolerance: float) -> GeometryBatch:
+    """base.py:4874 (preserve_topology handled per-ring; rings that collapse
+    below 4 points are dropped like GEOS does for degenerate output)."""
+    out = GeometryBatchBuilder()
+    for g in range(len(batch)):
+        t = int(batch.types[g])
+        if t == MISSING:
+            out.add_missing()
+            continue
+        parts = []
+        for p in range(batch.geom_part_off[g], batch.geom_part_off[g + 1]):
+            pt = int(batch.part_types[p])
+            rings = batch.part_rings(p)
+            if pt == POINT:
+                parts.append((pt, rings))
+                continue
+            new_rings = []
+            for r in rings:
+                closed = len(r) >= 2 and (r[0] == r[-1]).all()
+                s = _dp_simplify(r, tolerance)
+                if closed and len(s) < 4:
+                    continue
+                new_rings.append(s)
+            if pt == POLYGON and not new_rings:
+                continue
+            parts.append((pt, new_rings))
+        if not parts:
+            parts = [(POLYGON if t in (POLYGON, MULTIPOLYGON) else LINESTRING, [])]
+        out.add(t, parts)
+    return out.finish()
+
+
+def reverse(batch: GeometryBatch) -> GeometryBatch:
+    """base.py:1679 — reverse coordinate order within each ring."""
+    coords = batch.coords.copy()
+    ro = batch.ring_coord_off
+    for r in range(len(ro) - 1):
+        coords[ro[r] : ro[r + 1]] = coords[ro[r] : ro[r + 1]][::-1]
+    return _copy_structure_with_coords(batch, coords)
+
+
+def force_2d(batch: GeometryBatch) -> GeometryBatch:
+    """base.py:1791 — drop Z."""
+    out = _copy_structure_with_coords(batch, batch.coords.copy())
+    out.zs = None
+    out.geom_has_z = None
+    return out
+
+
+def boundary(batch: GeometryBatch) -> GeometryBatch:
+    """base.py:729 — polygons -> rings as (Multi)LineString; lines ->
+    boundary points as MultiPoint; points -> GEOMETRYCOLLECTION EMPTY."""
+    from .ragged import GEOMETRYCOLLECTION
+
+    out = GeometryBatchBuilder()
+    for g in range(len(batch)):
+        t = int(batch.types[g])
+        if t == MISSING:
+            out.add_missing()
+            continue
+        if t in (POINT, MULTIPOINT):
+            out.add(GEOMETRYCOLLECTION, [])
+            continue
+        if t in (LINESTRING, MULTILINESTRING):
+            pts = []
+            for p in range(batch.geom_part_off[g], batch.geom_part_off[g + 1]):
+                for r in batch.part_rings(p):
+                    if len(r) >= 2 and not (r[0] == r[-1]).all():
+                        pts.append(r[:1])
+                        pts.append(r[-1:])
+            if not pts:
+                out.add(MULTIPOINT, [])
+            else:
+                out.add(MULTIPOINT, [(POINT, [p]) for p in pts])
+            continue
+        rings = []
+        for p in range(batch.geom_part_off[g], batch.geom_part_off[g + 1]):
+            rings.extend(batch.part_rings(p))
+        if len(rings) == 1:
+            out.add(LINESTRING, [(LINESTRING, rings)])
+        else:
+            out.add(MULTILINESTRING, [(LINESTRING, [r]) for r in rings])
+    return out.finish()
+
+
+def get_parts(batch: GeometryBatch):
+    """shapely.get_parts analogue for explode (geodataframe.py:1417):
+    returns (parts_batch, geom_index, part_index) where each part of each
+    input geometry becomes one output geometry."""
+    out = GeometryBatchBuilder()
+    gi, pi = [], []
+    for g in range(len(batch)):
+        t = int(batch.types[g])
+        if t == MISSING:
+            out.add_missing()
+            gi.append(g)
+            pi.append(0)
+            continue
+        p0, p1 = batch.geom_part_off[g], batch.geom_part_off[g + 1]
+        if t in (POINT, LINESTRING, POLYGON) or p1 - p0 <= 1:
+            # simple (or single-part multi counts as its one part)
+            if p1 == p0:
+                out.add(t if t <= POLYGON else POLYGON, [(t if t <= POLYGON else POLYGON, [])])
+            else:
+                pt = int(batch.part_types[p0])
+                out.add(pt, [(pt, batch.part_rings(p0))])
+            gi.append(g)
+            pi.append(0)
+            continue
+        for k, p in enumerate(range(p0, p1)):
+            pt = int(batch.part_types[p])
+            out.add(pt, [(pt, batch.part_rings(p))])
+            gi.append(g)
+            pi.append(k)
+    return out.finish(), np.array(gi, dtype=np.int64), np.array(pi, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# rectangle clipping (clip_by_rect, base.py:4305 / tools/clip.py:40-43)
+
+
+def _clip_ring_rect(ring: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray:
+    """Sutherland–Hodgman clip of a closed ring against an axis rect.
+    Returns closed ring (or empty). Vectorized per half-plane."""
+    poly = ring[:-1] if len(ring) >= 2 and (ring[0] == ring[-1]).all() else ring
+    for axis, bound, keep_ge in ((0, minx, True), (0, maxx, False),
+                                 (1, miny, True), (1, maxy, False)):
+        if len(poly) == 0:
+            return np.empty((0, 2))
+        cur = poly
+        nxt = np.roll(poly, -1, axis=0)
+        if keep_ge:
+            cin = cur[:, axis] >= bound
+            nin = nxt[:, axis] >= bound
+        else:
+            cin = cur[:, axis] <= bound
+            nin = nxt[:, axis] <= bound
+        out_pts = []
+        denom = nxt[:, axis] - cur[:, axis]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(denom == 0, 0.0, (bound - cur[:, axis]) / denom)
+        inter = cur + t[:, None] * (nxt - cur)
+        inter[:, axis] = bound  # exact on the clip line
+        for i in range(len(cur)):
+            if cin[i]:
+                out_pts.append(cur[i])
+                if not nin[i]:
+                    out_pts.append(inter[i])
+            elif nin[i]:
+                out_pts.append(inter[i])
+        poly = np.array(out_pts) if out_pts else np.empty((0, 2))
+    if len(poly) < 3:
+        return np.empty((0, 2))
+    return np.vstack([poly, poly[:1]])
+
+
+def _clip_line_rect(line: np.ndarray, minx, miny, maxx, maxy) -> list[np.ndarray]:
+    """Liang–Barsky per segment, stitched into maximal runs."""
+    pieces: list[np.ndarray] = []
+    run: list[np.ndarray] = []
+    for i in range(len(line) - 1):
+        p0, p1 = line[i], line[i + 1]
+        d = p1 - p0
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for axis, lo, hi in ((0, minx, maxx), (1, miny, maxy)):
+            if d[axis] == 0:
+                if p0[axis] < lo or p0[axis] > hi:
+                    ok = False
+                    break
+            else:
+                ta = (lo - p0[axis]) / d[axis]
+                tb = (hi - p0[axis]) / d[axis]
+                ta, tb = min(ta, tb), max(ta, tb)
+                t0, t1 = max(t0, ta), min(t1, tb)
+                if t0 > t1:
+                    ok = False
+                    break
+        if not ok:
+            if len(run) >= 2:
+                pieces.append(np.array(run))
+            run = []
+            continue
+        a = p0 + t0 * d
+        b = p0 + t1 * d
+        if run and np.allclose(run[-1], a):
+            run.append(b)
+        else:
+            if len(run) >= 2:
+                pieces.append(np.array(run))
+            run = [a, b]
+        if t1 < 1.0:
+            if len(run) >= 2:
+                pieces.append(np.array(run))
+            run = []
+    if len(run) >= 2:
+        pieces.append(np.array(run))
+    return pieces
+
+
+def clip_by_rect(batch: GeometryBatch, minx, miny, maxx, maxy) -> GeometryBatch:
+    """base.py:4305 — fast rectangle clip. Points filtered; lines cut;
+    polygon rings Sutherland–Hodgman-clipped (exterior and holes clipped
+    independently — matches GEOS clip_by_rect's 'possibly invalid' note)."""
+    out = GeometryBatchBuilder()
+    for g in range(len(batch)):
+        t = int(batch.types[g])
+        if t == MISSING:
+            out.add_missing()
+            continue
+        parts = []
+        for p in range(batch.geom_part_off[g], batch.geom_part_off[g + 1]):
+            pt = int(batch.part_types[p])
+            rings = batch.part_rings(p)
+            if pt == POINT:
+                if rings and len(rings[0]):
+                    x, y = rings[0][0]
+                    if minx <= x <= maxx and miny <= y <= maxy:
+                        parts.append((POINT, rings))
+            elif pt == LINESTRING:
+                for r in rings:
+                    for piece in _clip_line_rect(r, minx, miny, maxx, maxy):
+                        parts.append((LINESTRING, [piece]))
+            else:
+                new_rings = []
+                for k, r in enumerate(rings):
+                    cr = _clip_ring_rect(r, minx, miny, maxx, maxy)
+                    if len(cr):
+                        new_rings.append(cr)
+                    elif k == 0:
+                        new_rings = []
+                        break  # exterior vanished -> whole polygon gone
+                if new_rings:
+                    parts.append((POLYGON, new_rings))
+        if not parts:
+            base = POLYGON if t in (POLYGON, MULTIPOLYGON) else (
+                LINESTRING if t in (LINESTRING, MULTILINESTRING) else POINT)
+            out.add(base, [(base, [])])
+            continue
+        ptypes = {pt for pt, _ in parts}
+        if len(parts) == 1:
+            out.add(parts[0][0], parts)
+        elif len(ptypes) == 1:
+            pt = parts[0][0]
+            multi = {POINT: MULTIPOINT, LINESTRING: MULTILINESTRING, POLYGON: MULTIPOLYGON}[pt]
+            out.add(multi, parts)
+        else:
+            from .ragged import GEOMETRYCOLLECTION
+            out.add(GEOMETRYCOLLECTION, parts)
+    return out.finish()
+
+
+def representative_point(batch: GeometryBatch) -> np.ndarray:
+    """base.py:1476 — a point guaranteed inside (n,2): centroid when inside,
+    else a scanline probe at the bbox-midline."""
+    c = centroid(batch)
+    b = bounds(batch)
+    out = c.copy()
+    for g in range(len(batch)):
+        t = int(batch.types[g])
+        if t not in (POLYGON, MULTIPOLYGON) or np.isnan(c[g, 0]):
+            continue
+        st = points_in_geom(c[g : g + 1, 0], c[g : g + 1, 1], batch, g)
+        if st[0] == INSIDE:
+            continue
+        # probe along the horizontal midline
+        xs = np.linspace(b[g, 0], b[g, 2], 65)[1:-1]
+        ys = np.full_like(xs, (b[g, 1] + b[g, 3]) / 2)
+        stt = points_in_geom(xs, ys, batch, g)
+        hit = np.nonzero(stt == INSIDE)[0]
+        if len(hit):
+            out[g] = [xs[hit[len(hit) // 2]], ys[0]]
+    return out
