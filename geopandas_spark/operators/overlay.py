@@ -1,0 +1,212 @@
+"""overlay — set-theoretic overlay of two polygon frames.
+
+Reference contract (/root/reference/geopandas/tools/overlay.py:89-208,
+mode helpers :23-73; QGIS-golden tests tests/test_overlay.py:69-224):
+
+* ``intersection``: one row per crossing pair with BOTH attribute sets and
+  geometry = pairwise intersection.
+* ``difference``: df1 rows with geometry minus the union of all crossing
+  df2 features (df1 columns only).
+* ``symmetric_difference``: df1 residuals (df2 attrs NaN) + df2 residuals
+  (df1 attrs NaN).
+* ``union``: intersection rows + both residual sets.
+* ``identity``: intersection rows + df1 residuals.
+
+Physical plan: candidate pairs from the same cell equi-join as sjoin; the
+intersection stage is a pairwise Arrow kernel over candidate rows; the
+residual stage groups candidates by source row and subtracts the union of
+its *neighbors only* (never a global union — that is the distributed trick
+that keeps overlay shuffle-light at scale; SURVEY.md §2.4 overlay row).
+Rows with no candidates at all pass through untouched via anti-join.
+
+Geometry engine: exact rectilinear boolean / convex clipping
+(geom/clipping.py). Non-rectilinear non-convex pairs raise
+NotImplementedError (Martinez–Rueda sweep planned).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.st import st_bounds, st_cells, st_is_empty, st_predicate
+from ..index.cells import DOMAIN_UNIT
+from .sjoin import _estimate_resolution, _prep_side, _suffix_columns
+
+VALID_HOW = ("intersection", "union", "identity", "symmetric_difference", "difference")
+
+
+def _pairs(df1, df2, geom1, geom2, id1, id2, resolution, domain):
+    """Candidate (id1, id2, g1, g2) pairs whose geometries intersect."""
+    l1 = df1.select(F.col(id1).alias("__i1"), F.col(geom1).alias("__g1"),
+                    F.explode(st_cells(geom1, resolution, domain=domain)).alias("__cell"))
+    l2 = df2.select(F.col(id2).alias("__i2"), F.col(geom2).alias("__g2"),
+                    F.explode(st_cells(geom2, resolution, domain=domain)).alias("__cell"))
+    cand = (
+        l1.join(l2, on="__cell", how="inner")
+        .select("__i1", "__i2", "__g1", "__g2")
+        .dropDuplicates(["__i1", "__i2"])
+    )
+    return cand.filter(st_predicate("intersects", "__g1", "__g2"))
+
+
+def _intersection_udf():
+    @pandas_udf("binary")
+    def _f(a: pd.Series, b: pd.Series) -> pd.Series:
+        from ..geom import wkb as B
+        from ..geom.clipping import pairwise_intersection
+
+        return pd.Series(list(B.to_wkb(
+            pairwise_intersection(B.from_wkb(a), B.from_wkb(b)))))
+
+    return _f
+
+
+def _difference_vs_union_udf():
+    """geom minus union(neighbors): binary, array<binary> -> binary."""
+
+    @pandas_udf("binary")
+    def _f(g: pd.Series, others: pd.Series) -> pd.Series:
+        from ..geom import wkb as B
+        from ..geom.clipping import (
+            polygons_rectilinear, rectilinear_boolean,
+        )
+        from ..geom.ragged import GeometryBatchBuilder, POLYGON, MULTIPOLYGON
+
+        out = []
+        for wkb_g, arr in zip(g, others):
+            if wkb_g is None:
+                out.append(None)
+                continue
+            batch = B.from_wkb([wkb_g] + [a for a in arr if a is not None])
+            base = polygons_rectilinear(batch, 0)
+            if base is None:
+                raise NotImplementedError(
+                    "overlay difference requires rectilinear polygons in "
+                    "this round"
+                )
+            cur = base
+            for k in range(1, len(batch)):
+                sub = polygons_rectilinear(batch, k)
+                if sub is None:
+                    raise NotImplementedError(
+                        "overlay difference requires rectilinear polygons"
+                    )
+                polys = rectilinear_boolean(cur, sub, "difference")
+                cur = [ring for rings in polys for ring in rings]
+                if not cur:
+                    break
+            bld = GeometryBatchBuilder()
+            if not cur:
+                bld.add(POLYGON, [(POLYGON, [])])
+            else:
+                polys = rectilinear_boolean(cur, cur, "intersection")
+                if not polys:
+                    bld.add(POLYGON, [(POLYGON, [])])
+                elif len(polys) == 1:
+                    bld.add(POLYGON, [(POLYGON, polys[0])])
+                else:
+                    bld.add(MULTIPOLYGON, [(POLYGON, r) for r in polys])
+            out.append(B.to_wkb(bld.finish())[0])
+        return pd.Series(out)
+
+    return _f
+
+
+def _residuals(src: DataFrame, pairs: DataFrame, src_id: str, other_geom_col: str,
+               own_id_col: str, geom: str) -> DataFrame:
+    """src rows minus the union of their intersecting counterparts; rows
+    with no counterpart pass through unchanged."""
+    nb = (
+        pairs.groupBy(own_id_col)
+        .agg(F.collect_list(other_geom_col).alias("__others"))
+        .withColumnRenamed(own_id_col, src_id)
+    )
+    joined = src.join(nb, on=src_id, how="left")
+    diffed = joined.withColumn(
+        geom,
+        F.when(F.col("__others").isNull(), F.col(geom)).otherwise(
+            _difference_vs_union_udf()(F.col(geom), F.col("__others"))
+        ),
+    ).drop("__others")
+    return diffed.filter(~st_is_empty(geom) & F.col(geom).isNotNull())
+
+
+def overlay(
+    df1: DataFrame,
+    df2: DataFrame,
+    how: str = "intersection",
+    geom: str = "geometry",
+    id1: str | None = None,
+    id2: str | None = None,
+    lsuffix: str = "1",
+    rsuffix: str = "2",
+    resolution: int | None = None,
+    domain=DOMAIN_UNIT,
+    keep_geom_type: bool = True,
+) -> DataFrame:
+    if how not in VALID_HOW:
+        raise ValueError(f"`how` was {how!r} but is expected to be in {VALID_HOW}")
+    df1p, i1 = _prep_side(df1, geom, id1, "o1")
+    df2p, i2 = _prep_side(df2, geom, id2, "o2")
+    if resolution is None:
+        resolution = _estimate_resolution(df1p, df2p, domain)
+    df1c = df1p.drop("__bb")
+    df2c = df2p.drop("__bb")
+
+    pairs = _pairs(df1p, df2p, geom, geom, i1, i2, resolution, domain).persist()
+
+    auto1, auto2 = id1 is None, id2 is None
+    d1cols = [c for c in df1c.columns if not (auto1 and c == i1)]
+    d2cols = [c for c in df2c.columns if not (auto2 and c == i2) and c != geom]
+    m1, m2 = _suffix_columns(df1c.select(d1cols), df2c.select(d2cols),
+                             lsuffix, rsuffix, exclude={geom})
+    f1 = df1c.select(*[F.col(c).alias(m1.get(c, c)) for c in d1cols],
+                     F.col(i1).alias("__I1"))
+    f2 = df2c.select(*[F.col(c).alias(m2.get(c, c)) for c in d2cols],
+                     F.col(i2).alias("__I2"))
+
+    pieces = []
+    if how in ("intersection", "union", "identity"):
+        inter = pairs.withColumn(geom, _intersection_udf()(F.col("__g1"), F.col("__g2")))
+        inter = inter.filter(~st_is_empty(geom) & F.col(geom).isNotNull())
+        inter_full = (
+            inter.select(F.col("__i1").alias("__I1"), F.col("__i2").alias("__I2"), geom)
+            .join(f1.drop(m1.get(geom, geom)), on="__I1", how="left")
+            .join(f2, on="__I2", how="left")
+        )
+        pieces.append(inter_full)
+    if how in ("union", "identity", "symmetric_difference", "difference"):
+        res1 = _residuals(df1c, pairs, i1, "__g2", "__i1", geom)
+        res1 = res1.select(*[F.col(c).alias(m1.get(c, c)) for c in d1cols],
+                           F.col(i1).alias("__I1"))
+        if how != "difference":  # difference keeps df1 columns only
+            res1 = res1.withColumn("__I2", F.lit(None).cast("long"))
+            for c in [m2.get(c, c) for c in d2cols]:
+                res1 = res1.withColumn(c, F.lit(None))
+        pieces.append(res1)
+    if how in ("union", "symmetric_difference"):
+        res2 = _residuals(df2c, pairs, i2, "__g1", "__i2", geom)
+        res2 = res2.select(*[F.col(c).alias(m2.get(c, c)) for c in d2cols],
+                           F.col(geom), F.col(i2).alias("__I2"))
+        res2 = res2.withColumn("__I1", F.lit(None).cast("long"))
+        for c in [m1.get(c, c) for c in d1cols if c != geom]:
+            res2 = res2.withColumn(c, F.lit(None))
+        pieces.append(res2)
+
+    if how == "difference":
+        out = pieces[0].drop("__I1", "__I2")
+        return out
+
+    base = pieces[0]
+    for p in pieces[1:]:
+        base = base.unionByName(p.select(base.columns), allowMissingColumns=True)
+    out = base.drop("__I1", "__I2")
+    if keep_geom_type:
+        from ..functions.st import st_geometry_type
+
+        out = out.filter(st_geometry_type(geom).isin("Polygon", "MultiPolygon"))
+    return out
