@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+Design rule: anything expressible in pure Catalyst stays JVM-side (token
+counts, ratios) so whole-stage codegen applies; only the n-gram language
+profile runs as an Arrow UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# tiny stopword profiles for the language-ID heuristic (top function words)
+_LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "von", "sie", "mit", "den"],
+    "fr": ["le", "la", "les", "de", "et", "est", "que", "une", "dans", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "es", "por"],
+}
+
+
+def token_count(text) -> Column:
+    """Whitespace token count — pure Catalyst (codegen'd, no UDF)."""
+    t = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(t)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def word_token_count(text) -> Column:
+    """BPE-ish token estimate: words + punctuation clusters."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(t, F.lit(r"\w+|[^\w\s]+"), 0))
+
+
+def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_chars_calc, n_tokens, alpha_ratio, punct_ratio, upper_ratio,
+    mean_token_len, stopword_ratio (en), quality_score — all Catalyst."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
+    n_upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    toks = token_count(t)
+    stop_re = r"(?i)\b(" + "|".join(_LANG_PROFILES["en"]) + r")\b"
+    n_stop = F.size(F.regexp_extract_all(t, F.lit(stop_re), 0))
+    out = (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", toks)
+        .withColumn("alpha_ratio", n_alpha / F.greatest(n_chars, F.lit(1)))
+        .withColumn("punct_ratio", n_punct / F.greatest(n_chars, F.lit(1)))
+        .withColumn("upper_ratio", n_upper / F.greatest(n_chars, F.lit(1)))
+        .withColumn(
+            "mean_token_len",
+            n_chars / F.greatest(toks, F.lit(1)),
+        )
+        .withColumn("stopword_ratio", n_stop / F.greatest(toks, F.lit(1)))
+    )
+    return out.withColumn(
+        "quality_score",
+        (F.least(F.col("alpha_ratio") * 1.2, F.lit(1.0))
+         + F.least(F.col("stopword_ratio") * 3.0, F.lit(1.0))
+         + F.when((F.col("mean_token_len") >= 3) & (F.col("mean_token_len") <= 10),
+                  F.lit(1.0)).otherwise(F.lit(0.0))
+         - F.least(F.col("punct_ratio") * 2.0, F.lit(1.0))) / 3.0,
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-profile language ID (n-gram heuristic): argmax over
+    per-language function-word hit counts; 'und' (undetermined) when no
+    profile scores."""
+    langs = sorted(_LANG_PROFILES)
+    import re as _re
+
+    pats = {
+        lang: _re.compile(r"\b(" + "|".join(map(_re.escape, words)) + r")\b")
+        for lang, words in _LANG_PROFILES.items()
+    }
+
+    @pandas_udf("string")
+    def _lid(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not t:
+                out.append("und")
+                continue
+            low = t.lower()
+            scores = [len(pats[lang].findall(low)) for lang in langs]
+            best = int(np.argmax(scores))
+            out.append(langs[best] if scores[best] > 0 else "und")
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _lid(F.col(text_col)))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "doc_fp") -> DataFrame:
+    """64-bit content fingerprint of normalized text — pure Catalyst
+    (xxhash64 over lowercased whitespace-collapsed text)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.withColumn(out_col, F.xxhash64(norm))
