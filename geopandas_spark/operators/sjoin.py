@@ -31,8 +31,11 @@ bounding both candidate-pair inflation and refine selectivity.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..functions.st import st_bounds, st_cells, st_predicate
 from ..index.cells import DOMAIN_UNIT, pick_resolution
@@ -148,11 +151,6 @@ def sjoin(
         if pad_by:
             # dwithin: expand the probe bbox by the distance — done by
             # covering a padded rectangle instead of the raw bbox
-            from ..functions.st import st_point  # noqa: F401 (doc aid)
-            from pyspark.sql.functions import pandas_udf
-            import pandas as pd
-            import numpy as np
-
             @pandas_udf("array<long>")
             def _padded(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.Series:
                 from ..index import cells as C

@@ -1,0 +1,94 @@
+"""dissolve/clip/explode semantics (mirrors tests/test_dissolve.py and
+tools/tests/test_clip.py shapes)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geopandas_spark.functions.st import st_area, st_astext, st_bounds
+from geopandas_spark.geom import wkb as B
+from geopandas_spark.geom import wkt as W
+from geopandas_spark.operators.clip import clip
+from geopandas_spark.operators.dissolve import dissolve, union_all
+from geopandas_spark.operators.explode import explode
+
+
+@pytest.fixture(scope="module")
+def squares(spark):
+    pdf = pd.DataFrame({
+        "grp": ["a", "a", "b", "b", "b"],
+        "val": [1.0, 2.0, 3.0, 4.0, 5.0],
+        "geometry": list(B.to_wkb(W.from_wkt([
+            "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+            "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))",   # touches first
+            "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))",
+            "POLYGON ((7 7, 8 7, 8 8, 7 8, 7 7))",
+            "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))",   # duplicate of row 3
+        ])))})
+    return spark.createDataFrame(pdf)
+
+
+def test_dissolve_merges_touching(squares, spark):
+    out = dissolve(squares, by="grp", aggfunc={"val": "sum"})
+    rows = {r["grp"]: r for r in out.withColumn("a", st_area("geometry")).collect()}
+    assert rows["a"]["val"] == 3.0 and rows["a"]["a"] == 2.0
+    # touching squares merged into ONE polygon (true union, not collect)
+    wkt = W.to_wkt(B.from_wkb([rows["a"]["geometry"]]))[0]
+    assert wkt.startswith("POLYGON")
+    # overlapping duplicates in group b collapse (union, not 3 parts)
+    assert rows["b"]["a"] == 2.0
+    assert rows["b"]["val"] == 12.0
+
+
+def test_dissolve_aggfuncs(squares, spark):
+    out = dissolve(squares, by="grp", aggfunc={"val": "mean"}).collect()
+    vals = {r["grp"]: r["val"] for r in out}
+    assert vals["a"] == 1.5 and vals["b"] == 4.0
+
+
+def test_dissolve_no_key(squares, spark):
+    out = dissolve(squares, by=None, aggfunc={"val": "count"})
+    rows = out.withColumn("a", st_area("geometry")).collect()
+    assert len(rows) == 1
+    assert rows[0]["a"] == 4.0  # 2 + 1 + 1 (dup collapses)
+
+
+def test_union_all(squares, spark):
+    u = union_all(squares)
+    from geopandas_spark.geom.kernels import area
+
+    assert area(B.from_wkb([u]))[0] == 4.0
+
+
+def test_clip_rect(squares, spark):
+    out = clip(squares, (0.5, 0.0, 7.5, 10.0))
+    areas = sorted(r[0] for r in out.select(st_area("geometry")).collect())
+    assert np.allclose(areas, [0.5, 0.5, 1.0, 1.0, 1.0])
+
+
+def test_clip_polygon_mask(squares, spark):
+    mask = B.to_wkb(W.from_wkt(["POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0))"]))[0]
+    out = clip(squares, mask)
+    areas = sorted(r[0] for r in out.select(st_area("geometry")).collect())
+    assert np.allclose(areas, [1.0, 1.0, 1.0, 1.0])
+
+
+def test_explode(spark):
+    mdf = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2],
+        "geometry": list(B.to_wkb(W.from_wkt([
+            "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))",
+            "POINT (3 3)"])))}))
+    out = explode(mdf, index_parts=True).collect()
+    assert len(out) == 3
+    parts = {(r["id"], r["part_index"]) for r in out}
+    assert parts == {(1, 0), (1, 1), (2, 0)}
+
+
+def test_total_bounds_is_plain_agg(squares, spark):
+    """total_bounds (base.py:4703) is a pure Catalyst agg over bounds."""
+    b = squares.withColumn("bb", st_bounds("geometry"))
+    r = b.agg(F.min("bb.minx"), F.min("bb.miny"),
+              F.max("bb.maxx"), F.max("bb.maxy")).collect()[0]
+    assert list(r) == [0.0, 0.0, 8.0, 8.0]

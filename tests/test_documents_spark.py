@@ -1,0 +1,138 @@
+"""Interleaved-documents layer: determinism, span-sequence invariant
+(the north-rule per-row contract), extraction, tiling, pipeline resume."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from geopandas_spark.operators.sjoin import sjoin
+from geopandas_spark.operators.tiles import rasterize, to_tiles, vectorize_mask
+from geopandas_spark.plans.pipeline import Pipeline
+from geopandas_spark.sources.documents import (
+    assert_spans_preserved, explode_geometries, span_fingerprint,
+    synthesize_documents, with_geometry)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = synthesize_documents(spark, 400, seed=42).persist()
+    d.count()
+    return d
+
+
+def test_schema_matches_input_hint(docs):
+    assert docs.schema.simpleString() == (
+        "struct<doc_id:string,spans:array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>>"
+    )
+
+
+def test_deterministic(docs, spark):
+    again = synthesize_documents(spark, 400, seed=42)
+    assert assert_spans_preserved(docs, again) == 0
+    other_seed = synthesize_documents(spark, 400, seed=43)
+    assert assert_spans_preserved(docs, other_seed) > 0
+
+
+def test_offsets_monotonic(docs):
+    bad = docs.filter(
+        F.exists(
+            F.zip_with(
+                F.col("spans"), F.slice(F.col("spans"), 2, 100000),
+                lambda a, b: a["offset"] >= b["offset"],
+            ),
+            lambda x: x,
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_span_invariant_through_pipeline(docs, spark):
+    """Derived columns + a spatial join must leave spans untouched."""
+    g = with_geometry(docs).filter(F.col("geometry").isNotNull())
+    # spatial self-pipeline: join docs to a coarse grid of tiles
+    out = g.withColumn("extra", F.lit("x"))
+    assert assert_spans_preserved(docs, out) == 0
+    # an sjoin output carrying spans still preserves them
+    import pandas as pd
+    from geopandas_spark.geom import wkb as B
+    from geopandas_spark.geom import wkt as W
+
+    boxes = spark.createDataFrame(pd.DataFrame({
+        "bid": [0, 1, 2, 3],
+        "geometry": list(B.to_wkb(W.from_wkt([
+            "POLYGON ((0 0, 0.5 0, 0.5 0.5, 0 0.5, 0 0))",
+            "POLYGON ((0.5 0, 1 0, 1 0.5, 0.5 0.5, 0.5 0))",
+            "POLYGON ((0 0.5, 0.5 0.5, 0.5 1, 0 1, 0 0.5))",
+            "POLYGON ((0.5 0.5, 1 0.5, 1 1, 0.5 1, 0.5 0.5))"])))}))
+    joined = sjoin(g, boxes, how="inner", predicate="intersects",
+                   right_id="bid")
+    assert assert_spans_preserved(docs, joined) == 0
+
+
+def test_extraction(docs):
+    g = with_geometry(docs)
+    n_geom = g.filter(F.col("geometry").isNotNull()).count()
+    assert 0.5 * 400 < n_geom < 0.72 * 400  # ~60% carry geometry
+    e = explode_geometries(docs)
+    assert e.count() == n_geom  # synthesizer puts at most one geom span/doc
+
+
+def test_tiles_roundtrip(docs, spark):
+    g = with_geometry(docs).filter(F.col("geometry").isNotNull()).limit(30)
+    t = to_tiles(g, zoom=3)
+    assert t.filter(F.col("tile_geom").isNull()).count() == 0
+    # every tile assignment's cell must contain the clipped geometry bbox
+    from geopandas_spark.functions.st import st_bounds
+
+    import numpy as np
+    from geopandas_spark.index import cells as C
+
+    rows = t.withColumn("cb", st_bounds("tile_geom")).select(
+        "tile_id", "cb.minx", "cb.miny", "cb.maxx", "cb.maxy").collect()
+    ids = np.array([r["tile_id"] for r in rows], dtype=np.int64)
+    tb = C.cell_bounds(ids)
+    eps = 1e-12
+    for k, r in enumerate(rows):
+        if r["minx"] is None:
+            continue
+        assert r["minx"] >= tb[k, 0] - eps and r["maxx"] <= tb[k, 2] + eps
+        assert r["miny"] >= tb[k, 1] - eps and r["maxy"] <= tb[k, 3] + eps
+
+
+def test_raster_vector_bridge(docs, spark):
+    g = with_geometry(docs).filter(F.col("geometry").isNotNull()).limit(10)
+    r = rasterize(g, zoom=2, pixels=8)
+    v = vectorize_mask(r, zoom=2, pixels=8)
+    assert v.filter(F.col("geometry").isNotNull()).count() == r.count()
+
+
+def test_pipeline_resume(docs, spark, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("pipe"))
+    pipe = Pipeline(spark, wd, "t")
+    pipe.stage("docs", lambda sp, _: synthesize_documents(sp, 200, 42),
+               params={"n": 200})
+    out1 = pipe.stage("geoms", lambda sp, ins: with_geometry(ins["docs"]),
+                      inputs=["docs"])
+    n1 = out1.count()
+    # resume: fresh pipeline over same workdir skips both stages
+    pipe2 = Pipeline(spark, wd, "t")
+    import os
+    mtime_before = os.path.getmtime(f"{wd}/geoms/meta.json")
+    pipe2.stage("docs", lambda sp, _: synthesize_documents(sp, 200, 42),
+                params={"n": 200})
+    out2 = pipe2.stage("geoms", lambda sp, ins: with_geometry(ins["docs"]),
+                       inputs=["docs"])
+    assert os.path.getmtime(f"{wd}/geoms/meta.json") == mtime_before  # skipped
+    assert out2.count() == n1
+    # param change invalidates downstream
+    pipe3 = Pipeline(spark, wd, "t")
+    pipe3.stage("docs", lambda sp, _: synthesize_documents(sp, 300, 42),
+                params={"n": 300})
+    out3 = pipe3.stage("geoms", lambda sp, ins: with_geometry(ins["docs"]),
+                       inputs=["docs"])
+    assert out3.count() != n1
+    # lineage recorded for every stage run
+    lin = pipe3.lineage()
+    assert lin.filter(F.col("stage") == "geoms").count() >= 2

@@ -1,0 +1,154 @@
+"""Scalar kernels vs hand-computed expectations (values pinned from the
+reference docstrings, e.g. GeoSeries.area -> [0.5, 25.0, 2.0, 0.0, 0.0]
+pattern at base.py:65-71, adapted to our fixtures)."""
+
+import numpy as np
+import pytest
+
+from geopandas_spark.geom import kernels as K
+from geopandas_spark.geom import transforms as T
+from geopandas_spark.geom import wkt as W
+
+
+def P(*w):
+    return W.from_wkt(list(w))
+
+
+FIX = P(
+    "POLYGON ((0 0, 1 0, 1 1, 0 0))",        # t1: area .5
+    "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))",    # square: 25
+    "POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))",    # rect: 2
+    "LINESTRING (0 0, 3 4)",                  # len 5
+    "POINT (5 5)",
+    None,
+    "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",  # 96
+)
+
+
+def test_area():
+    a = K.area(FIX)
+    assert np.allclose(a[:5], [0.5, 25.0, 2.0, 0.0, 0.0])
+    assert np.isnan(a[5])
+    assert a[6] == 96.0
+
+
+def test_length():
+    ln = K.length(FIX)
+    assert ln[3] == 5.0
+    assert ln[1] == 20.0
+    assert ln[6] == 48.0  # 40 exterior + 8 hole
+    assert np.isnan(ln[5])
+
+
+def test_bounds_total_bounds():
+    b = K.bounds(FIX)
+    assert list(b[1]) == [0, 0, 5, 5]
+    assert np.isnan(b[5]).all()
+    # total_bounds = plain min/max agg (base.py:4703)
+    tb = [np.nanmin(b[:, 0]), np.nanmin(b[:, 1]), np.nanmax(b[:, 2]), np.nanmax(b[:, 3])]
+    assert tb == [0, 0, 10, 10]
+
+
+def test_centroid():
+    c = K.centroid(FIX)
+    assert np.allclose(c[1], [2.5, 2.5])
+    assert np.allclose(c[4], [5, 5])
+    assert np.allclose(c[3], [1.5, 2.0])
+    # hole-aware: (100*5 - 4*3)/96
+    assert np.allclose(c[6], [(500 - 12) / 96, (500 - 12) / 96])
+
+
+def test_point_in_polygon_boundary_semantics():
+    poly = P("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    st = K.points_in_geom(
+        np.array([2.0, 0.0, 4.0, 5.0, 2.0]),
+        np.array([2.0, 0.0, 2.0, 5.0, 4.0]), poly, 0)
+    assert list(st) == [K.INSIDE, K.BOUNDARY, K.BOUNDARY, K.OUTSIDE, K.BOUNDARY]
+
+
+def test_pip_with_hole():
+    poly = P("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+    st = K.points_in_geom(np.array([3.0, 1.0, 2.0]), np.array([3.0, 1.0, 3.0]), poly, 0)
+    assert list(st) == [K.OUTSIDE, K.INSIDE, K.BOUNDARY]
+
+
+def test_x_y():
+    pts = P("POINT (1 2)", "POINT (3 4)", None)
+    assert list(K.get_x(pts)[:2]) == [1, 3]
+    assert np.isnan(K.get_x(pts)[2])
+    with pytest.raises(ValueError):
+        K.get_x(FIX)
+
+
+def test_counts():
+    assert list(K.count_coordinates(FIX)) == [4, 5, 5, 2, 1, 0, 10]
+    multi = P("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))")
+    assert K.count_geometries(multi)[0] == 2
+    assert K.count_interior_rings(FIX)[6] == 1
+
+
+def test_affine_family():
+    sq = P("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    t = T.translate(sq, 1, 1)
+    assert list(K.bounds(t)[0]) == [1, 1, 3, 3]
+    s = T.scale(sq, 2, 2, origin=(0, 0))
+    assert list(K.bounds(s)[0]) == [0, 0, 4, 4]
+    r = T.rotate(sq, 90, origin=(0, 0))
+    assert np.allclose(K.bounds(r)[0], [-2, 0, 0, 2])
+    assert np.allclose(K.area(r), 4.0)
+
+
+def test_envelope_convex_hull():
+    tri = P("POLYGON ((0 0, 1 0, 1 1, 0 0))")
+    env = T.envelope(tri)
+    assert K.area(env)[0] == 1.0
+    pts = P("MULTIPOINT ((0 0), (1 0), (1 1), (0.5 0.2))")
+    h = T.convex_hull(pts)
+    assert np.isclose(K.area(h)[0], 0.5)
+
+
+def test_buffer_points():
+    pts = P("POINT (0 0)")
+    buf = T.buffer_points(pts, 1.0, quad_segs=64)
+    assert abs(K.area(buf)[0] - np.pi) < 0.01
+    with pytest.raises(NotImplementedError):
+        T.buffer_points(P("LINESTRING (0 0, 1 1)"), 1.0)
+
+
+def test_simplify():
+    line = W.from_wkt(["LINESTRING (0 0, 1 0.001, 2 0, 3 0.001, 4 0)"])
+    s = T.simplify(line, 0.01)
+    assert K.count_coordinates(s)[0] == 2
+
+
+def test_clip_by_rect():
+    sq = P("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    c = T.clip_by_rect(sq, 2, 2, 6, 6)
+    assert K.area(c)[0] == 4.0
+    line = P("LINESTRING (0 0, 4 4)")
+    cl = T.clip_by_rect(line, 1, 1, 2, 2)
+    assert np.isclose(K.length(cl)[0], np.sqrt(2))
+    pt = P("POINT (5 5)")
+    cp = T.clip_by_rect(pt, 0, 0, 1, 1)
+    assert cp.is_empty()[0]
+
+
+def test_get_parts():
+    multi = P("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))",
+              "POINT (9 9)")
+    parts, gi, pi = T.get_parts(multi)
+    assert len(parts) == 3
+    assert list(gi) == [0, 0, 1]
+    assert list(pi) == [0, 1, 0]
+
+
+def test_hilbert_reference_algorithm():
+    from geopandas_spark.index.hilbert import xy2d
+
+    # level-1 Hilbert curve visits (0,0),(0,1),(1,1),(1,0) in order
+    d = xy2d(np.array([0, 0, 1, 1]), np.array([0, 1, 1, 0]), 1)
+    assert list(d) == [0, 1, 2, 3]
+    # all distinct on a full grid
+    xs, ys = np.meshgrid(np.arange(32), np.arange(32))
+    dd = xy2d(xs.ravel(), ys.ravel(), 5)
+    assert len(np.unique(dd)) == 1024

@@ -1,0 +1,105 @@
+"""Distributed sjoin vs brute-force oracle (mirrors
+tools/tests/test_sjoin.py semantics pins + benchmarks/sjoin.py shapes)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geopandas_spark.geom import wkb as B
+from geopandas_spark.geom.predicates import pairwise_predicate
+from geopandas_spark.operators.sjoin import sjoin
+from tests.conftest import make_points_df, make_triangles_df
+
+NPTS, NTRI = 600, 40
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    pdf, px, py = make_points_df(spark, NPTS, seed=42)
+    tdf, tri_wkb = make_triangles_df(spark, NTRI, seed=7)
+    pts_wkb = [r["geometry"] for r in
+               pdf.select("geometry").orderBy("pid").collect()]
+    lb = B.from_wkb(np.repeat(np.array(pts_wkb, dtype=object), NTRI))
+    rb = B.from_wkb(np.tile(np.array(tri_wkb, dtype=object), NPTS))
+    return pdf, tdf, lb, rb
+
+
+def brute(lb, rb, pred, distance=None):
+    truth = pairwise_predicate(pred, lb, rb, distance).reshape(NPTS, NTRI)
+    return set(zip(*np.nonzero(truth)))
+
+
+@pytest.mark.parametrize("pred", ["intersects", "within", "covered_by", "dwithin"])
+def test_points_in_triangles(data, pred, spark):
+    pdf, tdf, lb, rb = data
+    dist = 0.05 if pred == "dwithin" else None
+    out = sjoin(pdf, tdf, predicate=pred, distance=dist,
+                left_id="pid", right_id="tid").toPandas()
+    got = set(zip(out.pid.astype(int), out.index_right.astype(int)))
+    assert got == brute(lb, rb, pred, dist)
+
+
+def test_reverse_contains(data, spark):
+    pdf, tdf, lb, rb = data
+    out = sjoin(tdf, pdf, predicate="contains",
+                left_id="tid", right_id="pid").toPandas()
+    got = set(zip(out.index_right.astype(int), out.tid.astype(int)))
+    assert got == brute(lb, rb, "within")  # pts within tri == tri contains pts
+
+
+def test_left_join_padding(data, spark):
+    pdf, tdf, lb, rb = data
+    exp = brute(lb, rb, "intersects")
+    out = sjoin(pdf, tdf, how="left", left_id="pid", right_id="tid").toPandas()
+    matched = {p for p, _ in exp}
+    assert len(out) == len(exp) + (NPTS - len(matched))
+    assert out.index_right.isna().sum() == NPTS - len(matched)
+    # suffix rule (sjoin.py:193-224): shared columns get _left/_right
+    assert "name_left" in out.columns and "name_right" in out.columns
+    assert "value_left" in out.columns
+
+
+def test_right_join(data, spark):
+    pdf, tdf, lb, rb = data
+    exp = brute(lb, rb, "intersects")
+    out = sjoin(pdf, tdf, how="right", left_id="pid", right_id="tid").toPandas()
+    matched_tris = {t for _, t in exp}
+    assert len(out) == len(exp) + (NTRI - len(matched_tris))
+    assert "index_left" in out.columns
+
+
+def test_on_attribute(data, spark):
+    pdf, tdf, lb, rb = data
+    # add a shared attribute: parity of id
+    p2 = pdf.withColumn("par", F.pmod("pid", F.lit(2)))
+    t2 = tdf.withColumn("par", F.pmod("tid", F.lit(2)))
+    out = sjoin(p2, t2, on_attribute="par", left_id="pid", right_id="tid").toPandas()
+    exp = {(p, t) for (p, t) in brute(lb, rb, "intersects") if p % 2 == t % 2}
+    got = set(zip(out.pid.astype(int), out.index_right.astype(int)))
+    assert got == exp
+
+
+def test_salted_join_same_result(data, spark):
+    pdf, tdf, lb, rb = data
+    out = sjoin(pdf, tdf, left_id="pid", right_id="tid",
+                salt_hot_cells=True, hot_cell_threshold=2, salt_factor=4).toPandas()
+    got = set(zip(out.pid.astype(int), out.index_right.astype(int)))
+    assert got == brute(lb, rb, "intersects")
+
+
+def test_broadcast_same_result(data, spark):
+    pdf, tdf, lb, rb = data
+    out = sjoin(pdf, tdf, left_id="pid", right_id="tid",
+                broadcast_right=True).toPandas()
+    got = set(zip(out.pid.astype(int), out.index_right.astype(int)))
+    assert got == brute(lb, rb, "intersects")
+
+
+def test_validation_errors(data, spark):
+    pdf, tdf, *_ = data
+    with pytest.raises(ValueError, match="`how`"):
+        sjoin(pdf, tdf, how="outer")
+    with pytest.raises(ValueError, match="`predicate`"):
+        sjoin(pdf, tdf, predicate="nope")
+    with pytest.raises(ValueError, match="distance"):
+        sjoin(pdf, tdf, predicate="dwithin")
