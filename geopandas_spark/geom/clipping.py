@@ -291,6 +291,43 @@ def polygons_rectilinear(batch: GeometryBatch, g: int) -> list[np.ndarray] | Non
     return rings
 
 
+def axis_rect_mask(batch: GeometryBatch) -> np.ndarray:
+    """True where a row is a single-ring 4-edge axis-aligned rectangle
+    (exact check: 5 closed coords, every edge with dx==0 or dy==0)."""
+    n = len(batch)
+    ok = (
+        (batch.types == POLYGON)
+        & (batch.n_parts_per_geom() == 1)
+        & (batch.n_coords_per_geom() == 5)
+    )
+    if not ok.any():
+        return ok
+    c = batch.coords
+    T = len(c)
+    if T < 2:
+        return ok & False
+    valid = np.ones(T - 1, dtype=bool)
+    ends = batch.ring_coord_off[1:-1]
+    ve = ends[(ends > 0) & (ends < T)]
+    valid[ve - 1] = False
+    dx = c[1:, 0] - c[:-1, 0]
+    dy = c[1:, 1] - c[:-1, 1]
+    bad_edge = valid & ~((dx == 0) | (dy == 0))
+    coord_geom = np.repeat(np.arange(n),
+                           batch.geom_coord_off[1:] - batch.geom_coord_off[:-1])
+    bad_per_geom = np.bincount(coord_geom[:-1][bad_edge], minlength=n)
+    # closed ring check
+    off = batch.geom_coord_off
+    closed = np.zeros(n, dtype=bool)
+    has = off[1:] > off[:-1]
+    first = off[:-1][ok & has]
+    last = off[1:][ok & has] - 1
+    if len(first):
+        cl = (c[first] == c[last]).all(axis=1)
+        closed[np.nonzero(ok & has)[0]] = cl
+    return ok & (bad_per_geom == 0) & closed
+
+
 def pairwise_intersection(lb: GeometryBatch, rb: GeometryBatch) -> GeometryBatch:
     """Row-wise geometric intersection (base.py:4192) for the supported
     classes: rectilinear x rectilinear (exact boolean) or anything x convex
@@ -298,12 +335,37 @@ def pairwise_intersection(lb: GeometryBatch, rb: GeometryBatch) -> GeometryBatch
 
     Unsupported combinations raise NotImplementedError naming the rows.
     """
-    from .kernels import BOUNDARY
+    from .kernels import BOUNDARY, bounds
     from .ragged import LINESTRING, MISSING, MULTIPOINT, POINT
     from .transforms import _clip_line_rect  # reuse for rect clips only
 
+    # ---- vectorized rect x rect fast path (overlay hot loop) -------------
+    rect_pair = axis_rect_mask(lb) & axis_rect_mask(rb)
+    rect_boxes = None
+    if rect_pair.any():
+        ab = bounds(lb)
+        bb = bounds(rb)
+        iminx = np.maximum(ab[:, 0], bb[:, 0])
+        iminy = np.maximum(ab[:, 1], bb[:, 1])
+        imaxx = np.minimum(ab[:, 2], bb[:, 2])
+        imaxy = np.minimum(ab[:, 3], bb[:, 3])
+        nonempty = (imaxx > iminx) & (imaxy > iminy)
+        rect_boxes = (iminx, iminy, imaxx, imaxy, nonempty)
+
     out = GeometryBatchBuilder()
     for g in range(len(lb)):
+        if rect_pair[g]:
+            iminx, iminy, imaxx, imaxy, nonempty = rect_boxes
+            if not nonempty[g]:
+                out.add(POLYGON, [(POLYGON, [])])
+            else:
+                ring = np.array([
+                    [iminx[g], iminy[g]], [imaxx[g], iminy[g]],
+                    [imaxx[g], imaxy[g]], [iminx[g], imaxy[g]],
+                    [iminx[g], iminy[g]],
+                ])
+                out.add(POLYGON, [(POLYGON, [ring])])
+            continue
         lt, rt = int(lb.types[g]), int(rb.types[g])
         if lt == MISSING or rt == MISSING:
             out.add_missing()

@@ -169,6 +169,107 @@ def _min_dist2_group(sub: GeometryBatch, rb: GeometryBatch, g: int) -> np.ndarra
 
 
 # ---------------------------------------------------------------------------
+# fully-vectorized fast path: single-point left vs polygonal right
+#
+# The sjoin refine hot path (point-in-polygon over millions of candidate
+# pairs). Instead of grouping by repeated right geometry (Python overhead
+# per group), evaluate ALL pairs in one numpy pass over the union of all
+# right-polygon edges: even-odd crossing parity + boundary test, reduced
+# per pair with bincount. Holes and multipolygon parts fall out of the
+# even-odd rule.
+
+
+def _pip_pairs_status(lb: GeometryBatch, rb: GeometryBatch,
+                      idx: np.ndarray) -> np.ndarray:
+    """int8 status (OUTSIDE/BOUNDARY/INSIDE) of left point i in right
+    polygon i for pair rows idx. Requires: left rows single points, right
+    rows polygonal."""
+    n = len(idx)
+    loff = lb.geom_coord_off
+    px = lb.coords[loff[idx], 0]
+    py = lb.coords[loff[idx], 1]
+
+    # edges of the selected right geometries, tagged with their pair row
+    sub = rb.take(idx)  # pair-aligned polygonal batch
+    c = sub.coords
+    T = len(c)
+    if T < 2:
+        return np.zeros(n, dtype=np.int8)
+    valid = np.ones(T - 1, dtype=bool)
+    ends = sub.ring_coord_off[1:-1]
+    ve = ends[(ends > 0) & (ends < T)]
+    valid[ve - 1] = False
+    # drop rings of length 1 (points) — they have no edges anyway via valid
+    x0 = c[:-1, 0][valid]
+    y0 = c[:-1, 1][valid]
+    x1 = c[1:, 0][valid]
+    y1 = c[1:, 1][valid]
+    # pair row of each coordinate -> of each edge
+    coord_pair = np.repeat(np.arange(n), sub.geom_coord_off[1:] - sub.geom_coord_off[:-1])
+    e_pair = coord_pair[:-1][valid]
+    pxe = px[e_pair]
+    pye = py[e_pair]
+    # crossing-number (half-open) — identical rule to points_in_ring
+    cond = (y0 <= pye) != (y1 <= pye)
+    dy = y1 - y0
+    dx = x1 - x0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (pye - y0) * dx / np.where(dy == 0, np.inf, dy)
+    crossing = cond & (pxe < xint)
+    parity = np.bincount(e_pair[crossing], minlength=n) % 2
+    # boundary test
+    cross = (pxe - x0) * dy - (pye - y0) * dx
+    dot = (pxe - x0) * dx + (pye - y0) * dy
+    seg2 = dx * dx + dy * dy
+    on = (cross == 0) & (dot >= 0) & (dot <= seg2)
+    on_cnt = np.bincount(e_pair[on], minlength=n)
+    return np.where(on_cnt > 0, BOUNDARY,
+                    np.where(parity == 1, INSIDE, OUTSIDE)).astype(np.int8)
+
+
+_POLYGONAL = (POLYGON, MULTIPOLYGON)
+
+# predicate -> (which side must be the point, status rule)
+_PIP_RULES = {
+    "intersects": ("lr", "ne_out"),
+    "covered_by": ("lr", "ne_out"),
+    "within": ("lr", "inside"),
+    "touches": ("lr", "boundary"),
+    "contains": ("rl", "inside"),
+    "contains_properly": ("rl", "inside"),
+    "covers": ("rl", "ne_out"),
+}
+
+
+def _try_pip_fast_path(pred: str, lb: GeometryBatch, rb: GeometryBatch,
+                       idx: np.ndarray):
+    """bool[len(idx)] via the edge-parallel PIP kernel, or None when the
+    batch isn't (single points) x (pure polygons)."""
+    rule = _PIP_RULES.get(pred)
+    if rule is None:
+        return None
+    orient, outcome = rule
+    a, b = (lb, rb) if orient == "lr" else (rb, lb)
+    npts = a.n_coords_per_geom()
+    if not ((a.types[idx] == POINT) & (npts[idx] == 1)).all():
+        return None
+    if not np.isin(b.types[idx], _POLYGONAL).all():
+        return None
+    gp = b.geom_part_off
+    from .ragged import _expand_ranges
+
+    sel_parts = _expand_ranges(gp[idx], gp[idx + 1])
+    if len(sel_parts) and not (b.part_types[sel_parts] == POLYGON).all():
+        return None
+    st = _pip_pairs_status(a, b, idx)
+    if outcome == "ne_out":
+        return st != OUTSIDE
+    if outcome == "inside":
+        return st == INSIDE
+    return st == BOUNDARY
+
+
+# ---------------------------------------------------------------------------
 # generic pair evaluation
 
 
@@ -511,6 +612,11 @@ def pairwise_predicate(pred: str, lb: GeometryBatch, rb: GeometryBatch,
     idx = np.nonzero(cand)[0]
     if not len(idx):
         return out
+    # fully-vectorized point-in-polygon fast path (sjoin refine hot loop)
+    fast = _try_pip_fast_path(pred, lb, rb, idx)
+    if fast is not None:
+        out[idx] = fast
+        return out
     # group by identical right geometry (hot path: polygon side repeats)
     rw_key = _geom_group_keys(rb, idx)
     order = np.argsort(rw_key, kind="stable")
@@ -592,6 +698,19 @@ def pairwise_distance(lb: GeometryBatch, rb: GeometryBatch) -> np.ndarray:
              & ~rb.is_missing() & ~rb.is_empty())
     idx = np.nonzero(valid)[0]
     if not len(idx):
+        return out
+    # fast path: single points on both sides -> one vectorized hypot
+    lp = (lb.types == POINT) & (lb.n_coords_per_geom() == 1)
+    rp = (rb.types == POINT) & (rb.n_coords_per_geom() == 1)
+    pp = lp[idx] & rp[idx]
+    if pp.all():
+        li = lb.geom_coord_off[idx]
+        ri = rb.geom_coord_off[idx]
+        dx = lb.coords[li, 0] - rb.coords[ri, 0]
+        dy = lb.coords[li, 1] - rb.coords[ri, 1]
+        # sqrt(dx^2+dy^2), NOT hypot: bit-parity with SQL oracles that
+        # compute sqrt((x1-x2)^2 + (y1-y2)^2)
+        out[idx] = np.sqrt(dx * dx + dy * dy)
         return out
     inter = pairwise_predicate("intersects", lb, rb)
     out[idx] = 0.0

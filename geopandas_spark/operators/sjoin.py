@@ -214,15 +214,20 @@ def sjoin(
         broadcast_right = False
     rj = F.broadcast(rx) if broadcast_right else rx
 
-    cand = (
-        lx.join(rj, on=join_keys, how="inner")
-        .select(lx["__xlid"], rx["__xrid"], lx["__lgeom"], rx["__rgeom"])
+    # Refine BEFORE dedup: the exact predicate runs map-side in the same
+    # stage as the coarse join, so the only shuffled payload after the join
+    # is (lid, rid) id pairs — geometry bytes never shuffle twice. A pair
+    # sharing k cells is evaluated k times (k is tiny by resolution
+    # choice); that duplicate CPU is far cheaper than an extra WKB shuffle
+    # at 100 TB.
+    cand = lx.join(rj, on=join_keys, how="inner").select(
+        lx["__xlid"], rx["__xrid"], lx["__lgeom"], rx["__rgeom"]
+    )
+    matched = (
+        cand.filter(st_predicate(predicate, "__lgeom", "__rgeom", distance))
+        .select("__xlid", "__xrid")
         .dropDuplicates(["__xlid", "__xrid"])
     )
-
-    matched = cand.filter(
-        st_predicate(predicate, "__lgeom", "__rgeom", distance)
-    ).select("__xlid", "__xrid")
 
     # ---- assemble output -------------------------------------------------
     # Internal unambiguous keys __LID/__RID; user id columns (when supplied)
