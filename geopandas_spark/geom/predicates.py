@@ -41,6 +41,7 @@ from .ragged import (
     POLYGON,
     TYPE_DIM,
     GeometryBatch,
+    _expand_ranges,
 )
 
 PREDICATES = (
@@ -179,6 +180,178 @@ def _min_dist2_group(sub: GeometryBatch, rb: GeometryBatch, g: int) -> np.ndarra
 # even-odd rule.
 
 
+def _pair_edges(b: GeometryBatch, idx: np.ndarray):
+    """Edges of geometry ``idx[i]`` tagged with pair row i — no batch copy.
+
+    Returns (x0, y0, x1, y1, e_pair). Ring-closing edges between distinct
+    rings never appear (segments are generated per ring)."""
+    gro = b.geom_ring_off
+    rcnt = gro[idx + 1] - gro[idx]
+    ring_idx = _expand_ranges(gro[idx], gro[idx + 1])
+    ring_pair = np.repeat(np.arange(len(idx)), rcnt)
+    rc0 = b.ring_coord_off[ring_idx]
+    rc1 = b.ring_coord_off[ring_idx + 1]
+    seg_cnt = np.maximum(rc1 - rc0 - 1, 0)
+    seg_start = _expand_ranges(rc0, rc0 + seg_cnt)
+    e_pair = np.repeat(ring_pair, seg_cnt)
+    c = b.coords
+    return (c[seg_start, 0], c[seg_start, 1],
+            c[seg_start + 1, 0], c[seg_start + 1, 1], e_pair)
+
+
+def _pair_points(b: GeometryBatch, idx: np.ndarray):
+    """All vertices of geometry ``idx[i]`` tagged with pair row i."""
+    off = b.geom_coord_off
+    cnt = off[idx + 1] - off[idx]
+    p_idx = _expand_ranges(off[idx], off[idx + 1])
+    p_pair = np.repeat(np.arange(len(idx)), cnt)
+    c = b.coords
+    return c[p_idx, 0], c[p_idx, 1], p_pair, cnt
+
+
+_COMBO_CHUNK = 8_000_000
+
+
+def _points_status_vs_pairs(px, py, p_pair, pcnt, b: GeometryBatch,
+                            idx: np.ndarray, n: int) -> np.ndarray:
+    """int8 status of each tagged point vs the geometry of its pair.
+
+    Polygonal target: INSIDE/BOUNDARY/OUTSIDE by crossing parity + on-edge.
+    Lineal target: BOUNDARY when on an edge, else OUTSIDE. Puntal target:
+    BOUNDARY when equal to a vertex, else OUTSIDE. Mixed targets are fine —
+    parity only counts for polygonal rows."""
+    P = len(px)
+    parity_cnt = np.zeros(P, dtype=np.int64)
+    on_cnt = np.zeros(P, dtype=np.int64)
+
+    tdim = TYPE_DIM[b.types[idx]]
+    x0, y0, x1, y1, e_pair = _pair_edges(b, idx)
+    if len(e_pair):
+        # combos: each edge vs every point of its pair
+        pt_start = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(pcnt, out=pt_start[1:])
+        e_pcnt = pcnt[e_pair]
+        # chunk over edges so the combo arrays stay bounded
+        E = len(e_pair)
+        combo_per_edge = e_pcnt
+        edge_hi = 0
+        while edge_hi < E:
+            edge_lo = edge_hi
+            acc = 0
+            while edge_hi < E and acc < _COMBO_CHUNK:
+                acc += int(combo_per_edge[edge_hi])
+                edge_hi += 1
+            sl = slice(edge_lo, edge_hi)
+            ep = e_pair[sl]
+            reps = combo_per_edge[sl]
+            ce = np.repeat(np.arange(edge_lo, edge_hi), reps)
+            cp = _expand_ranges(pt_start[ep], pt_start[ep] + reps)
+            ex0 = x0[ce]; ey0 = y0[ce]; ex1 = x1[ce]; ey1 = y1[ce]
+            cx = px[cp]; cy = py[cp]
+            dy = ey1 - ey0
+            dx = ex1 - ex0
+            cond = (ey0 <= cy) != (ey1 <= cy)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = ex0 + (cy - ey0) * dx / np.where(dy == 0, np.inf, dy)
+            crossing = cond & (cx < xint)
+            parity_cnt += np.bincount(cp[crossing], minlength=P)
+            cross = (cx - ex0) * dy - (cy - ey0) * dx
+            dot = (cx - ex0) * dx + (cy - ey0) * dy
+            seg2 = dx * dx + dy * dy
+            on = (cross == 0) & (dot >= 0) & (dot <= seg2)
+            on_cnt += np.bincount(cp[on], minlength=P)
+
+    # puntal targets: equality against target vertices
+    punt = np.nonzero(tdim == 0)[0]
+    if len(punt):
+        tx, ty, t_pair_local, tcnt = _pair_points(b, idx[punt])
+        t_pair = punt[t_pair_local]
+        pt_start = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(pcnt, out=pt_start[1:])
+        reps = pcnt[t_pair]
+        cp = _expand_ranges(pt_start[t_pair], pt_start[t_pair] + reps)
+        ct = np.repeat(np.arange(len(tx)), reps)
+        eq = (px[cp] == tx[ct]) & (py[cp] == ty[ct])
+        on_cnt += np.bincount(cp[eq], minlength=P)
+
+    pdim = tdim[p_pair]
+    st = np.full(P, OUTSIDE, dtype=np.int8)
+    inside = (pdim == 2) & (parity_cnt % 2 == 1)
+    st[inside] = INSIDE
+    st[on_cnt > 0] = BOUNDARY
+    return st
+
+
+def _any_by_pair(mask: np.ndarray, pair: np.ndarray, n: int) -> np.ndarray:
+    if len(pair):
+        return np.bincount(pair[mask], minlength=n) > 0
+    return np.zeros(n, dtype=bool)
+
+
+def _edges_cross_pairs(lb: GeometryBatch, rb: GeometryBatch,
+                       idx: np.ndarray, n: int) -> np.ndarray:
+    """bool per pair: any left edge intersects any right edge of the same
+    pair (touching counts). Vectorized over (left-edge x right-edge) combos
+    of each pair, chunked."""
+    ax0, ay0, ax1, ay1, le_pair = _pair_edges(lb, idx)
+    bx0, by0, bx1, by1, re_pair = _pair_edges(rb, idx)
+    out = np.zeros(n, dtype=bool)
+    if not len(le_pair) or not len(re_pair):
+        return out
+    recnt = np.bincount(re_pair, minlength=n)
+    re_start = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(recnt, out=re_start[1:])
+    combo_per_le = recnt[le_pair]
+    E = len(le_pair)
+    edge_hi = 0
+    while edge_hi < E:
+        edge_lo = edge_hi
+        acc = 0
+        while edge_hi < E and acc < _COMBO_CHUNK:
+            acc += int(combo_per_le[edge_hi])
+            edge_hi += 1
+        sl = slice(edge_lo, edge_hi)
+        lp = le_pair[sl]
+        reps = combo_per_le[sl]
+        cl = np.repeat(np.arange(edge_lo, edge_hi), reps)
+        cr = _expand_ranges(re_start[lp], re_start[lp] + reps)
+        p0x = ax0[cl]; p0y = ay0[cl]; p1x = ax1[cl]; p1y = ay1[cl]
+        q0x = bx0[cr]; q0y = by0[cr]; q1x = bx1[cr]; q1y = by1[cr]
+        # bbox reject
+        bb = (
+            (np.minimum(p0x, p1x) <= np.maximum(q0x, q1x))
+            & (np.minimum(q0x, q1x) <= np.maximum(p0x, p1x))
+            & (np.minimum(p0y, p1y) <= np.maximum(q0y, q1y))
+            & (np.minimum(q0y, q1y) <= np.maximum(p0y, p1y))
+        )
+        d1 = (p1x - p0x) * (q0y - p0y) - (p1y - p0y) * (q0x - p0x)
+        d2 = (p1x - p0x) * (q1y - p0y) - (p1y - p0y) * (q1x - p0x)
+        d3 = (q1x - q0x) * (p0y - q0y) - (q1y - q0y) * (p0x - q0x)
+        d4 = (q1x - q0x) * (p1y - q0y) - (q1y - q0y) * (p1x - q0x)
+        proper = (
+            ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+            & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+        )
+
+        def _on(ax, ay, bx, by, cx, cy):
+            # collinear c on segment a-b (caller guarantees collinearity)
+            return (
+                (np.minimum(ax, bx) <= cx) & (cx <= np.maximum(ax, bx))
+                & (np.minimum(ay, by) <= cy) & (cy <= np.maximum(ay, by))
+            )
+
+        touch = (
+            ((d1 == 0) & _on(p0x, p0y, p1x, p1y, q0x, q0y))
+            | ((d2 == 0) & _on(p0x, p0y, p1x, p1y, q1x, q1y))
+            | ((d3 == 0) & _on(q0x, q0y, q1x, q1y, p0x, p0y))
+            | ((d4 == 0) & _on(q0x, q0y, q1x, q1y, p1x, p1y))
+        )
+        hit = bb & (proper | touch)
+        if hit.any():
+            out |= np.bincount(le_pair[cl[hit]], minlength=n) > 0
+    return out
+
+
 def _pip_pairs_status(lb: GeometryBatch, rb: GeometryBatch,
                       idx: np.ndarray) -> np.ndarray:
     """int8 status (OUTSIDE/BOUNDARY/INSIDE) of left point i in right
@@ -188,43 +361,9 @@ def _pip_pairs_status(lb: GeometryBatch, rb: GeometryBatch,
     loff = lb.geom_coord_off
     px = lb.coords[loff[idx], 0]
     py = lb.coords[loff[idx], 1]
-
-    # edges of the selected right geometries, tagged with their pair row
-    sub = rb.take(idx)  # pair-aligned polygonal batch
-    c = sub.coords
-    T = len(c)
-    if T < 2:
-        return np.zeros(n, dtype=np.int8)
-    valid = np.ones(T - 1, dtype=bool)
-    ends = sub.ring_coord_off[1:-1]
-    ve = ends[(ends > 0) & (ends < T)]
-    valid[ve - 1] = False
-    # drop rings of length 1 (points) — they have no edges anyway via valid
-    x0 = c[:-1, 0][valid]
-    y0 = c[:-1, 1][valid]
-    x1 = c[1:, 0][valid]
-    y1 = c[1:, 1][valid]
-    # pair row of each coordinate -> of each edge
-    coord_pair = np.repeat(np.arange(n), sub.geom_coord_off[1:] - sub.geom_coord_off[:-1])
-    e_pair = coord_pair[:-1][valid]
-    pxe = px[e_pair]
-    pye = py[e_pair]
-    # crossing-number (half-open) — identical rule to points_in_ring
-    cond = (y0 <= pye) != (y1 <= pye)
-    dy = y1 - y0
-    dx = x1 - x0
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xint = x0 + (pye - y0) * dx / np.where(dy == 0, np.inf, dy)
-    crossing = cond & (pxe < xint)
-    parity = np.bincount(e_pair[crossing], minlength=n) % 2
-    # boundary test
-    cross = (pxe - x0) * dy - (pye - y0) * dx
-    dot = (pxe - x0) * dx + (pye - y0) * dy
-    seg2 = dx * dx + dy * dy
-    on = (cross == 0) & (dot >= 0) & (dot <= seg2)
-    on_cnt = np.bincount(e_pair[on], minlength=n)
-    return np.where(on_cnt > 0, BOUNDARY,
-                    np.where(parity == 1, INSIDE, OUTSIDE)).astype(np.int8)
+    pcnt = np.ones(n, dtype=np.int64)
+    p_pair = np.arange(n, dtype=np.int64)
+    return _points_status_vs_pairs(px, py, p_pair, pcnt, rb, idx, n)
 
 
 _POLYGONAL = (POLYGON, MULTIPOLYGON)
@@ -239,6 +378,29 @@ _PIP_RULES = {
     "contains_properly": ("rl", "inside"),
     "covers": ("rl", "ne_out"),
 }
+
+
+def _intersects_pairs(lb: GeometryBatch, rb: GeometryBatch,
+                      idx: np.ndarray) -> np.ndarray:
+    """Fully-vectorized pairwise ``intersects`` for any mix of point/line/
+    polygon (incl. multi) rows: a pair intersects iff a left vertex is
+    non-outside the right geometry, or a right vertex is non-outside the
+    left, or any edges cross. Edge-cross (the quadratic term) only runs on
+    pairs the two vertex passes left undecided."""
+    n = len(idx)
+    lpx, lpy, lp_pair, lcnt = _pair_points(lb, idx)
+    st_l = _points_status_vs_pairs(lpx, lpy, lp_pair, lcnt, rb, idx, n)
+    res = _any_by_pair(st_l != OUTSIDE, lp_pair, n)
+    rem = np.nonzero(~res)[0]
+    if len(rem):
+        rpx, rpy, rp_pair, rcnt = _pair_points(rb, idx[rem])
+        st_r = _points_status_vs_pairs(rpx, rpy, rp_pair, rcnt, lb,
+                                       idx[rem], len(rem))
+        res[rem] = _any_by_pair(st_r != OUTSIDE, rp_pair, len(rem))
+        rem = rem[~res[rem]]
+    if len(rem):
+        res[rem] = _edges_cross_pairs(lb, rb, idx[rem], len(rem))
+    return res
 
 
 def _try_pip_fast_path(pred: str, lb: GeometryBatch, rb: GeometryBatch,
@@ -617,6 +779,13 @@ def pairwise_predicate(pred: str, lb: GeometryBatch, rb: GeometryBatch,
     if fast is not None:
         out[idx] = fast
         return out
+    # fully-vectorized general intersects (overlay / polygon-polygon sjoin)
+    if pred == "intersects":
+        ldim_ok = TYPE_DIM[lb.types[idx]] >= 0
+        rdim_ok = TYPE_DIM[rb.types[idx]] >= 0
+        if ldim_ok.all() and rdim_ok.all():
+            out[idx] = _intersects_pairs(lb, rb, idx)
+            return out
     # group by identical right geometry (hot path: polygon side repeats)
     rw_key = _geom_group_keys(rb, idx)
     order = np.argsort(rw_key, kind="stable")
