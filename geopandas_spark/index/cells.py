@@ -159,6 +159,28 @@ def bbox_cover_counts(minx, miny, maxx, maxy, res: int, domain=DOMAIN_UNIT):
     return (i1 - i0 + 1) * (j1 - j0 + 1)
 
 
+def cover_res(minx, miny, maxx, maxy, res: int, domain=DOMAIN_UNIT,
+              max_cells: int = 4096) -> np.ndarray:
+    """Per-row cover resolution: ``res`` unless the bbox would need more
+    than ``max_cells`` cells, in which case the row falls back to coarser
+    levels (deterministic — the refine stage recomputes this to find the
+    canonical dedup cell of a candidate pair)."""
+    i0, j0 = _grid_ij(minx, miny, res, domain)
+    i1, j1 = _grid_ij(maxx, maxy, res, domain)
+    counts = (i1 - i0 + 1) * (j1 - j0 + 1)
+    res_row = np.full(len(i0), res, dtype=np.int64)
+    while (counts > max_cells).any():
+        over = counts > max_cells
+        res_row[over] -= 1
+        sh = np.where(over, 1, 0)
+        i0 = i0 >> sh
+        i1 = i1 >> sh
+        j0 = j0 >> sh
+        j1 = j1 >> sh
+        counts = (i1 - i0 + 1) * (j1 - j0 + 1)
+    return res_row
+
+
 def bbox_cover(minx, miny, maxx, maxy, res: int, domain=DOMAIN_UNIT,
                max_cells: int = 4096) -> tuple[np.ndarray, np.ndarray]:
     """Full (non-compact) cover at res of each bbox.
@@ -171,19 +193,18 @@ def bbox_cover(minx, miny, maxx, maxy, res: int, domain=DOMAIN_UNIT,
     """
     minx = np.asarray(minx, dtype=np.float64)
     n_rows = len(minx)
-    i0, j0 = _grid_ij(minx, miny, res, domain)
-    i1, j1 = _grid_ij(maxx, maxy, res, domain)
+    res_row = cover_res(minx, miny, maxx, maxy, res, domain, max_cells)
+    # recompute grid coords at each row's final res
+    i0 = np.empty(n_rows, dtype=np.int64)
+    j0 = np.empty(n_rows, dtype=np.int64)
+    i1 = np.empty(n_rows, dtype=np.int64)
+    j1 = np.empty(n_rows, dtype=np.int64)
+    for r in np.unique(res_row):
+        m = res_row == r
+        a, b = _grid_ij(np.asarray(minx)[m], np.asarray(miny)[m], int(r), domain)
+        c, d = _grid_ij(np.asarray(maxx)[m], np.asarray(maxy)[m], int(r), domain)
+        i0[m], j0[m], i1[m], j1[m] = a, b, c, d
     counts = (i1 - i0 + 1) * (j1 - j0 + 1)
-    res_row = np.full(n_rows, res, dtype=np.int64)
-    while (counts > max_cells).any():
-        over = counts > max_cells
-        res_row[over] -= 1
-        sh = np.where(over, 1, 0)
-        i0 = i0 >> sh
-        i1 = i1 >> sh
-        j0 = j0 >> sh
-        j1 = j1 >> sh
-        counts = (i1 - i0 + 1) * (j1 - j0 + 1)
     offsets = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
     total = int(offsets[-1])

@@ -10,27 +10,29 @@ sindex.nearest, sindex.py:220-311):
 * ``distance_col`` optionally emits the exact distance;
 * ``exclusive=True`` drops matches whose geometry equals the left geometry.
 
-Distributed algorithm (cell-ring expansion, SURVEY.md §2.4):
+Distributed algorithm (single-shuffle cell kNN + bounded tail):
 
-1. Right side covers its bbox cells at resolution R; left rows take the
-   cell of their bbox midpoint.
-2. Driver loop with expanding Chebyshev disk k: candidates = equi-join of
-   left disk cells vs right cover cells; exact distances via the numpy
-   kernel; a row is *confirmed* when its best distance d < k*min_cell
-   (any unsearched geometry is provably farther) or the disk already spans
-   ``max_distance``.
-3. Unconfirmed rows double k and retry (each iteration is one Spark job
-   over only the remaining rows; candidates accumulate so ties found in
-   earlier rings are kept).
-4. Final tie filter: rank by exact distance per left row, keep rank 1 ==
-   ``min(distance) over (partition by left_id)`` — keeps ties, unlike
-   row_number (SURVEY.md §2.6).
+1. Right side covers its bbox cells at resolution R, then replicates each
+   row to the Chebyshev disk(1) of its cover cells (the classic
+   "replicate build side to neighbor cells" trick — one map-side pUDF).
+2. Left rows take the cell of their bbox midpoint. Both sides are union-
+   tagged and hash-partitioned by cell; ONE ``mapInPandas`` pass computes,
+   per cell, exact distances of every (left, right-candidate) combo with
+   the vectorized numpy kernels, entirely segment-vectorized across the
+   cells of a partition (no per-cell Python loop).
+3. A left row is *certified* inside the same pass when its best distance
+   d satisfies d + lrad < cell_size: any unsearched geometry is provably
+   farther, and all ties are provably inside the searched disk. >99% of
+   rows certify here on uniform-ish data, so the whole join is one
+   shuffle + one Arrow pass.
+4. The uncertified tail (sparse neighborhoods) goes through bounded disk
+   expansion: rows with a candidate probe once more at their exact radius
+   ceil((d+lrad)/cell); rows with none escalate geometrically. Tie filter
+   rank==1 over exact distance (keeps ties, unlike row_number).
 
-Scale notes: each iteration's shuffle carries only unresolved rows; with
-uniform-ish data >99% of rows confirm at k=1 (9 cells). Degenerate empty
-regions terminate at k_max by brute-force against the (broadcast) right
-side — bounded memory because that fallback only triggers when the right
-side is sparse.
+Scale notes: the phase-1 shuffle carries each side once (right ~9x cell
+replication, offset by carrying no join-duplicate pairs and needing no
+dropDuplicates); the tail touches only unresolved rows.
 """
 
 from __future__ import annotations
@@ -61,6 +63,39 @@ def _disk_cells_udf(k: int):
     return _f
 
 
+def _cover_disk_udf():
+    """array<long> cover cells -> unique disk(1) cells of the whole cover.
+
+    Vectorized for the dominant single-cell-cover case (points)."""
+
+    @pandas_udf("array<long>")
+    def _f(cells: pd.Series) -> pd.Series:
+        from ..index import cells as C
+
+        vals = cells.to_numpy(dtype=object)
+        lens = np.array([-1 if v is None else len(v) for v in vals])
+        out = np.empty(len(vals), dtype=object)
+        single = lens == 1
+        if single.any():
+            flat = np.array([v[0] for v in vals[single]], dtype=np.int64)
+            disk = C.grid_disk(flat, 1)  # (n, 9)
+            pos = np.nonzero(single)[0]
+            for i, row in zip(pos, disk):
+                out[i] = np.unique(row).tolist()
+        for i in np.nonzero(~single)[0]:
+            v = vals[i]
+            if v is None or lens[i] < 0:
+                out[i] = None
+            elif lens[i] == 0:
+                out[i] = []
+            else:
+                ids = np.asarray(v, dtype=np.int64)
+                out[i] = np.unique(C.grid_disk(ids, 1).ravel()).tolist()
+        return pd.Series(out)
+
+    return _f
+
+
 def _disk_cells_var_udf():
     @pandas_udf("array<long>")
     def _f(cell: pd.Series, k: pd.Series) -> pd.Series:
@@ -78,6 +113,152 @@ def _disk_cells_var_udf():
         return pd.Series(res)
 
     return _f
+
+
+def _knn_cell_pass(min_cell: float, max_distance: float | None,
+                   exclusive: bool):
+    """mapInPandas fn: one partition of union-tagged (cell, side, ids,
+    geoms, lrad) rows -> per-left best-distance rows with a certified flag.
+
+    Fully segment-vectorized: combos of (left x right in same cell) are
+    built with repeat/expand index math; exact distances come from the
+    pairwise numpy kernel; per-left minima via minimum.reduceat.
+    """
+
+    def fn(it):
+        from ..geom.predicates import pairwise_distance
+        from ..geom.wkb import from_wkb
+        from ..geom.ragged import _expand_ranges
+
+        chunks = list(it)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        left = pdf[pdf["__side"] == 1]
+        right = pdf[pdf["__side"] == 0]
+        if len(left) == 0:
+            return
+        out_lid = []
+        out_rid = []
+        out_d = []
+        out_ok = []
+        out_tg = []  # left wkb, only for uncertified rows (tail metadata)
+        out_tc = []  # left cell0
+        out_tr = []  # left lrad
+
+        def _null_geo(k):
+            out_tg.append(np.full(k, None, dtype=object))
+            out_tc.append(np.full(k, 0, dtype=np.int64))
+            out_tr.append(np.zeros(k, dtype=np.float64))
+
+        if len(right) == 0:
+            k = len(left)
+            yield pd.DataFrame({
+                "__xlid": left["__lid"].to_numpy(),
+                "__xrid": np.full(k, None, dtype=object),
+                "__d": np.full(k, np.nan),
+                "__ok": np.zeros(k, dtype=bool),
+                "__tgeom": left["__geom"].to_numpy(dtype=object),
+                "__tcell": left["__cell"].to_numpy(dtype=np.int64),
+                "__trad": left["__lrad"].to_numpy(dtype=np.float64),
+            })
+            return
+        # order both sides by cell; build per-cell ranges
+        lcell = left["__cell"].to_numpy(dtype=np.int64)
+        rcell = right["__cell"].to_numpy(dtype=np.int64)
+        lo = np.argsort(lcell, kind="stable")
+        ro = np.argsort(rcell, kind="stable")
+        lcell = lcell[lo]
+        rcell = rcell[ro]
+        lgeom = left["__geom"].to_numpy(dtype=object)[lo]
+        rgeom = right["__geom"].to_numpy(dtype=object)[ro]
+        lid = left["__lid"].to_numpy()[lo]
+        rid = right["__rid"].to_numpy()[ro]
+        lrad = left["__lrad"].to_numpy(dtype=np.float64)[lo]
+        # right-range per left row via searchsorted
+        r0 = np.searchsorted(rcell, lcell, side="left")
+        r1 = np.searchsorted(rcell, lcell, side="right")
+        rcnt = r1 - r0
+        has = rcnt > 0
+        # no-candidate lefts
+        if (~has).any():
+            k = int((~has).sum())
+            out_lid.append(lid[~has])
+            out_rid.append(np.full(k, None, dtype=object))
+            out_d.append(np.full(k, np.nan))
+            out_ok.append(np.zeros(k, dtype=bool))
+            out_tg.append(lgeom[~has])
+            out_tc.append(lcell[~has])
+            out_tr.append(lrad[~has])
+        if has.any():
+            li = np.repeat(np.nonzero(has)[0], rcnt[has])
+            ri = _expand_ranges(r0[has], r1[has])
+            lb = from_wkb(pd.Series(lgeom[li]))
+            rb = from_wkb(pd.Series(rgeom[ri]))
+            d = pairwise_distance(lb, rb)
+            if exclusive:
+                eq = np.array([lgeom[a] == rgeom[b] for a, b in zip(li, ri)])
+                d = np.where(eq, np.inf, d)
+            if max_distance is not None:
+                d = np.where(d > max_distance, np.inf, d)
+            d = np.where(np.isnan(d), np.inf, d)
+            # per-left best via reduceat (combos are contiguous per left)
+            starts = np.zeros(int(has.sum()), dtype=np.int64)
+            np.cumsum(rcnt[has][:-1], out=starts[1:])
+            dbest = np.minimum.reduceat(d, starts)
+            seg = np.repeat(np.arange(int(has.sum())), rcnt[has])
+            certified = (dbest + lrad[has]) < min_cell
+            finite = np.isfinite(dbest)
+            # certified: emit ALL tie rows; uncertified w/ candidate: emit
+            # one best row (carries dbest to the finalize pass)
+            is_tie = d == dbest[seg]
+            emit_all = certified[seg] & finite[seg] & is_tie
+            out_lid.append(lid[li[emit_all]])
+            out_rid.append(rid[ri[emit_all]])
+            out_d.append(d[emit_all])
+            out_ok.append(np.ones(int(emit_all.sum()), dtype=bool))
+            _null_geo(int(emit_all.sum()))
+            unc = ~certified & finite
+            if unc.any():
+                # best combo per uncertified left (first index achieving
+                # the segment minimum): vectorized via the tie mask
+                tie_idx = np.nonzero(is_tie)[0]
+                tie_seg = seg[tie_idx]
+                first_tie = np.zeros(int(has.sum()), dtype=np.int64)
+                # reversed fill keeps the FIRST tie index per segment
+                first_tie[tie_seg[::-1]] = tie_idx[::-1]
+                bi = first_tie[unc]
+                out_lid.append(lid[li[bi]])
+                out_rid.append(rid[ri[bi]])
+                out_d.append(d[bi])
+                out_ok.append(np.zeros(len(bi), dtype=bool))
+                haspos = np.nonzero(has)[0][unc]
+                out_tg.append(lgeom[haspos])
+                out_tc.append(lcell[haspos])
+                out_tr.append(lrad[haspos])
+            # lefts whose every candidate was inf (max_distance/exclusive)
+            none_left = ~finite
+            if none_left.any():
+                k = int(none_left.sum())
+                haspos = np.nonzero(has)[0][none_left]
+                out_lid.append(lid[haspos])
+                out_rid.append(np.full(k, None, dtype=object))
+                out_d.append(np.full(k, np.nan))
+                out_ok.append(np.zeros(k, dtype=bool))
+                out_tg.append(lgeom[haspos])
+                out_tc.append(lcell[haspos])
+                out_tr.append(lrad[haspos])
+        yield pd.DataFrame({
+            "__xlid": np.concatenate(out_lid) if out_lid else np.array([], dtype=object),
+            "__xrid": np.concatenate(out_rid) if out_rid else np.array([], dtype=object),
+            "__d": np.concatenate(out_d) if out_d else np.array([], dtype=np.float64),
+            "__ok": np.concatenate(out_ok) if out_ok else np.array([], dtype=bool),
+            "__tgeom": np.concatenate(out_tg) if out_tg else np.array([], dtype=object),
+            "__tcell": np.concatenate(out_tc) if out_tc else np.array([], dtype=np.int64),
+            "__trad": np.concatenate(out_tr) if out_tr else np.array([], dtype=np.float64),
+        })
+
+    return fn
 
 
 def sjoin_nearest(
@@ -99,21 +280,20 @@ def sjoin_nearest(
 ) -> DataFrame:
     if how not in ("inner", "left"):
         raise ValueError("sjoin_nearest supports how in ('inner','left')")
-    spark = left.sparkSession
 
     left, lid = _prep_side(left, left_geom, left_id, "l")
     right, rid = _prep_side(right, right_geom, right_id, "r")
 
-    n_right = right.count()
     if resolution is None:
+        n_right = right.count()
         if max_distance is not None:
             resolution = pick_resolution(max_distance, max_distance,
                                          domain=domain, target_cells=1.0)
         else:
-            # ~4 right geometries per cell: dense enough that the k=1 disk
+            # ~8 right geometries per cell: dense enough that the k=1 disk
             # usually holds the true nearest neighbor AND certifies it
             resolution = int(np.clip(
-                int(np.ceil(np.log2(max(n_right / 4.0, 1)) / 2)), 1, MAX_RES))
+                int(np.ceil(np.log2(max(n_right / 8.0, 1)) / 2)), 1, MAX_RES))
     min_cell = min(cell_size(resolution, domain))
 
     rx = (
@@ -122,7 +302,6 @@ def sjoin_nearest(
                      F.explode(st_cells(right_geom, resolution, domain=domain))
                      .alias("__cell"))
     )
-    rx = rx.persist()
 
     # midpoint cell via a tiny UDF on the bbox struct
     @pandas_udf("long")
@@ -143,18 +322,148 @@ def sjoin_nearest(
         # the midpoint cell, so non-point left geometries widen the radius
         (F.greatest(F.col("__bb.maxx") - F.col("__bb.minx"),
                     F.col("__bb.maxy") - F.col("__bb.miny")) / 2).alias("__lrad"),
-    )
+    ).filter(F.col("__cell0").isNotNull())
 
-    lbase = lbase.filter(F.col("__cell0").isNotNull())
+    # ---- phase 1: single-shuffle cell kNN pass ---------------------------
+    rrep = right.select(
+        F.col(rid).alias("__rid"), F.col(right_geom).alias("__geom"),
+        F.explode(_cover_disk_udf()(st_cells(right_geom, resolution,
+                                             domain=domain))).alias("__cell"),
+    ).withColumn("__side", F.lit(0))
+    ltag = lbase.select(
+        F.col("__xlid").alias("__lid"), F.col("__lgeom").alias("__geom"),
+        F.col("__cell0").alias("__cell"), "__lrad",
+    ).withColumn("__side", F.lit(1))
+
+    lid_t = dict(lbase.dtypes)["__xlid"]
+    rid_t = dict(rx.dtypes)["__xrid"]
+    tagged = ltag.unionByName(
+        rrep.select(F.col("__rid"), "__geom", "__cell", "__side"),
+        allowMissingColumns=True,
+    ).repartition("__cell")
+    p1 = tagged.mapInPandas(
+        _knn_cell_pass(min_cell, max_distance, exclusive),
+        schema=(f"__xlid {lid_t}, __xrid {rid_t}, __d double, __ok boolean,"
+                " __tgeom binary, __tcell long, __trad double"),
+    ).persist()
+
+    done = p1.filter(F.col("__ok")).select("__xlid", "__xrid", "__d")
+
     grid_n = 1 << resolution
     k_cap = grid_n  # full-grid disk == brute force
     if max_distance is not None:
         k_cap = min(k_cap, int(np.ceil(max_distance / min_cell)) + 1)
 
-    def probe(src: DataFrame, disk_col) -> DataFrame:
-        lx = src.select("__xlid", "__lgeom", F.explode(disk_col).alias("__cell"))
+    rxp = rx.persist()
+
+    # ---- tail: one directory-driven probe for every uncertified row ------
+    # A directory of the right side's non-empty cells (one small distinct
+    # collect) turns the tail into a single join: each tail row probes
+    # exactly the non-empty cells within its bound B — B = its phase-1 best
+    # distance, or (for rows with no candidate) the min over directory
+    # cells of the worst-case distance into that cell. No disk expansion,
+    # no iteration. Falls back to bounded disk expansion only when the
+    # directory would be too large to broadcast (then cells are coarse).
+    unresolved = p1.filter(~F.col("__ok")).select(
+        "__xlid", F.col("__tgeom").alias("__lgeom"),
+        F.col("__tcell").alias("__cell0"), F.col("__trad").alias("__lrad"),
+        F.col("__d").alias("__dbest"),
+    ).persist()
+    tail_parts = []
+    if not unresolved.isEmpty():
+        dir_max = 1 << 18
+        n_dir = rxp.select("__cell").distinct().limit(dir_max + 1).count()
+        if n_dir <= dir_max:
+            dir_ids = np.array(
+                [r[0] for r in rxp.select("__cell").distinct().collect()],
+                dtype=np.int64)
+
+            @pandas_udf("array<long>")
+            def _probe_cells(geom: pd.Series, dbest: pd.Series) -> pd.Series:
+                from ..geom.kernels import bounds as _bounds
+                from ..geom.wkb import from_wkb
+                from ..index import cells as C
+
+                cb = C.cell_bounds(dir_ids, domain)
+                bb = np.nan_to_num(_bounds(from_wkb(geom)))
+                B = dbest.to_numpy(dtype=np.float64)
+                out = np.empty(len(bb), dtype=object)
+                step = max(1, 8_000_000 // max(len(dir_ids), 1))
+                for lo in range(0, len(bb), step):
+                    sl = slice(lo, lo + step)
+                    dx = np.maximum(
+                        np.maximum(cb[None, :, 0] - bb[sl, None, 2],
+                                   bb[sl, None, 0] - cb[None, :, 2]), 0.0)
+                    dy = np.maximum(
+                        np.maximum(cb[None, :, 1] - bb[sl, None, 3],
+                                   bb[sl, None, 1] - cb[None, :, 3]), 0.0)
+                    mind = np.sqrt(dx * dx + dy * dy)
+                    Bsl = B[sl].copy()
+                    nix = np.isnan(Bsl)
+                    if nix.any():
+                        # no phase-1 candidate: bound = min worst-case
+                        # distance into any non-empty cell
+                        mxx = np.maximum(np.abs(cb[None, :, 0] - bb[sl, None, 2][nix]),
+                                         np.abs(cb[None, :, 2] - bb[sl, None, 0][nix]))
+                        mxy = np.maximum(np.abs(cb[None, :, 1] - bb[sl, None, 3][nix]),
+                                         np.abs(cb[None, :, 3] - bb[sl, None, 1][nix]))
+                        maxd = np.sqrt(mxx * mxx + mxy * mxy)
+                        Bsl[nix] = maxd.min(axis=1)
+                    sel = mind <= Bsl[:, None]
+                    for i in range(sel.shape[0]):
+                        out[lo + i] = dir_ids[sel[i]].tolist()
+                return pd.Series(out)
+
+            bcol = F.col("__dbest")
+            if max_distance is not None:
+                bcol = F.least(bcol, F.lit(float(max_distance)))
+            lx = unresolved.select(
+                "__xlid", "__lgeom",
+                F.explode(_probe_cells(F.col("__lgeom"), bcol)).alias("__cell"))
+        else:
+            # huge directory: bounded disk expansion at a coarse radius
+            # derived from a coarse directory (scale path, rarely taken)
+            cres = max(0, resolution - 6)
+            shift = resolution - cres
+            coarse_ids = np.array(
+                [r[0] for r in rxp.select(
+                    (F.lit(np.int64(cres) << 56)
+                     .bitwiseOR(F.shiftright(
+                         F.col("__cell").bitwiseAND(F.lit((1 << 56) - 1)),
+                         2 * shift))).alias("__cc")
+                ).distinct().collect()],
+                dtype=np.int64)
+
+            @pandas_udf("double")
+            def _nocand_bound(cell0: pd.Series) -> pd.Series:
+                from ..index import cells as C
+
+                _, ci, cj = C.cell_ij(coarse_ids)
+                _, li, lj = C.cell_ij(cell0.to_numpy(dtype=np.int64))
+                li >>= shift
+                lj >>= shift
+                D = np.minimum.reduce(
+                    np.maximum(np.abs(li[:, None] - ci[None, :]),
+                               np.abs(lj[:, None] - cj[None, :])), axis=1)
+                bound = np.sqrt(2.0) * (D + 1) * (1 << shift) * min_cell
+                return pd.Series(bound)
+
+            unresolved = unresolved.withColumn(
+                "__B",
+                F.when(F.col("__dbest").isNotNull() & ~F.isnan("__dbest"),
+                       F.col("__dbest"))
+                .otherwise(_nocand_bound(F.col("__cell0"))),
+            )
+            kcol = F.least(
+                F.ceil((F.col("__B") + F.col("__lrad")) / F.lit(min_cell)) + 1,
+                F.lit(k_cap),
+            ).cast("long")
+            src = unresolved.withColumn("__k", kcol)
+            lx = src.select("__xlid", "__lgeom",
+                            F.explode(_disk_cells_var_udf()(
+                                F.col("__cell0"), F.col("__k"))).alias("__cell"))
         cand = (
-            lx.join(rx, on="__cell", how="inner")
+            lx.join(rxp, on="__cell", how="inner")
             .select("__xlid", "__xrid", "__lgeom", "__rgeom")
             .dropDuplicates(["__xlid", "__xrid"])
         )
@@ -163,75 +472,21 @@ def sjoin_nearest(
         cand = cand.withColumn("__d", st_distance("__lgeom", "__rgeom"))
         if max_distance is not None:
             cand = cand.filter(F.col("__d") <= float(max_distance))
-        return cand.select("__xlid", "__xrid", "__d")
-
-    # ---- phase 1: k=1 probe over all rows --------------------------------
-    k1 = min(1, k_cap)
-    pairs1 = probe(lbase, _disk_cells_udf(k1)(F.col("__cell0"))).persist()
-    best1 = pairs1.groupBy("__xlid").agg(F.min("__d").alias("__dbest"))
-    state = lbase.join(best1, on="__xlid", how="left").persist()
-
-    # rows confirmed at phase 1: best distance provably unbeatable by any
-    # unsearched geometry (d < k*min_cell), or the disk already spans the
-    # whole grid / max_distance
-    done_cond = (
-        (F.col("__dbest") + F.col("__lrad")) < F.lit(k1 * min_cell)
-    ) | F.lit(k1 >= k_cap)
-    finalize = state.filter(F.col("__dbest").isNotNull() & ~done_cond)
-    nocand = state.filter(F.col("__dbest").isNull())
-    all_pairs = pairs1
-
-    # ---- phase 2: per-row exact finalize disk ----------------------------
-    # a candidate at distance d can only be beaten by geometries within d,
-    # i.e. within ceil(d/min_cell)+1 cells — one bounded second pass
-    if k1 < k_cap:
-        fin = finalize.withColumn(
-            "__k",
-            F.least(
-                F.ceil((F.col("__dbest") + F.col("__lrad")) / F.lit(min_cell)) + 1,
-                F.lit(k_cap),
-            ).cast("long"),
+        tail_parts.append(cand.select("__xlid", "__xrid", "__d"))
+    if tail_parts:
+        tail_pairs = tail_parts[0]
+        for pdf_ in tail_parts[1:]:
+            tail_pairs = tail_pairs.unionByName(pdf_)
+        tail_pairs = tail_pairs.dropDuplicates(["__xlid", "__xrid"])
+        w = Window.partitionBy("__xlid")
+        tail_matched = (
+            tail_pairs.withColumn("__dmin", F.min("__d").over(w))
+            .filter(F.col("__d") == F.col("__dmin"))
+            .select("__xlid", "__xrid", "__d")
         )
-        pairs2 = probe(fin, _disk_cells_var_udf()(F.col("__cell0"), F.col("__k")))
-        all_pairs = all_pairs.unionByName(pairs2).dropDuplicates(
-            ["__xlid", "__xrid"]
-        )
-
-        # ---- phase 3: rows with no candidate yet — escalate geometrically
-        rem = nocand.select("__xlid", "__lgeom", "__cell0", "__lrad").persist()
-        k = max(4 * k1, 4)
-        for _ in range(max_iters):
-            if k >= k_cap or rem.count() == 0:
-                break
-            p = probe(rem, _disk_cells_udf(k)(F.col("__cell0"))).persist()
-            b = p.groupBy("__xlid").agg(F.min("__d").alias("__dbest"))
-            found = rem.join(b, on="__xlid", how="inner")
-            # finalize found rows with their exact radius
-            ffin = found.withColumn(
-                "__k",
-                F.least(
-                    F.ceil((F.col("__dbest") + F.col("__lrad")) / F.lit(min_cell)) + 1,
-                    F.lit(k_cap),
-                ).cast("long"),
-            )
-            p2 = probe(ffin, _disk_cells_var_udf()(F.col("__cell0"), F.col("__k")))
-            all_pairs = all_pairs.unionByName(p).unionByName(p2).dropDuplicates(
-                ["__xlid", "__xrid"]
-            )
-            rem = rem.join(b.select("__xlid"), on="__xlid", how="left_anti").persist()
-            k *= 4
-        # final fallback: full-grid disk for anything left (sparse right side)
-        if max_distance is None and rem.count() > 0:
-            p = probe(rem, _disk_cells_udf(k_cap)(F.col("__cell0")))
-            all_pairs = all_pairs.unionByName(p).dropDuplicates(["__xlid", "__xrid"])
-
-    # tie-keeping rank==1 filter (reference keeps all equidistant rows)
-    w = Window.partitionBy("__xlid")
-    matched = (
-        all_pairs.withColumn("__dmin", F.min("__d").over(w))
-        .filter(F.col("__d") == F.col("__dmin"))
-        .select("__xlid", "__xrid", "__d")
-    )
+        matched = done.unionByName(tail_matched)
+    else:
+        matched = done
 
     # ---- assemble (same rules as sjoin) ---------------------------------
     lclean = left.drop("__bb")

@@ -39,18 +39,31 @@ from .sjoin import _estimate_resolution, _prep_side, _suffix_columns
 VALID_HOW = ("intersection", "union", "identity", "symmetric_difference", "difference")
 
 
-def _pairs(df1, df2, geom1, geom2, id1, id2, resolution, domain):
-    """Candidate (id1, id2, g1, g2) pairs whose geometries intersect."""
+def _pairs(df1, df2, geom1, geom2, id1, id2, resolution, domain,
+           min1: int | None = None, min2: int | None = None):
+    """Candidate (id1, id2, g1, g2) pairs whose geometries intersect.
+
+    Shuffle-free dedup via the reference-point rule (see sjoin)."""
+    from .sjoin import _ancestors_udf, _refine_rp_udf
+
+    c1 = st_cells(geom1, resolution, domain=domain)
+    c2 = st_cells(geom2, resolution, domain=domain)
+    if min2 is not None and min2 < resolution:
+        c1 = _ancestors_udf(min2)(c1)
+    if min1 is not None and min1 < resolution:
+        c2 = _ancestors_udf(min1)(c2)
     l1 = df1.select(F.col(id1).alias("__i1"), F.col(geom1).alias("__g1"),
-                    F.explode(st_cells(geom1, resolution, domain=domain)).alias("__cell"))
+                    F.explode(c1).alias("__cell"))
     l2 = df2.select(F.col(id2).alias("__i2"), F.col(geom2).alias("__g2"),
-                    F.explode(st_cells(geom2, resolution, domain=domain)).alias("__cell"))
+                    F.explode(c2).alias("__cell"))
     cand = (
         l1.join(l2, on="__cell", how="inner")
-        .select("__i1", "__i2", "__g1", "__g2")
-        .dropDuplicates(["__i1", "__i2"])
+        .select("__i1", "__i2", "__g1", "__g2", "__cell")
     )
-    return cand.filter(st_predicate("intersects", "__g1", "__g2"))
+    return cand.filter(
+        _refine_rp_udf("intersects", resolution, domain, None, 0.0)(
+            F.col("__g1"), F.col("__g2"), F.col("__cell"))
+    ).drop("__cell")
 
 
 def _intersection_udf():
@@ -152,12 +165,18 @@ def overlay(
         raise ValueError(f"`how` was {how!r} but is expected to be in {VALID_HOW}")
     df1p, i1 = _prep_side(df1, geom, id1, "o1")
     df2p, i2 = _prep_side(df2, geom, id2, "o2")
+    from .sjoin import _bbox_stats, _min_cover_res
+
+    stats = _bbox_stats(df1p, df2p)
     if resolution is None:
-        resolution = _estimate_resolution(df1p, df2p, domain)
+        resolution = _estimate_resolution(stats, domain)
+    min1 = _min_cover_res(stats[0], resolution, domain)
+    min2 = _min_cover_res(stats[1], resolution, domain)
     df1c = df1p.drop("__bb")
     df2c = df2p.drop("__bb")
 
-    pairs = _pairs(df1p, df2p, geom, geom, i1, i2, resolution, domain).persist()
+    pairs = _pairs(df1p, df2p, geom, geom, i1, i2, resolution, domain,
+                   min1, min2).persist()
 
     auto1, auto2 = id1 is None, id2 is None
     d1cols = [c for c in df1c.columns if not (auto1 and c == i1)]

@@ -66,24 +66,118 @@ def _suffix_columns(left: DataFrame, right: DataFrame, lsuffix: str,
     return lmap, rmap
 
 
-def _estimate_resolution(left: DataFrame, right: DataFrame, domain) -> int:
-    """One tiny agg job: average bbox extents over both sides (sampled)."""
-    stats = []
-    for df in (left, right):
-        s = (
-            df.select(
-                F.avg(F.col("__bb.maxx") - F.col("__bb.minx")).alias("w"),
-                F.avg(F.col("__bb.maxy") - F.col("__bb.miny")).alias("h"),
-            )
-            .collect()[0]
-        )
-        stats.append((s["w"] or 0.0, s["h"] or 0.0))
-    avg_w = max(stats[0][0], stats[1][0])
-    avg_h = max(stats[0][1], stats[1][1])
+def _bbox_stats(left: DataFrame, right: DataFrame) -> list[dict]:
+    """ONE tiny agg job: avg + max bbox extents of both sides."""
+    aggs = [
+        F.avg(F.col("__bb.maxx") - F.col("__bb.minx")).alias("aw"),
+        F.avg(F.col("__bb.maxy") - F.col("__bb.miny")).alias("ah"),
+        F.max(F.col("__bb.maxx") - F.col("__bb.minx")).alias("mw"),
+        F.max(F.col("__bb.maxy") - F.col("__bb.miny")).alias("mh"),
+    ]
+    rows = (
+        left.select(F.lit(0).alias("side"), "__bb").groupBy("side").agg(*aggs)
+        .unionAll(right.select(F.lit(1).alias("side"), "__bb").groupBy("side").agg(*aggs))
+        .collect()
+    )
+    out = [dict(aw=0.0, ah=0.0, mw=0.0, mh=0.0), dict(aw=0.0, ah=0.0, mw=0.0, mh=0.0)]
+    for r in rows:
+        out[r["side"]] = {k: (r[k] or 0.0) for k in ("aw", "ah", "mw", "mh")}
+    return out
+
+
+def _estimate_resolution(stats: list[dict], domain) -> int:
+    avg_w = max(stats[0]["aw"], stats[1]["aw"])
+    avg_h = max(stats[0]["ah"], stats[1]["ah"])
     if avg_w == 0.0 and avg_h == 0.0:
         # pure point data both sides: fine grid, capped
         return 12
     return pick_resolution(avg_w, avg_h, domain=domain, target_cells=1.0)
+
+
+def _min_cover_res(stats: dict, resolution: int, domain, pad: float = 0.0,
+                   max_cells: int = 4096) -> int:
+    """Lower bound on the per-row cover res this side can produce
+    (bbox_cover's max_cells fallback on the largest bbox, worst grid
+    alignment). Never higher than any actual row's res."""
+    from ..index.cells import cell_size
+
+    w = stats["mw"] + 2 * pad
+    h = stats["mh"] + 2 * pad
+    for r in range(resolution, 0, -1):
+        cw, ch = cell_size(r, domain)
+        nx = int(np.floor(w / cw)) + 2
+        ny = int(np.floor(h / ch)) + 2
+        if nx * ny <= max_cells:
+            return r
+    return 0
+
+
+def _ancestors_udf(down_to: int):
+    """array<long> cells -> cells + ancestor chain down to ``down_to``."""
+
+    @pandas_udf("array<long>")
+    def _f(cells: pd.Series) -> pd.Series:
+        from ..index import cells as C
+
+        out = []
+        for arr in cells:
+            if arr is None:
+                out.append(None)
+                continue
+            ids = np.asarray(arr, dtype=np.int64)
+            rs = C.cell_res(ids)
+            chain = [ids]
+            for r in np.unique(rs):
+                if r <= down_to:
+                    continue
+                sub = ids[rs == r]
+                for s in range(1, int(r) - down_to + 1):
+                    chain.append(C.parent(sub, s))
+            out.append(np.unique(np.concatenate(chain)).tolist())
+        return pd.Series(out)
+
+    return _f
+
+
+def _refine_rp_udf(pred: str, resolution: int, domain, distance, lpad: float):
+    """Exact predicate AND reference-point dedup in one Arrow pass.
+
+    A candidate pair that shares k cover cells is evaluated k times but
+    kept exactly once: in the canonical cell — the cell (at the pair's
+    coarser per-row cover res) containing (max(minx), max(miny)) of the
+    two bboxes. Replaces a dropDuplicates shuffle with pure map-side math;
+    the canonical cell is always among the joined cells because it lies in
+    both bboxes and both sides emit ancestors down to the other's min res.
+    """
+
+    @pandas_udf("boolean")
+    def _f(lg: pd.Series, rg: pd.Series, cell: pd.Series) -> pd.Series:
+        from ..geom.kernels import bounds
+        from ..geom.predicates import pairwise_predicate
+        from ..geom.wkb import from_wkb
+        from ..index import cells as C
+
+        lb = from_wkb(lg)
+        rb = from_wkb(rg)
+        ok = pairwise_predicate(pred, lb, rb, distance)
+        lbb = np.nan_to_num(bounds(lb))
+        rbb = np.nan_to_num(bounds(rb))
+        if lpad:
+            lbb = lbb + np.array([-lpad, -lpad, lpad, lpad])
+        rl = C.cover_res(lbb[:, 0], lbb[:, 1], lbb[:, 2], lbb[:, 3],
+                         resolution, domain=domain)
+        rr = C.cover_res(rbb[:, 0], rbb[:, 1], rbb[:, 2], rbb[:, 3],
+                         resolution, domain=domain)
+        rc = np.minimum(rl, rr)
+        rx = np.maximum(lbb[:, 0], rbb[:, 0])
+        ry = np.maximum(lbb[:, 1], rbb[:, 1])
+        canon = np.empty(len(rc), dtype=np.int64)
+        for r in np.unique(rc):
+            m = rc == r
+            canon[m] = C.point_cell(rx[m], ry[m], int(r), domain)
+        return pd.Series(ok & (canon == cell.to_numpy(dtype=np.int64)))
+
+    return _f
 
 
 def _prep_side(df: DataFrame, geom: str, id_col: str | None, tag: str):
@@ -141,10 +235,16 @@ def sjoin(
     left, lid = _prep_side(left, left_geom, left_id, "l")
     right, rid = _prep_side(right, right_geom, right_id, "r")
 
-    if resolution is None:
-        resolution = _estimate_resolution(left, right, domain)
-
     pad = float(distance) if (predicate == "dwithin" and distance) else 0.0
+
+    stats = _bbox_stats(left, right)  # one tiny agg job
+    if resolution is None:
+        resolution = _estimate_resolution(stats, domain)
+    # coarsest cover res each side can fall back to (giant bboxes):
+    # the other side must emit ancestor cells down to that level so
+    # mixed-resolution pairs still meet on a common cell (SURVEY.md §4)
+    lmin = _min_cover_res(stats[0], resolution, domain, pad)
+    rmin = _min_cover_res(stats[1], resolution, domain, 0.0)
 
     def cover(df, geom, pad_by):
         c = st_cells(geom, resolution, domain=domain)
@@ -172,14 +272,18 @@ def sjoin(
             c = _padded("__bb.minx", "__bb.miny", "__bb.maxx", "__bb.maxy")
         return df.withColumn("__cells", c)
 
-    lmin = cover(left.select(lid, F.col(left_geom).alias("__lgeom"), "__bb",
+    lcov = cover(left.select(lid, F.col(left_geom).alias("__lgeom"), "__bb",
                              *on_attribute), "__lgeom", pad)
-    rmin = cover(right.select(rid, F.col(right_geom).alias("__rgeom"), "__bb", *on_attribute),
+    rcov = cover(right.select(rid, F.col(right_geom).alias("__rgeom"), "__bb", *on_attribute),
                  "__rgeom", 0.0)
+    if rmin < resolution:  # right may have coarse rows -> left emits chain
+        lcov = lcov.withColumn("__cells", _ancestors_udf(rmin)(F.col("__cells")))
+    if lmin < resolution:
+        rcov = rcov.withColumn("__cells", _ancestors_udf(lmin)(F.col("__cells")))
 
-    lx = lmin.select(F.col(lid).alias("__xlid"), "__lgeom", *on_attribute,
+    lx = lcov.select(F.col(lid).alias("__xlid"), "__lgeom", *on_attribute,
                      F.explode("__cells").alias("__cell"))
-    rx = rmin.select(F.col(rid).alias("__xrid"), "__rgeom",
+    rx = rcov.select(F.col(rid).alias("__xrid"), "__rgeom",
                      *[F.col(c).alias(f"__r_{c}") for c in on_attribute],
                      F.explode("__cells").alias("__cell"))
 
@@ -214,19 +318,21 @@ def sjoin(
         broadcast_right = False
     rj = F.broadcast(rx) if broadcast_right else rx
 
-    # Refine BEFORE dedup: the exact predicate runs map-side in the same
-    # stage as the coarse join, so the only shuffled payload after the join
-    # is (lid, rid) id pairs — geometry bytes never shuffle twice. A pair
-    # sharing k cells is evaluated k times (k is tiny by resolution
-    # choice); that duplicate CPU is far cheaper than an extra WKB shuffle
-    # at 100 TB.
+    # Refine runs map-side in the same stage as the coarse join; the only
+    # shuffled payload afterwards is (lid, rid) id pairs — geometry bytes
+    # never shuffle twice. Duplicate candidate pairs (a pair can share
+    # several cells) are eliminated WITHOUT a shuffle by the reference-
+    # point rule: the pair only counts in the canonical cell containing
+    # the top-left corner of its bbox intersection, at the pair's coarser
+    # cover res. No dropDuplicates stage exists in this plan.
     cand = lx.join(rj, on=join_keys, how="inner").select(
-        lx["__xlid"], rx["__xrid"], lx["__lgeom"], rx["__rgeom"]
+        lx["__xlid"], rx["__xrid"], lx["__lgeom"], rx["__rgeom"],
+        lx["__cell"].alias("__jcell"),
     )
     matched = (
-        cand.filter(st_predicate(predicate, "__lgeom", "__rgeom", distance))
+        cand.filter(_refine_rp_udf(predicate, resolution, domain, distance, pad)(
+            F.col("__lgeom"), F.col("__rgeom"), F.col("__jcell")))
         .select("__xlid", "__xrid")
-        .dropDuplicates(["__xlid", "__xrid"])
     )
 
     # ---- assemble output -------------------------------------------------

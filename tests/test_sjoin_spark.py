@@ -103,3 +103,49 @@ def test_validation_errors(data, spark):
         sjoin(pdf, tdf, predicate="nope")
     with pytest.raises(ValueError, match="distance"):
         sjoin(pdf, tdf, predicate="dwithin")
+
+
+def test_mixed_resolution_giant_polygons(spark):
+    """Rows whose cover falls back to a coarser res (giant bboxes) must
+    still join against fine-res rows via the ancestor-cell path."""
+    import pandas as pd
+    from geopandas_spark.geom.ragged import GeometryBatchBuilder, POINT, POLYGON
+
+    rng = np.random.default_rng(3)
+    px, py = rng.random(300), rng.random(300)
+    bld = GeometryBatchBuilder()
+    for x, y in zip(px, py):
+        bld.add(POINT, [(POINT, [np.array([[x, y]])])])
+    pts = B.to_wkb(bld.finish())
+
+    # one polygon covering most of the domain + a few tiny ones
+    polys = []
+    bld2 = GeometryBatchBuilder()
+    ring = np.array([[0.01, 0.01], [0.99, 0.01], [0.99, 0.99],
+                     [0.01, 0.99], [0.01, 0.01]])
+    bld2.add(POLYGON, [(POLYGON, [ring])])
+    for k in range(5):
+        x0, y0 = 0.15 * k + 0.05, 0.1
+        r = np.array([[x0, y0], [x0 + 0.02, y0], [x0 + 0.02, y0 + 0.02],
+                      [x0, y0 + 0.02], [x0, y0]])
+        bld2.add(POLYGON, [(POLYGON, [r])])
+    polys = B.to_wkb(bld2.finish())
+
+    pdf = spark.createDataFrame(
+        pd.DataFrame({"pid": range(300), "geometry": list(pts)}))
+    gdf = spark.createDataFrame(
+        pd.DataFrame({"gid": range(6), "geometry": list(polys)}))
+    # force a fine resolution with a tiny max cover so the giant polygon
+    # falls back several levels
+    from geopandas_spark.functions import st as ST
+    out = sjoin(pdf, gdf, predicate="intersects", left_id="pid",
+                right_id="gid", resolution=8).toPandas()
+    got = set(zip(out.pid.astype(int), out.gid_right.astype(int) if "gid_right" in out else out.index_right.astype(int)))
+
+    lb = B.from_wkb(np.repeat(np.array(list(pts), dtype=object), 6))
+    rb = B.from_wkb(np.tile(np.array(list(polys), dtype=object), 300))
+    truth = pairwise_predicate("intersects", lb, rb).reshape(300, 6)
+    exp = set(zip(*np.nonzero(truth)))
+    assert got == exp
+    # exactly one row per matching pair (reference-point dedup)
+    assert len(out) == len(exp)
