@@ -19,6 +19,15 @@ hashing then one IEEE division, so doubles match bit-for-bit):
 
 from __future__ import annotations
 
+import os
+
+# must be set before Spark's python-worker daemon forks (see
+# geopandas_spark.conf.setup_malloc_env: lazily-provisioned VM memory makes
+# fresh mmap pages ~100x slower than reused heap pages)
+os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -322,7 +331,7 @@ def q_overlay_rect_intersection(spark, sf_dir) -> DataFrame:
         rects.filter(F.col("p_partkey") % 2 == 1)
         .select(F.col("p_partkey").alias("q_partkey"), "geometry")
     )
-    out = overlay(a, b, how="intersection", resolution=6)
+    out = overlay(a, b, how="intersection")  # adaptive resolution
     return out.select(
         "p_partkey", "q_partkey",
         F.round(st_area("geometry"), 9).alias("int_area"),

@@ -7,4 +7,8 @@ Arrow batches (geom/), the global spatial index is a quadtree cell cover
 (index/), and joins/aggregations are DataFrame plans (operators/).
 """
 
+from .conf import setup_malloc_env
+
+setup_malloc_env()
+
 __version__ = "0.1.0"

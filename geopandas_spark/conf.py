@@ -22,6 +22,25 @@ from pyspark.sql import SparkSession
 ARROW_BATCH = 8192
 
 
+def setup_malloc_env() -> None:
+    """Keep glibc from mmap'ing/trimming large allocations.
+
+    On lazily-provisioned VMs (firecracker-style on-demand paging) every
+    first touch of a fresh mmap page goes through a slow host fault path;
+    numpy's large temporaries are mmap/munmap cycles, so kernels pay that
+    cost on EVERY batch. Forcing brk-heap allocation + no trim means pages
+    fault once per worker and are reused forever (observed 10-100x
+    steady-state speedup on the vectorized geometry kernels). Must run in
+    the driver BEFORE the Python-worker daemon forks, so workers inherit.
+    """
+    os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+
+
+setup_malloc_env()
+
+
 def get_spark(app: str = "geopandas-spark", cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     if cpus is None:

@@ -209,7 +209,7 @@ def _pair_points(b: GeometryBatch, idx: np.ndarray):
     return c[p_idx, 0], c[p_idx, 1], p_pair, cnt
 
 
-_COMBO_CHUNK = 8_000_000
+_COMBO_CHUNK = 2_000_000
 
 
 def _points_status_vs_pairs(px, py, p_pair, pcnt, b: GeometryBatch,

@@ -40,10 +40,14 @@ VALID_HOW = ("intersection", "union", "identity", "symmetric_difference", "diffe
 
 
 def _pairs(df1, df2, geom1, geom2, id1, id2, resolution, domain,
-           min1: int | None = None, min2: int | None = None):
+           min1: int | None = None, min2: int | None = None,
+           with_intersection: str | None = None, broadcast2: bool = False):
     """Candidate (id1, id2, g1, g2) pairs whose geometries intersect.
 
-    Shuffle-free dedup via the reference-point rule (see sjoin)."""
+    Shuffle-free dedup via the reference-point rule (see sjoin). With
+    ``with_intersection=<col>``, the SAME Arrow pass also computes the
+    pairwise intersection geometry into that column (empty -> row dropped),
+    so each pair's WKB is parsed exactly once."""
     from .sjoin import _ancestors_udf, _refine_rp_udf
 
     c1 = st_cells(geom1, resolution, domain=domain)
@@ -56,10 +60,21 @@ def _pairs(df1, df2, geom1, geom2, id1, id2, resolution, domain,
                     F.explode(c1).alias("__cell"))
     l2 = df2.select(F.col(id2).alias("__i2"), F.col(geom2).alias("__g2"),
                     F.explode(c2).alias("__cell"))
+    if broadcast2:
+        l2 = F.broadcast(l2)
     cand = (
         l1.join(l2, on="__cell", how="inner")
         .select("__i1", "__i2", "__g1", "__g2", "__cell")
     )
+    if with_intersection is not None:
+        return (
+            cand.withColumn(
+                with_intersection,
+                _intersection_rp_udf(resolution, domain)(
+                    F.col("__g1"), F.col("__g2"), F.col("__cell")))
+            .filter(F.col(with_intersection).isNotNull())
+            .drop("__cell")
+        )
     return cand.filter(
         _refine_rp_udf("intersects", resolution, domain, None, 0.0)(
             F.col("__g1"), F.col("__g2"), F.col("__cell"))
@@ -74,6 +89,54 @@ def _intersection_udf():
 
         return pd.Series(list(B.to_wkb(
             pairwise_intersection(B.from_wkb(a), B.from_wkb(b)))))
+
+    return _f
+
+
+def _intersection_rp_udf(resolution: int, domain):
+    """Fused reference-point dedup + pairwise intersection + empty->NULL.
+
+    One Arrow pass over the raw cell-join candidates replaces three
+    (predicate refine, intersection, is_empty filter) — the WKB of each
+    pair is parsed exactly once. NULL result = duplicate candidate OR
+    empty intersection; callers filter isNotNull."""
+
+    @pandas_udf("binary")
+    def _f(g1: pd.Series, g2: pd.Series, cell: pd.Series) -> pd.Series:
+        from ..geom import wkb as B
+        from ..geom.clipping import pairwise_intersection
+        from ..geom.kernels import bounds
+        from ..index import cells as C
+
+        lb = B.from_wkb(g1)
+        rb = B.from_wkb(g2)
+        lbb = np.nan_to_num(bounds(lb))
+        rbb = np.nan_to_num(bounds(rb))
+        rl = C.cover_res(lbb[:, 0], lbb[:, 1], lbb[:, 2], lbb[:, 3],
+                         resolution, domain=domain)
+        rr = C.cover_res(rbb[:, 0], rbb[:, 1], rbb[:, 2], rbb[:, 3],
+                         resolution, domain=domain)
+        rc = np.minimum(rl, rr)
+        rx = np.maximum(lbb[:, 0], rbb[:, 0])
+        ry = np.maximum(lbb[:, 1], rbb[:, 1])
+        canon = np.empty(len(rc), dtype=np.int64)
+        for r in np.unique(rc):
+            m = rc == r
+            canon[m] = C.point_cell(rx[m], ry[m], int(r), domain)
+        keep = canon == cell.to_numpy(dtype=np.int64)
+        # bbox-overlap prefilter: disjoint bboxes cannot intersect
+        keep &= (
+            (lbb[:, 0] <= rbb[:, 2]) & (rbb[:, 0] <= lbb[:, 2])
+            & (lbb[:, 1] <= rbb[:, 3]) & (rbb[:, 1] <= lbb[:, 3])
+        )
+        out = np.full(len(g1), None, dtype=object)
+        idx = np.nonzero(keep)[0]
+        if len(idx):
+            res = pairwise_intersection(lb.take(idx), rb.take(idx))
+            nonempty = res.n_coords_per_geom() > 0
+            w = B.to_wkb(res.take(np.nonzero(nonempty)[0]))
+            out[idx[nonempty]] = w
+        return pd.Series(out)
 
     return _f
 
@@ -175,8 +238,15 @@ def overlay(
     df1c = df1p.drop("__bb")
     df2c = df2p.drop("__bb")
 
+    # pairs rows = intersecting pairs, with the intersection geometry
+    # already computed in the same Arrow pass (empty intersections — pure
+    # touches — are dropped; subtracting a touching neighbor is a no-op,
+    # so the residual stages are unaffected)
+    from .sjoin import BROADCAST_ROWS
+
     pairs = _pairs(df1p, df2p, geom, geom, i1, i2, resolution, domain,
-                   min1, min2).persist()
+                   min1, min2, with_intersection="__inter",
+                   broadcast2=0 < stats[1]["n"] <= BROADCAST_ROWS).persist()
 
     auto1, auto2 = id1 is None, id2 is None
     d1cols = [c for c in df1c.columns if not (auto1 and c == i1)]
@@ -190,8 +260,7 @@ def overlay(
 
     pieces = []
     if how in ("intersection", "union", "identity"):
-        inter = pairs.withColumn(geom, _intersection_udf()(F.col("__g1"), F.col("__g2")))
-        inter = inter.filter(~st_is_empty(geom) & F.col(geom).isNotNull())
+        inter = pairs.withColumn(geom, F.col("__inter"))
         inter_full = (
             inter.select(F.col("__i1").alias("__I1"), F.col("__i2").alias("__I2"), geom)
             .join(f1.drop(m1.get(geom, geom)), on="__I1", how="left")

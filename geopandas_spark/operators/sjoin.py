@@ -73,16 +73,24 @@ def _bbox_stats(left: DataFrame, right: DataFrame) -> list[dict]:
         F.avg(F.col("__bb.maxy") - F.col("__bb.miny")).alias("ah"),
         F.max(F.col("__bb.maxx") - F.col("__bb.minx")).alias("mw"),
         F.max(F.col("__bb.maxy") - F.col("__bb.miny")).alias("mh"),
+        F.count(F.lit(1)).alias("n"),
     ]
     rows = (
         left.select(F.lit(0).alias("side"), "__bb").groupBy("side").agg(*aggs)
         .unionAll(right.select(F.lit(1).alias("side"), "__bb").groupBy("side").agg(*aggs))
         .collect()
     )
-    out = [dict(aw=0.0, ah=0.0, mw=0.0, mh=0.0), dict(aw=0.0, ah=0.0, mw=0.0, mh=0.0)]
+    out = [dict(aw=0.0, ah=0.0, mw=0.0, mh=0.0, n=0),
+           dict(aw=0.0, ah=0.0, mw=0.0, mh=0.0, n=0)]
     for r in rows:
-        out[r["side"]] = {k: (r[k] or 0.0) for k in ("aw", "ah", "mw", "mh")}
+        out[r["side"]] = {k: (r[k] or 0) for k in ("aw", "ah", "mw", "mh", "n")}
     return out
+
+
+# rows below this on the build side -> broadcast the exploded cell cover
+# instead of shuffling both sides (UDF-derived sizes defeat AQE's own
+# auto-broadcast estimation, so the operators decide from the stats job)
+BROADCAST_ROWS = 100_000
 
 
 def _estimate_resolution(stats: list[dict], domain) -> int:
@@ -180,11 +188,31 @@ def _refine_rp_udf(pred: str, resolution: int, domain, distance, lpad: float):
     return _f
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition coarse inputs (e.g. one small parquet file) up to the
+    session's parallelism so map-side stages (cover UDFs, broadcast-join
+    refine) don't serialize on one core. MUST run before any
+    monotonically_increasing_id so row ids are branch-stable."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(target) if nparts < target else df
+
+
 def _prep_side(df: DataFrame, geom: str, id_col: str | None, tag: str):
-    """Attach a row id (if none supplied) and bbox struct."""
+    """Attach a row id (if none supplied) and bbox struct.
+
+    Auto ids come from monotonically_increasing_id, which Spark defines as
+    NONDETERMINISTIC across plan branches — the join assembles results by
+    re-joining on these ids from two branches, so the id-bearing frame is
+    persisted to pin one materialization (otherwise attribute rows can be
+    attached to the wrong geometry rows)."""
+    df = _widen(df)
     if id_col is None:
         id_col = f"__{tag}_id"
-        df = df.withColumn(id_col, F.monotonically_increasing_id())
+        df = df.withColumn(id_col, F.monotonically_increasing_id()).persist()
     df = df.withColumn("__bb", st_bounds(geom))
     return df, id_col
 
@@ -315,7 +343,7 @@ def sjoin(
             join_keys.append(lx["__salt"] == rx["__salt"].cast("long"))
 
     if broadcast_right is None:
-        broadcast_right = False
+        broadcast_right = 0 < stats[1]["n"] <= BROADCAST_ROWS
     rj = F.broadcast(rx) if broadcast_right else rx
 
     # Refine runs map-side in the same stage as the coarse join; the only

@@ -1,3 +1,9 @@
+import os
+
+os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+
 import numpy as np
 import pandas as pd
 import pytest

@@ -8,7 +8,12 @@ row count + schema-sorted order-insensitive value hash. Usage:
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
+
+os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
 
 import duckdb
 
