@@ -59,3 +59,16 @@ def get_spark(app: str = "geopandas-spark", cpus: int | None = None,
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def widen(df, factor: int = 1):
+    """Repartition coarse inputs (e.g. one small parquet file) up to the
+    session's parallelism so UDF-bearing map stages parallelize. No-op on
+    inputs that already have enough partitions (the normal case at scale).
+    Call BEFORE any monotonically_increasing_id (branch-stable ids)."""
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(target) if nparts < target else df

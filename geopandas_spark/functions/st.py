@@ -429,3 +429,362 @@ def st_distance(a, b) -> Column:
         return pd.Series(pairwise_distance(from_wkb(sa), from_wkb(sb)))
 
     return _f(_col(a), _col(b))
+
+
+# ---------------------------------------------------------------------------
+# §2.2/§2.3 completion: unary predicates, scalars, constructive ops
+# (kernels in geom/unary.py; reference cites in their docstrings)
+
+
+def _unary_scalar_udf(fn_name: str, ret: str, *args, **kwargs):
+    @pandas_udf(ret)
+    def _f(s: pd.Series) -> pd.Series:
+        from ..geom import unary
+        from ..geom.wkb import from_wkb
+
+        return pd.Series(getattr(unary, fn_name)(from_wkb(s), *args, **kwargs))
+
+    return _f
+
+
+def _unary_geom_udf(fn_name: str, *args, **kwargs):
+    @pandas_udf("binary")
+    def _f(s: pd.Series) -> pd.Series:
+        from ..geom import unary
+        from ..geom.wkb import from_wkb, to_wkb
+
+        return pd.Series(list(to_wkb(
+            getattr(unary, fn_name)(from_wkb(s), *args, **kwargs))))
+
+    return _f
+
+
+def st_is_valid(geom) -> Column:
+    """base.py:209."""
+    return _unary_scalar_udf("is_valid", "boolean")(_col(geom))
+
+
+def st_is_valid_reason(geom) -> Column:
+    """base.py:249."""
+
+    @pandas_udf("string")
+    def _f(s: pd.Series) -> pd.Series:
+        from ..geom import unary
+        from ..geom.wkb import from_wkb
+
+        _, msgs = unary.is_valid(from_wkb(s), reason=True)
+        return pd.Series(list(msgs))
+
+    return _f(_col(geom))
+
+
+def st_is_simple(geom) -> Column:
+    """base.py:453."""
+    return _unary_scalar_udf("is_simple", "boolean")(_col(geom))
+
+
+def st_is_ring(geom) -> Column:
+    """base.py:481."""
+    return _unary_scalar_udf("is_ring", "boolean")(_col(geom))
+
+
+def st_is_ccw(geom) -> Column:
+    """base.py:516."""
+    return _unary_scalar_udf("is_ccw", "boolean")(_col(geom))
+
+
+def st_is_closed(geom) -> Column:
+    """base.py:557."""
+    return _unary_scalar_udf("is_closed", "boolean")(_col(geom))
+
+
+def st_has_z(geom) -> Column:
+    """base.py:591."""
+    return _unary_scalar_udf("has_z", "boolean")(_col(geom))
+
+
+def st_z(geom) -> Column:
+    """geoseries.py:227."""
+    return _unary_scalar_udf("get_z", "double")(_col(geom))
+
+
+def st_count_interior_rings(geom) -> Column:
+    """base.py:408."""
+    return _scalar_udf("count_interior_rings", "int")(_col(geom))
+
+
+def st_get_geometry(geom, index: int) -> Column:
+    """base.py:672."""
+    return _unary_geom_udf("get_geometry", index)(_col(geom))
+
+
+def st_exterior(geom) -> Column:
+    """base.py:1196."""
+    return _unary_geom_udf("exterior")(_col(geom))
+
+
+def st_interiors(geom) -> Column:
+    """base.py:1310 — array<binary> of interior-ring LineStrings."""
+
+    @pandas_udf("array<binary>")
+    def _f(s: pd.Series) -> pd.Series:
+        from ..geom import unary
+        from ..geom.ragged import LINESTRING, GeometryBatchBuilder
+        from ..geom.wkb import from_wkb, to_wkb
+
+        rings_per = unary.interiors(from_wkb(s))
+        out = []
+        for rings in rings_per:
+            if not rings:
+                out.append([])
+                continue
+            bld = GeometryBatchBuilder()
+            for r in rings:
+                bld.add(LINESTRING, [(LINESTRING, [r])])
+            out.append(list(to_wkb(bld.finish())))
+        return pd.Series(out)
+
+    return _f(_col(geom))
+
+
+def st_extract_unique_points(geom) -> Column:
+    """base.py:1234."""
+    return _unary_geom_udf("extract_unique_points")(_col(geom))
+
+
+def st_remove_repeated_points(geom, tolerance: float = 0.0) -> Column:
+    """base.py:1351."""
+    return _unary_geom_udf("remove_repeated_points", tolerance)(_col(geom))
+
+
+def st_normalize(geom) -> Column:
+    """base.py:1608."""
+    return _unary_geom_udf("normalize")(_col(geom))
+
+
+def st_segmentize(geom, max_segment_length: float) -> Column:
+    """base.py:1711."""
+    return _unary_geom_udf("segmentize", max_segment_length)(_col(geom))
+
+
+def st_line_merge(geom) -> Column:
+    """base.py:1887."""
+    return _unary_geom_udf("line_merge")(_col(geom))
+
+
+def st_force_3d(geom, z: float = 0.0) -> Column:
+    """base.py:1824."""
+    return _unary_geom_udf("force_3d", z)(_col(geom))
+
+
+def st_minimum_rotated_rectangle(geom) -> Column:
+    """base.py:1156."""
+    return _unary_geom_udf("minimum_rotated_rectangle")(_col(geom))
+
+
+def st_minimum_bounding_circle(geom) -> Column:
+    """base.py:1509."""
+    return _unary_geom_udf("minimum_bounding_circle")(_col(geom))
+
+
+def st_minimum_bounding_radius(geom) -> Column:
+    """base.py:1542."""
+    return _unary_scalar_udf("minimum_bounding_radius", "double")(_col(geom))
+
+
+def st_minimum_clearance(geom) -> Column:
+    """base.py:1575."""
+    return _unary_scalar_udf("minimum_clearance", "double")(_col(geom))
+
+
+def st_set_precision(geom, grid_size: float) -> Column:
+    """base.py:1389 (pointwise mode)."""
+    return _unary_geom_udf("set_precision", grid_size)(_col(geom))
+
+
+def st_representative_point(geom) -> Column:
+    """base.py:1476 — point guaranteed within the geometry."""
+
+    @pandas_udf("binary")
+    def _f(s: pd.Series) -> pd.Series:
+        from ..geom import transforms
+        from ..geom.ragged import points_batch
+        from ..geom.wkb import from_wkb, to_wkb
+
+        xy = transforms.representative_point(from_wkb(s))
+        miss = np.isnan(xy[:, 0])
+        return pd.Series(list(to_wkb(points_batch(
+            np.nan_to_num(xy[:, 0]), np.nan_to_num(xy[:, 1]), miss))))
+
+    return _f(_col(geom))
+
+
+def st_interpolate(geom, distance, normalized: bool = False) -> Column:
+    """base.py:5240."""
+    return _unary_geom_udf("interpolate", distance, normalized)(_col(geom))
+
+
+def st_project(line, point, normalized: bool = False) -> Column:
+    """base.py:5141."""
+
+    @pandas_udf("double")
+    def _f(sl: pd.Series, sp: pd.Series) -> pd.Series:
+        from ..geom import unary
+        from ..geom.wkb import from_wkb
+
+        return pd.Series(unary.project(from_wkb(sl), from_wkb(sp), normalized))
+
+    return _f(_col(line), _col(point))
+
+
+# ---------------------------------------------------------------------------
+# §2.7 completion: binary measures / constructive (geom/binary.py)
+
+
+def st_hausdorff_distance(a, b, densify: float | None = None) -> Column:
+    """base.py:3617."""
+
+    @pandas_udf("double")
+    def _f(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        from ..geom import binary
+        from ..geom.wkb import from_wkb
+
+        return pd.Series(binary.hausdorff_distance(
+            from_wkb(sa), from_wkb(sb), densify))
+
+    return _f(_col(a), _col(b))
+
+
+def st_frechet_distance(a, b, densify: float | None = None) -> Column:
+    """base.py:3732."""
+
+    @pandas_udf("double")
+    def _f(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        from ..geom import binary
+        from ..geom.wkb import from_wkb
+
+        return pd.Series(binary.frechet_distance(
+            from_wkb(sa), from_wkb(sb), densify))
+
+    return _f(_col(a), _col(b))
+
+
+def st_geom_equals_exact(a, b, tolerance: float = 0.0) -> Column:
+    """base.py:2569."""
+
+    @pandas_udf("boolean")
+    def _f(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        from ..geom import binary
+        from ..geom.wkb import from_wkb
+
+        return pd.Series(binary.geom_equals_exact(
+            from_wkb(sa), from_wkb(sb), tolerance))
+
+    return _f(_col(a), _col(b))
+
+
+def st_shortest_line(a, b) -> Column:
+    """base.py:4370."""
+
+    @pandas_udf("binary")
+    def _f(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        from ..geom import binary
+        from ..geom.wkb import from_wkb, to_wkb
+
+        return pd.Series(list(to_wkb(binary.shortest_line(
+            from_wkb(sa), from_wkb(sb)))))
+
+    return _f(_col(a), _col(b))
+
+
+def st_snap(a, b, tolerance: float) -> Column:
+    """base.py:4473."""
+
+    @pandas_udf("binary")
+    def _f(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        from ..geom import binary
+        from ..geom.wkb import from_wkb, to_wkb
+
+        return pd.Series(list(to_wkb(binary.snap(
+            from_wkb(sa), from_wkb(sb), tolerance))))
+
+    return _f(_col(a), _col(b))
+
+
+def st_shared_paths(a, b) -> Column:
+    """base.py:4574."""
+
+    @pandas_udf("binary")
+    def _f(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        from ..geom import binary
+        from ..geom.wkb import from_wkb, to_wkb
+
+        return pd.Series(list(to_wkb(binary.shared_paths(
+            from_wkb(sa), from_wkb(sb)))))
+
+    return _f(_col(a), _col(b))
+
+
+def st_get_coordinates_exploded(df, geom: str = "geometry",
+                                id_cols: list[str] | None = None):
+    """get_coordinates (base.py:5550) as a DataFrame op: one row per
+    coordinate with x, y and coord_index."""
+    from pyspark.sql import functions as FF
+
+    @pandas_udf("array<struct<x:double,y:double>>")
+    def _f(s: pd.Series) -> pd.Series:
+        from ..geom import unary
+        from ..geom.wkb import from_wkb
+
+        coords, idx = unary.get_coordinates(from_wkb(s))
+        out = []
+        n = len(s)
+        splits = np.searchsorted(idx, np.arange(n + 1))
+        for i in range(n):
+            c = coords[splits[i]:splits[i + 1]]
+            out.append([{"x": float(x), "y": float(y)} for x, y in c])
+        return pd.Series(out)
+
+    cols = id_cols or [c for c in df.columns if c != geom]
+    return (
+        df.select(*cols, FF.posexplode(_f(FF.col(geom)))
+                  .alias("coord_index", "__c"))
+        .select(*cols, "coord_index", FF.col("__c.x").alias("x"),
+                FF.col("__c.y").alias("y"))
+    )
+
+
+def _pairwise_geom_udf(op: str):
+    @pandas_udf("binary")
+    def _f(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        from ..geom.clipping import pairwise_boolean, pairwise_intersection
+        from ..geom.wkb import from_wkb, to_wkb
+
+        lb = from_wkb(sa)
+        rb = from_wkb(sb)
+        if op == "intersection":
+            return pd.Series(list(to_wkb(pairwise_intersection(lb, rb))))
+        return pd.Series(list(to_wkb(pairwise_boolean(lb, rb, op))))
+
+    return _f
+
+
+def st_intersection(a, b) -> Column:
+    """base.py:4192 — row-wise intersection (rectilinear/convex fast
+    paths, Martinez-Rueda sweep for general polygons)."""
+    return _pairwise_geom_udf("intersection")(_col(a), _col(b))
+
+
+def st_difference(a, b) -> Column:
+    """base.py:3852."""
+    return _pairwise_geom_udf("difference")(_col(a), _col(b))
+
+
+def st_union(a, b) -> Column:
+    """base.py:4078 — pairwise union."""
+    return _pairwise_geom_udf("union")(_col(a), _col(b))
+
+
+def st_symmetric_difference(a, b) -> Column:
+    """base.py:3963."""
+    return _pairwise_geom_udf("symmetric_difference")(_col(a), _col(b))

@@ -423,13 +423,78 @@ def pairwise_intersection(lb: GeometryBatch, rb: GeometryBatch) -> GeometryBatch
                         res.append(c)
                 _emit_polys(out, [[r] for r in res])
                 continue
-            raise NotImplementedError(
-                "general non-convex, non-rectilinear polygon intersection "
-                "is not supported yet (Martinez–Rueda sweep planned)"
-            )
+            # general polygons: Martinez-Rueda sweep
+            from .boolean import boolean_rings, group_rings
+
+            res_rings = boolean_rings(_all_poly_rings(lb, g)[0],
+                                      _all_poly_rings(rb, g)[0],
+                                      "intersection")
+            _emit_polys(out, group_rings(res_rings))
+            continue
+        # lineal x polygonal: split segments at boundary, keep inside pieces
+        from .ragged import MULTILINESTRING
+        if lt in (LINESTRING, MULTILINESTRING) and rt in (POLYGON, MULTIPOLYGON):
+            from .boolean import clip_line_rings
+            from .ragged import MULTILINESTRING as _ML
+
+            pieces = []
+            for p in range(lb.geom_part_off[g], lb.geom_part_off[g + 1]):
+                for r in lb.part_rings(p):
+                    if len(r) >= 2:
+                        pieces.extend(clip_line_rings(
+                            r, _all_poly_rings(rb, g)[0], True))
+            if not pieces:
+                out.add(LINESTRING, [(LINESTRING, [])])
+            elif len(pieces) == 1:
+                out.add(LINESTRING, [(LINESTRING, pieces)])
+            else:
+                out.add(_ML, [(LINESTRING, [p_]) for p_ in pieces])
+            continue
+        if rt in (LINESTRING, MULTILINESTRING) and lt in (POLYGON, MULTIPOLYGON):
+            # symmetric: swap sides
+            sub = pairwise_intersection(rb.take(np.array([g])), lb.take(np.array([g])))
+            t0 = int(sub.types[0])
+            if t0 == 0:
+                out.add_missing()
+            else:
+                parts = []
+                for p in range(sub.geom_part_off[0], sub.geom_part_off[1]):
+                    parts.append((int(sub.part_types[p]), sub.part_rings(p)))
+                out.add(t0, parts)
+            continue
         raise NotImplementedError(
             f"intersection of type {lt} x {rt} not supported yet"
         )
+    return out.finish()
+
+
+def pairwise_boolean(lb: GeometryBatch, rb: GeometryBatch, op: str) -> GeometryBatch:
+    """Row-wise polygon boolean (base.py:3852 difference, :3963 symmetric_
+    difference, :4078 union, :4192 intersection) via the Martinez-Rueda
+    sweep with a rectilinear fast path. Polygonal inputs only (use
+    pairwise_intersection for mixed types)."""
+    from .boolean import boolean_rings, group_rings
+    from .ragged import MISSING
+
+    if op == "intersection":
+        return pairwise_intersection(lb, rb)
+    key = {"difference": "difference", "union": "union",
+           "symmetric_difference": "xor"}[op]
+    out = GeometryBatchBuilder()
+    for g in range(len(lb)):
+        lt, rt = int(lb.types[g]), int(rb.types[g])
+        if lt == MISSING or rt == MISSING:
+            out.add_missing()
+            continue
+        lr = _all_poly_rings(lb, g)[0]
+        rr = _all_poly_rings(rb, g)[0]
+        if lr is not None and rr is not None and len(lr) and len(rr)                 and polygons_rectilinear(lb, g) is not None                 and polygons_rectilinear(rb, g) is not None                 and key != "xor":
+            polys = rectilinear_boolean(polygons_rectilinear(lb, g),
+                                        polygons_rectilinear(rb, g), key)
+            _emit_polys(out, polys)
+            continue
+        res = boolean_rings(lr, rr, key)
+        _emit_polys(out, group_rings(res))
     return out.finish()
 
 

@@ -30,6 +30,9 @@ def clip(
     keep_geom_type: bool = False,
 ) -> DataFrame:
     """mask: (minx, miny, maxx, maxy) tuple OR a WKB polygon (bytes)."""
+    from ..conf import widen
+
+    df = widen(df)
     if isinstance(mask, (tuple, list)) and len(mask) == 4:
         minx, miny, maxx, maxy = (float(v) for v in mask)
         out = df.withColumn(geom, st_clip_by_rect(geom, minx, miny, maxx, maxy))

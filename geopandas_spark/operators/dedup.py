@@ -68,6 +68,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", normalize: bool = True) -> DataFrame:
     """Keep one representative (min id) per identical text; returns the
     deduplicated frame with a dup_count column."""
+    from ..conf import widen
+
+    df = widen(df)
     t = F.col(text_col)
     if normalize:
         t = F.lower(F.regexp_replace(t, r"\s+", " "))
@@ -111,6 +114,9 @@ def minhash_lsh(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     exact shingle Jaccard >= threshold."""
     if num_perm % bands:
         raise ValueError("num_perm must divide into bands")
+    from ..conf import widen
+
+    df = widen(df)
     r = num_perm // bands
     sigs = minhash_signatures(df, text_col, num_perm, shingle, seed).select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__text"), "minhash"
@@ -186,6 +192,9 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
     """Banding on 4x16-bit chunks: pairs within hamming<=3 share >=1 chunk
     (pigeonhole). -> (id_a, id_b, hamming)."""
+    from ..conf import widen
+
+    df = widen(df)
     sig = simhash_signatures(df, text_col).select(
         F.col(id_col).alias("__id"), F.col("simhash"))
     chunks = sig.select(

@@ -58,6 +58,27 @@ def union_batch_parts(wkbs, method: str):
             out = GeometryBatchBuilder()
             _add_polys(out, polys)
             return B.to_wkb(out.finish())[0]
+        # general polygonal union: Martinez-Rueda sweep, tree-folded
+        from ..geom.ragged import TYPE_DIM
+
+        if (TYPE_DIM[batch.types] == 2).all():
+            from ..geom.boolean import boolean_rings, group_rings
+            from ..geom.clipping import _all_poly_rings
+
+            ring_sets = [_all_poly_rings(batch, g)[0] for g in range(n)]
+            ring_sets = [r for r in ring_sets if r]
+            while len(ring_sets) > 1:
+                nxt = []
+                for i in range(0, len(ring_sets), 2):
+                    if i + 1 < len(ring_sets):
+                        nxt.append(boolean_rings(
+                            ring_sets[i], ring_sets[i + 1], "union"))
+                    else:
+                        nxt.append(ring_sets[i])
+                ring_sets = nxt
+            out = GeometryBatchBuilder()
+            _add_polys(out, group_rings(ring_sets[0]) if ring_sets else [])
+            return B.to_wkb(out.finish())[0]
     # collect path: gather all parts into a Multi*
     out = GeometryBatchBuilder()
     parts = []

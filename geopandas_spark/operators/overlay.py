@@ -159,25 +159,43 @@ def _difference_vs_union_udf():
                 continue
             batch = B.from_wkb([wkb_g] + [a for a in arr if a is not None])
             base = polygons_rectilinear(batch, 0)
-            if base is None:
-                raise NotImplementedError(
-                    "overlay difference requires rectilinear polygons in "
-                    "this round"
-                )
-            cur = base
-            for k in range(1, len(batch)):
-                sub = polygons_rectilinear(batch, k)
-                if sub is None:
-                    raise NotImplementedError(
-                        "overlay difference requires rectilinear polygons"
-                    )
-                polys = rectilinear_boolean(cur, sub, "difference")
-                cur = [ring for rings in polys for ring in rings]
-                if not cur:
-                    break
+            general = base is None or any(
+                polygons_rectilinear(batch, k) is None
+                for k in range(1, len(batch)))
+            if general:
+                # arbitrary polygons: Martinez-Rueda difference vs each
+                # intersecting neighbor in turn
+                from .sjoin import _ancestors_udf  # noqa: F401 (no-op import guard)
+                from ..geom.boolean import boolean_rings, group_rings
+                from ..geom.clipping import _all_poly_rings
+
+                cur = _all_poly_rings(batch, 0)[0]
+                for k in range(1, len(batch)):
+                    cur = boolean_rings(cur, _all_poly_rings(batch, k)[0],
+                                        "difference")
+                    if not cur:
+                        break
+            else:
+                cur = base
+                for k in range(1, len(batch)):
+                    sub = polygons_rectilinear(batch, k)
+                    polys = rectilinear_boolean(cur, sub, "difference")
+                    cur = [ring for rings in polys for ring in rings]
+                    if not cur:
+                        break
             bld = GeometryBatchBuilder()
             if not cur:
                 bld.add(POLYGON, [(POLYGON, [])])
+            elif general:
+                from ..geom.boolean import group_rings
+
+                polys = group_rings(cur)
+                if not polys:
+                    bld.add(POLYGON, [(POLYGON, [])])
+                elif len(polys) == 1:
+                    bld.add(POLYGON, [(POLYGON, polys[0])])
+                else:
+                    bld.add(MULTIPOLYGON, [(POLYGON, r) for r in polys])
             else:
                 polys = rectilinear_boolean(cur, cur, "intersection")
                 if not polys:

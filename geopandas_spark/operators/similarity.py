@@ -36,6 +36,9 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     matrix with one matmul; per-batch top-k -> global top-k via window
     rank. Shuffle volume is corpus_batches * q * k, never corpus * q.
     """
+    from ..conf import widen
+
+    corpus = widen(corpus)
     qrows = queries.select(qid_col, qvec_col).collect()
     qids = np.array([r[qid_col] for r in qrows])
     qm = np.array([np.asarray(r[qvec_col], dtype=np.float32) for r in qrows])

@@ -189,16 +189,9 @@ def _refine_rp_udf(pred: str, resolution: int, domain, distance, lpad: float):
 
 
 def _widen(df: DataFrame) -> DataFrame:
-    """Repartition coarse inputs (e.g. one small parquet file) up to the
-    session's parallelism so map-side stages (cover UDFs, broadcast-join
-    refine) don't serialize on one core. MUST run before any
-    monotonically_increasing_id so row ids are branch-stable."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        nparts = df.rdd.getNumPartitions()
-    except Exception:
-        return df
-    return df.repartition(target) if nparts < target else df
+    from ..conf import widen
+
+    return widen(df)
 
 
 def _prep_side(df: DataFrame, geom: str, id_col: str | None, tag: str):

@@ -29,6 +29,9 @@ from ..index.cells import DOMAIN_UNIT
 def to_tiles(df: DataFrame, zoom: int, geom: str = "geometry",
              domain=DOMAIN_UNIT, clip: bool = True) -> DataFrame:
     """-> input columns + tile_id (long) + tile_geom (clipped WKB)."""
+    from ..conf import widen
+
+    df = widen(df)
     tiled = df.withColumn("tile_id", F.explode(st_cells(geom, zoom, domain=domain)))
 
     if not clip:

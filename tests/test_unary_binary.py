@@ -1,0 +1,286 @@
+"""Unary/binary kernel tests mirroring the reference fixture style
+(/root/reference/geopandas/tests/test_geom_methods.py:40-75: triangles,
+squares, points; expectations hand-computed)."""
+
+import numpy as np
+import pytest
+
+from geopandas_spark.geom import binary as B2
+from geopandas_spark.geom import unary as U
+from geopandas_spark.geom.ragged import (
+    LINESTRING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    POINT,
+    POLYGON,
+    GeometryBatchBuilder,
+)
+
+
+def G(*specs):
+    """specs: ('point', (x,y)) | ('line', [pts]) | ('poly', [rings]) |
+    ('mline', [[pts],...]) | ('missing',)"""
+    bld = GeometryBatchBuilder()
+    for s in specs:
+        kind = s[0]
+        if kind == "missing":
+            bld.add_missing()
+        elif kind == "point":
+            bld.add(POINT, [(POINT, [np.array([s[1]], dtype=float)])])
+        elif kind == "line":
+            bld.add(LINESTRING, [(LINESTRING, [np.array(s[1], dtype=float)])])
+        elif kind == "poly":
+            bld.add(POLYGON, [(POLYGON, [np.array(r, dtype=float) for r in s[1]])])
+        elif kind == "mline":
+            bld.add(MULTILINESTRING,
+                    [(LINESTRING, [np.array(l, dtype=float)]) for l in s[1]])
+        else:
+            raise ValueError(kind)
+    return bld.finish()
+
+
+SQ = [[(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]]
+BOWTIE = [[(0, 0), (2, 2), (2, 0), (0, 2), (0, 0)]]
+HOLE_OUT = [[(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)],
+            [(2, 2), (3, 2), (3, 3), (2, 3), (2, 2)]]
+
+
+def test_is_closed():
+    b = G(("line", [(0, 0), (1, 0), (1, 1), (0, 0)]),
+          ("line", [(0, 0), (1, 0)]),
+          ("point", (0, 0)),
+          ("poly", SQ))
+    assert list(U.is_closed(b)) == [True, False, False, False]
+
+
+def test_is_simple_and_ring():
+    b = G(("line", [(0, 0), (1, 1), (1, 0), (0, 1), (0, 0)]),  # self-cross
+          ("line", [(0, 0), (1, 0), (1, 1), (0, 0)]),
+          ("point", (3, 3)))
+    assert list(U.is_simple(b)) == [False, True, True]
+    assert list(U.is_ring(b)) == [False, True, False]
+
+
+def test_is_ccw():
+    ccw = [(0, 0), (1, 0), (1, 1), (0, 0)]
+    cw = ccw[::-1]
+    b = G(("line", ccw), ("line", cw), ("line", [(0, 0), (1, 0)]))
+    assert list(U.is_ccw(b)) == [True, False, False]
+
+
+def test_is_valid():
+    b = G(("poly", SQ), ("poly", BOWTIE), ("poly", HOLE_OUT), ("point", (0, 0)))
+    ok, msgs = U.is_valid(b, reason=True)
+    assert list(ok) == [True, False, False, True]
+    assert msgs[1] == "Self-intersection"
+    assert msgs[2] == "Hole lies outside shell"
+    assert msgs[0] == "Valid Geometry"
+
+
+def test_get_geometry_and_exterior():
+    b = G(("poly", HOLE_OUT))
+    ext = U.exterior(b)
+    assert ext.types[0] == LINESTRING
+    assert np.allclose(ext.coords, np.array(HOLE_OUT[0], dtype=float))
+    ints = U.interiors(b)
+    assert len(ints[0]) == 1 and len(ints[0][0]) == 5
+
+    m = G(("mline", [[(0, 0), (1, 0)], [(2, 2), (3, 3)]]))
+    g1 = U.get_geometry(m, 1)
+    assert g1.types[0] == LINESTRING
+    assert np.allclose(g1.coords, [[2, 2], [3, 3]])
+    gneg = U.get_geometry(m, -1)
+    assert np.allclose(gneg.coords, [[2, 2], [3, 3]])
+    gout = U.get_geometry(m, 5)
+    assert gout.types[0] == 0  # missing
+
+
+def test_extract_unique_points():
+    b = G(("poly", SQ))
+    u = U.extract_unique_points(b)
+    assert u.types[0] == MULTIPOINT
+    assert len(u.coords) == 4  # closing vertex deduped
+
+
+def test_remove_repeated_points():
+    b = G(("line", [(0, 0), (0, 0), (1, 0), (1, 0), (2, 0)]))
+    r = U.remove_repeated_points(b, 0.0)
+    assert np.allclose(r.coords, [[0, 0], [1, 0], [2, 0]])
+
+
+def test_normalize_idempotent_and_orientation():
+    ccw_sq = [[(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]]
+    cw_sq = [[(0, 0), (0, 1), (1, 1), (1, 0), (0, 0)]]
+    a = U.normalize(G(("poly", ccw_sq)))
+    b = U.normalize(G(("poly", cw_sq)))
+    assert np.allclose(a.coords, b.coords)
+    c = U.normalize(a)
+    assert np.allclose(a.coords, c.coords)
+
+
+def test_segmentize():
+    b = G(("line", [(0, 0), (4, 0)]))
+    s = U.segmentize(b, 1.0)
+    assert np.allclose(s.coords[:, 0], [0, 1, 2, 3, 4])
+    with pytest.raises(ValueError):
+        U.segmentize(b, 0)
+
+
+def test_line_merge():
+    b = G(("mline", [[(0, 0), (1, 0)], [(1, 0), (2, 0)]]))
+    m = U.line_merge(b)
+    assert m.types[0] == LINESTRING
+    assert np.allclose(m.coords, [[0, 0], [1, 0], [2, 0]])
+    b2 = G(("mline", [[(0, 0), (1, 0)], [(5, 5), (6, 6)]]))
+    m2 = U.line_merge(b2)
+    assert m2.types[0] == MULTILINESTRING
+
+
+def test_minimum_rotated_rectangle():
+    # 45-degree segment cloud -> rotated rect with near-zero width
+    pts = [(0, 0), (1, 1), (2, 2), (3, 3)]
+    b = G(("line", pts))
+    r = U.minimum_rotated_rectangle(b)
+    from geopandas_spark.geom.kernels import area
+
+    assert area(r)[0] < 1e-9
+    sq = G(("poly", SQ))
+    r2 = U.minimum_rotated_rectangle(sq)
+    assert abs(area(r2)[0] - 1.0) < 1e-9
+
+
+def test_minimum_bounding_circle_radius():
+    b = G(("poly", SQ))
+    r = U.minimum_bounding_radius(b)
+    assert abs(r[0] - np.sqrt(2) / 2) < 1e-9
+    circ = U.minimum_bounding_circle(b)
+    from geopandas_spark.geom.kernels import area
+
+    assert abs(area(circ)[0] - np.pi / 2) < 0.01  # pi*r^2, r=sqrt(2)/2
+
+
+def test_minimum_clearance():
+    b = G(("poly", SQ))
+    assert abs(U.minimum_clearance(b)[0] - 1.0) < 1e-12
+    tri = G(("line", [(0, 0), (1, 0)]))
+    assert np.isinf(U.minimum_clearance(tri)[0])
+
+
+def test_set_precision():
+    b = G(("point", (0.123, 0.987)))
+    p = U.set_precision(b, 0.1)
+    assert np.allclose(p.coords, [[0.1, 1.0]])
+
+
+def test_interpolate_project_roundtrip():
+    line = G(("line", [(0, 0), (10, 0)]))
+    p = U.interpolate(line, 3.0)
+    assert np.allclose(p.coords, [[3, 0]])
+    pn = U.interpolate(line, 0.5, normalized=True)
+    assert np.allclose(pn.coords, [[5, 0]])
+    pts = G(("point", (3.0, 4.0)))
+    d = U.project(line, pts)
+    assert abs(d[0] - 3.0) < 1e-12
+    dn = U.project(line, pts, normalized=True)
+    assert abs(dn[0] - 0.3) < 1e-12
+
+
+def test_force3d_hasz_z():
+    b = G(("point", (1, 2)))
+    assert not U.has_z(b).any()
+    z = U.force_3d(b, 9.0)
+    assert U.has_z(z).all()
+    assert U.get_z(z)[0] == 9.0
+
+
+def test_hausdorff_frechet():
+    a = G(("line", [(0, 0), (10, 0)]))
+    b = G(("line", [(0, 1), (10, 1)]))
+    assert abs(B2.hausdorff_distance(a, b)[0] - 1.0) < 1e-12
+    assert abs(B2.frechet_distance(a, b)[0] - 1.0) < 1e-12
+    # reversed direction: hausdorff unchanged, frechet = diagonal
+    c = G(("line", [(10, 1), (0, 1)]))
+    assert abs(B2.hausdorff_distance(a, c)[0] - 1.0) < 1e-12
+    assert abs(B2.frechet_distance(a, c)[0] - np.hypot(10, 1)) < 1e-12
+
+
+def test_geom_equals_exact():
+    a = G(("poly", SQ))
+    b = G(("poly", [[(0, 0.001), (1, 0), (1, 1), (0, 1), (0, 0.001)]]))
+    assert not B2.geom_equals_exact(a, b, 0.0001)[0]
+    assert B2.geom_equals_exact(a, b, 0.01)[0]
+
+
+def test_shortest_line():
+    a = G(("point", (0, 0)))
+    b = G(("poly", [[(2, -1), (3, -1), (3, 1), (2, 1), (2, -1)]]))
+    sl = B2.shortest_line(a, b)
+    assert np.allclose(sl.coords, [[0, 0], [2, 0]])
+
+
+def test_snap():
+    a = G(("line", [(0.05, 0.0), (5, 5)]))
+    b = G(("point", (0, 0)))
+    s = B2.snap(a, b, tolerance=0.1)
+    assert np.allclose(s.coords[0], [0, 0])
+    s2 = B2.snap(a, b, tolerance=0.01)
+    assert np.allclose(s2.coords[0], [0.05, 0.0])
+
+
+def test_shared_paths():
+    a = G(("line", [(0, 0), (10, 0)]))
+    b = G(("line", [(3, 0), (7, 0)]))
+    sp = B2.shared_paths(a, b)
+    assert sp.types[0] == MULTILINESTRING
+    assert np.allclose(sorted(sp.coords[:, 0]), [3, 7])
+    c = G(("line", [(0, 5), (10, 5)]))
+    sp2 = B2.shared_paths(a, c)
+    assert len(sp2.coords) == 0
+
+
+def test_get_coordinates():
+    b = G(("poly", SQ), ("point", (9, 9)))
+    coords, idx = U.get_coordinates(b)
+    assert len(coords) == 6
+    assert list(idx) == [0] * 5 + [1]
+
+
+def test_pairwise_boolean_general():
+    """Martinez-Rueda general booleans (base.py:3852-4192) on a
+    non-convex L vs rotated diamond (neither rectilinear)."""
+    import pandas as pd
+
+    from geopandas_spark.geom import wkb as W
+    from geopandas_spark.geom.clipping import (
+        pairwise_boolean, pairwise_intersection,
+    )
+    from geopandas_spark.geom.kernels import area, length
+
+    def M(b):
+        return W.from_wkb(pd.Series([W.to_wkb(b)[0]]))
+
+    L = M(G(("poly", [[(0, 0), (3, 0), (3, 1), (1, 1), (1, 3), (0, 3), (0, 0)]])))
+    D = M(G(("poly", [[(1.5, -0.5), (2.5, 0.5), (1.5, 1.5), (0.5, 0.5), (1.5, -0.5)]])))
+    assert abs(area(pairwise_intersection(L, D))[0] - 1.5) < 1e-9
+    assert abs(area(pairwise_boolean(L, D, "union"))[0] - 5.5) < 1e-9
+    assert abs(area(pairwise_boolean(L, D, "difference"))[0] - 3.5) < 1e-9
+    assert abs(area(pairwise_boolean(L, D, "symmetric_difference"))[0] - 4.0) < 1e-9
+    # line x polygon clip
+    line = M(G(("line", [(-1, 0.5), (4, 0.5)])))
+    li = pairwise_intersection(line, L)
+    assert abs(length(li)[0] - 3.0) < 1e-9
+
+
+def test_union_batch_parts_general():
+    from geopandas_spark.geom import wkb as W
+    from geopandas_spark.geom.kernels import area
+    from geopandas_spark.operators.dissolve import union_batch_parts
+
+    tri1 = G(("poly", [[(0, 0), (2, 0), (1, 2), (0, 0)]]))
+    tri2 = G(("poly", [[(1, 0), (3, 0), (2, 2), (1, 0)]]))
+    w = union_batch_parts([W.to_wkb(tri1)[0], W.to_wkb(tri2)[0]], "unary")
+    import pandas as pd
+
+    merged = W.from_wkb(pd.Series([w]))
+    # each triangle area 2; overlap is a smaller triangle area 0.5
+    assert abs(area(merged)[0] - 3.5) < 1e-9
