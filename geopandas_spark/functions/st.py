@@ -788,3 +788,267 @@ def st_union(a, b) -> Column:
 def st_symmetric_difference(a, b) -> Column:
     """base.py:3963."""
     return _pairwise_geom_udf("symmetric_difference")(_col(a), _col(b))
+
+
+def st_transform(geom, src_crs, dst_crs) -> Column:
+    """to_crs (geoseries.py:878, array.py:384) — pyproj-free transforms
+    for EPSG:4326 / 3857 / WGS84-UTM (geom/crs.py)."""
+
+    @pandas_udf("binary")
+    def _f(s: pd.Series) -> pd.Series:
+        from ..geom.crs import transform_xy
+        from ..geom.ragged import GeometryBatch
+        from ..geom.wkb import from_wkb, to_wkb
+
+        b = from_wkb(s)
+        x, y = transform_xy(b.coords[:, 0], b.coords[:, 1], src_crs, dst_crs)
+        nb = GeometryBatch(
+            types=b.types, coords=np.column_stack([x, y]),
+            ring_coord_off=b.ring_coord_off, part_ring_off=b.part_ring_off,
+            geom_part_off=b.geom_part_off, part_types=b.part_types,
+            zs=b.zs, geom_has_z=b.geom_has_z,
+        )
+        return pd.Series(list(to_wkb(nb)))
+
+    return _f(_col(geom))
+
+
+def st_collect_list(geom_list) -> Column:
+    """collect (tools/util.py:10-47): array<binary> -> one Multi* WKB
+    gathering all parts (no union)."""
+
+    @pandas_udf("binary")
+    def _f(arrs: pd.Series) -> pd.Series:
+        from ..operators.dissolve import union_batch_parts
+
+        return pd.Series([
+            union_batch_parts(list(a), "collect") if a is not None else None
+            for a in arrs
+        ])
+
+    return _f(_col(geom_list))
+
+
+def st_intersection_all(geom_list) -> Column:
+    """intersection_all (base.py:2017): array<binary> -> WKB of the n-ary
+    intersection (None entries ignored)."""
+
+    @pandas_udf("binary")
+    def _f(arrs: pd.Series) -> pd.Series:
+        from ..geom import wkb as B
+        from ..geom.boolean import boolean_rings, group_rings
+        from ..geom.clipping import _all_poly_rings
+        from ..geom.ragged import POLYGON, MULTIPOLYGON, GeometryBatchBuilder
+
+        out = []
+        for a in arrs:
+            vals = [w for w in (a or []) if w is not None]
+            if not vals:
+                out.append(None)
+                continue
+            batch = B.from_wkb(vals)
+            cur = _all_poly_rings(batch, 0)[0]
+            for g in range(1, len(batch)):
+                cur = boolean_rings(cur, _all_poly_rings(batch, g)[0],
+                                    "intersection")
+                if not cur:
+                    break
+            bld = GeometryBatchBuilder()
+            polys = group_rings(cur)
+            if not polys:
+                bld.add(POLYGON, [(POLYGON, [])])
+            elif len(polys) == 1:
+                bld.add(POLYGON, [(POLYGON, polys[0])])
+            else:
+                bld.add(MULTIPOLYGON, [(POLYGON, r) for r in polys])
+            out.append(B.to_wkb(bld.finish())[0])
+        return pd.Series(out)
+
+    return _f(_col(geom_list))
+
+
+def st_sample_points(geom, size: int, seed: int = 0, row_key=None) -> Column:
+    """sample_points (base.py:5652, tools/_random.py): uniform points per
+    geometry as a MultiPoint; deterministic per row via seed + row key
+    (polygons by area rejection, lines by length; multiparts pooled)."""
+
+    key = _col(row_key) if row_key is not None else F.lit(0)
+
+    @pandas_udf("binary")
+    def _f(s: pd.Series, k: pd.Series) -> pd.Series:
+        from ..geom.kernels import BOUNDARY, INSIDE, bounds, points_in_geom
+        from ..geom.ragged import (
+            MULTIPOINT, POINT, TYPE_DIM, GeometryBatchBuilder,
+        )
+        from ..geom.unary import _geom_rings
+        from ..geom.wkb import from_wkb, to_wkb
+
+        b = from_wkb(s)
+        bb = bounds(b)
+        keys = k.to_numpy()
+        bld = GeometryBatchBuilder()
+        for g in range(len(b)):
+            t = int(b.types[g])
+            if t == 0:
+                bld.add_missing()
+                continue
+            rng = np.random.default_rng(
+                (int(seed) * 1_000_003 + int(keys[g])) & 0x7FFFFFFF)
+            dim = TYPE_DIM[t]
+            pts = []
+            if dim == 2 and np.isfinite(bb[g, 0]):
+                minx, miny, maxx, maxy = bb[g]
+                tries = 0
+                while len(pts) < size and tries < 200 * size + 1000:
+                    m = max(size * 2, 64)
+                    xs = rng.uniform(minx, maxx, m)
+                    ys = rng.uniform(miny, maxy, m)
+                    st_ = points_in_geom(xs, ys, b, g)
+                    for x, y in zip(xs[st_ != 0], ys[st_ != 0]):
+                        if len(pts) < size:
+                            pts.append((x, y))
+                    tries += m
+            elif dim == 1:
+                segs = []
+                for _, r in _geom_rings(b, g):
+                    for i in range(len(r) - 1):
+                        segs.append((r[i], r[i + 1]))
+                if segs:
+                    lens = np.array([np.hypot(*(p1 - p0)) for p0, p1 in segs])
+                    w = lens / lens.sum() if lens.sum() > 0 else None
+                    pick = rng.choice(len(segs), size=size, p=w)
+                    ts = rng.random(size)
+                    for i, t_ in zip(pick, ts):
+                        p0, p1 = segs[i]
+                        pts.append(tuple(p0 + t_ * (p1 - p0)))
+            else:
+                off = b.geom_coord_off
+                c = b.coords[off[g]:off[g + 1]]
+                if len(c):
+                    pick = rng.choice(len(c), size=size)
+                    pts = [tuple(c[i]) for i in pick]
+            if not pts:
+                bld.add(MULTIPOINT, [])
+            else:
+                bld.add(MULTIPOINT,
+                        [(POINT, [np.array([p])]) for p in pts])
+        return pd.Series(list(to_wkb(bld.finish())))
+
+    return _f(_col(geom), key)
+
+
+def st_delaunay_triangles(geom, only_edges: bool = False) -> Column:
+    """base.py:908 — Delaunay triangulation of each geometry's vertices
+    (GeometryCollection of polygons, or MultiLineString of edges)."""
+
+    @pandas_udf("binary")
+    def _f(s: pd.Series) -> pd.Series:
+        from ..geom.ragged import (
+            GEOMETRYCOLLECTION, LINESTRING, MULTILINESTRING, POLYGON,
+            GeometryBatchBuilder,
+        )
+        from ..geom.triangulate import delaunay, delaunay_edges
+        from ..geom.wkb import from_wkb, to_wkb
+
+        b = from_wkb(s)
+        bld = GeometryBatchBuilder()
+        off = b.geom_coord_off
+        for g in range(len(b)):
+            if b.types[g] == 0:
+                bld.add_missing()
+                continue
+            pts = b.coords[off[g]:off[g + 1]]
+            if only_edges:
+                edges, up = delaunay_edges(pts) if len(pts) >= 3 else ([], pts)
+                bld.add(MULTILINESTRING, [
+                    (LINESTRING, [np.vstack([up[u], up[v]])])
+                    for u, v in edges
+                ])
+            else:
+                tris, up = delaunay(pts) if len(pts) >= 3 else ([], pts)
+                bld.add(GEOMETRYCOLLECTION, [
+                    (POLYGON, [np.vstack([up[a], up[b_], up[c], up[a]])])
+                    for a, b_, c in tris
+                ])
+        return pd.Series(list(to_wkb(bld.finish())))
+
+    return _f(_col(geom))
+
+
+def st_voronoi_polygons(geom, extend_to=None, only_edges: bool = False) -> Column:
+    """base.py:999 — Voronoi cells of each geometry's vertices, clipped to
+    the geometry envelope (or ``extend_to`` bounds 4-tuple)."""
+
+    @pandas_udf("binary")
+    def _f(s: pd.Series) -> pd.Series:
+        from ..geom.kernels import bounds
+        from ..geom.ragged import (
+            GEOMETRYCOLLECTION, LINESTRING, MULTILINESTRING, POLYGON,
+            GeometryBatchBuilder,
+        )
+        from ..geom.triangulate import voronoi
+        from ..geom.wkb import from_wkb, to_wkb
+
+        b = from_wkb(s)
+        bb = bounds(b)
+        bld = GeometryBatchBuilder()
+        off = b.geom_coord_off
+        for g in range(len(b)):
+            if b.types[g] == 0:
+                bld.add_missing()
+                continue
+            pts = b.coords[off[g]:off[g + 1]]
+            if len(pts) == 0:
+                bld.add(GEOMETRYCOLLECTION, [])
+                continue
+            if extend_to is not None:
+                ext = tuple(float(v) for v in extend_to)
+            else:
+                # GEOS extends the envelope by ~ the diagonal
+                w = bb[g, 2] - bb[g, 0] or 1.0
+                h = bb[g, 3] - bb[g, 1] or 1.0
+                ext = (bb[g, 0] - w / 2, bb[g, 1] - h / 2,
+                       bb[g, 2] + w / 2, bb[g, 3] + h / 2)
+            cells, _ = voronoi(pts, ext)
+            if only_edges:
+                parts = []
+                for c in cells:
+                    if c is None:
+                        continue
+                    for i in range(len(c) - 1):
+                        parts.append((LINESTRING, [c[i:i + 2]]))
+                bld.add(MULTILINESTRING, parts)
+            else:
+                bld.add(GEOMETRYCOLLECTION, [
+                    (POLYGON, [c]) for c in cells if c is not None
+                ])
+        return pd.Series(list(to_wkb(bld.finish())))
+
+    return _f(_col(geom))
+
+
+def st_concave_hull(geom, ratio: float = 0.0, allow_holes: bool = False) -> Column:
+    """base.py:799 — chi-shape concave hull."""
+
+    @pandas_udf("binary")
+    def _f(s: pd.Series) -> pd.Series:
+        from ..geom.ragged import POLYGON, GeometryBatchBuilder
+        from ..geom.triangulate import concave_hull
+        from ..geom.wkb import from_wkb, to_wkb
+
+        b = from_wkb(s)
+        bld = GeometryBatchBuilder()
+        off = b.geom_coord_off
+        for g in range(len(b)):
+            if b.types[g] == 0:
+                bld.add_missing()
+                continue
+            pts = b.coords[off[g]:off[g + 1]]
+            rings = concave_hull(pts, ratio, allow_holes) if len(pts) >= 3 else []
+            if not rings:
+                bld.add(POLYGON, [(POLYGON, [])])
+            else:
+                bld.add(POLYGON, [(POLYGON, rings)])
+        return pd.Series(list(to_wkb(bld.finish())))
+
+    return _f(_col(geom))

@@ -1,0 +1,219 @@
+"""Delaunay triangulation, Voronoi diagram, concave hull.
+
+Reference semantics (/root/reference/geopandas/base.py):
+``delaunay_triangles(tolerance, only_edges)`` :908 — triangulation of the
+geometry's vertices; ``voronoi_polygons(tolerance, extend_to, only_edges)``
+:999 — Voronoi cells of the vertices, clipped to a (possibly extended)
+envelope; ``concave_hull(ratio, allow_holes)`` :799 — chi-shape obtained
+by eroding long border edges of the Delaunay triangulation (GEOS
+ConcaveHull: edges longer than ``min + ratio*(max-min)`` are removed
+while the boundary stays regular).
+
+Algorithm: Bowyer–Watson incremental insertion with a super-triangle;
+pure numpy per geometry (vertex counts are feature-sized).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
+    """Bowyer–Watson -> list of vertex-index triangles (CCW)."""
+    pts = np.asarray(points, dtype=np.float64)
+    pts = np.unique(pts, axis=0)
+    n = len(pts)
+    if n < 3:
+        return []
+    # super-triangle
+    cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
+    span = max(np.ptp(pts[:, 0]), np.ptp(pts[:, 1]), 1e-9) * 100
+    sup = np.array([[cx - 2 * span, cy - span], [cx + 2 * span, cy - span],
+                    [cx, cy + 2 * span]])
+    vs = np.vstack([pts, sup])
+    tris: list[tuple[int, int, int]] = [(n, n + 1, n + 2)]
+
+    def circum(tri):
+        a, b, c = vs[tri[0]], vs[tri[1]], vs[tri[2]]
+        d = 2 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1]))
+        if d == 0:
+            return None
+        ux = ((a ** 2).sum() * (b[1] - c[1]) + (b ** 2).sum() * (c[1] - a[1])
+              + (c ** 2).sum() * (a[1] - b[1])) / d
+        uy = ((a ** 2).sum() * (c[0] - b[0]) + (b ** 2).sum() * (a[0] - c[0])
+              + (c ** 2).sum() * (b[0] - a[0])) / d
+        r2 = (a[0] - ux) ** 2 + (a[1] - uy) ** 2
+        return ux, uy, r2
+
+    cc = {tuple(tris[0]): circum(tris[0])}
+    for i in range(n):
+        p = vs[i]
+        bad = []
+        for t in tris:
+            c = cc[tuple(t)]
+            if c is not None and (p[0] - c[0]) ** 2 + (p[1] - c[1]) ** 2 <= c[2] * (1 + 1e-12):
+                bad.append(t)
+        # boundary of the bad-triangle cavity
+        edge_count: dict[tuple[int, int], int] = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = (min(e), max(e))
+                edge_count[k] = edge_count.get(k, 0) + 1
+        boundary = [e for e, cnt in edge_count.items() if cnt == 1]
+        for t in bad:
+            tris.remove(t)
+            cc.pop(tuple(t), None)
+        for (u, v) in boundary:
+            # orient CCW
+            a, b = vs[u], vs[v]
+            cross = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+            t = (u, v, i) if cross > 0 else (v, u, i)
+            tris.append(t)
+            cc[tuple(t)] = circum(t)
+    out = [t for t in tris if max(t) < n]
+    return out, pts
+
+
+def delaunay_edges(points: np.ndarray):
+    tris, pts = delaunay(points)
+    edges = set()
+    for t in tris:
+        for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            edges.add((min(e), max(e)))
+    return sorted(edges), pts
+
+
+def voronoi(points: np.ndarray, extent: tuple[float, float, float, float]):
+    """Voronoi cells of unique points, clipped to ``extent`` (bbox).
+
+    Returns (cells, pts): cells[i] is a closed CCW ring for pts[i] (or
+    None when degenerate). Built by half-plane clipping of the extent box
+    against each neighbor — robust and exact for feature-sized inputs."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    n = len(pts)
+    minx, miny, maxx, maxy = extent
+    box = np.array([[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy]])
+    cells = []
+    for i in range(n):
+        cell = box.copy()
+        for j in range(n):
+            if i == j or len(cell) == 0:
+                continue
+            # half-plane: points closer to i than j
+            mid = (pts[i] + pts[j]) / 2
+            nrm = pts[j] - pts[i]
+            # keep nrm . (x - mid) <= 0
+            keep = []
+            m = len(cell)
+            d = (cell - mid) @ nrm
+            for k in range(m):
+                k2 = (k + 1) % m
+                if d[k] <= 0:
+                    keep.append(cell[k])
+                if (d[k] <= 0) != (d[k2] <= 0):
+                    t = d[k] / (d[k] - d[k2])
+                    keep.append(cell[k] + t * (cell[k2] - cell[k]))
+            cell = np.array(keep) if keep else np.empty((0, 2))
+        if len(cell) >= 3:
+            ring = np.vstack([cell, cell[:1]])
+            cells.append(ring)
+        else:
+            cells.append(None)
+    return cells, pts
+
+
+def concave_hull(points: np.ndarray, ratio: float = 0.0,
+                 allow_holes: bool = False):
+    """Chi-shape concave hull (GEOS ConcaveHull semantics): start from the
+    Delaunay triangulation, repeatedly remove border triangles whose
+    border edge is longer than ``min_edge + ratio * (max_edge - min_edge)``
+    while removal keeps the region regular (edge not shared, interior
+    vertex stays connected). ratio=1 -> convex hull; ratio=0 -> most
+    concave. Returns rings (list of closed ndarrays)."""
+    tris, pts = delaunay(points)
+    if not tris:
+        u = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+        return [np.vstack([u, u[:1]])] if len(u) else []
+    tris = set(tris)
+
+    def elen(u, v):
+        return float(np.hypot(*(pts[u] - pts[v])))
+
+    all_edges = set()
+    for t in tris:
+        for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            all_edges.add((min(e), max(e)))
+    lens = [elen(u, v) for u, v in all_edges]
+    lmin, lmax = min(lens), max(lens)
+    target = lmin + float(ratio) * (lmax - lmin)
+
+    def edge_tris(edges_map=None):
+        m: dict[tuple[int, int], list] = {}
+        for t in tris:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                m.setdefault((min(e), max(e)), []).append(t)
+        return m
+
+    changed = True
+    while changed:
+        changed = False
+        em = edge_tris()
+        border = [(elen(u, v), (u, v)) for (u, v), ts in em.items()
+                  if len(ts) == 1]
+        border.sort(reverse=True)
+        for L, (u, v) in border:
+            if L <= target:
+                break
+            em2 = edge_tris()
+            ts = em2.get((u, v), [])
+            if len(ts) != 1:
+                continue
+            t = ts[0]
+            w = [x for x in t if x not in (u, v)][0]
+            # regularity: the opposite vertex must not itself be on the
+            # border already (removal would pinch the region)
+            w_border = any(
+                len(em2.get((min(w, z), max(w, z)), [])) == 1
+                for z in (u, v))
+            if w_border:
+                continue
+            tris.discard(t)
+            changed = True
+            break
+    # boundary = edges used once
+    em = edge_tris()
+    border_edges = [e for e, ts in em.items() if len(ts) == 1]
+    rings = _edges_to_rings(border_edges, pts)
+    if not allow_holes and len(rings) > 1:
+        areas = [abs(np.cross(r[:-1], r[1:]).sum()) / 2 for r in rings]
+        rings = [rings[int(np.argmax(areas))]]
+    return rings
+
+
+def _edges_to_rings(edges, pts) -> list[np.ndarray]:
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    used = set()
+    rings = []
+    for u, v in edges:
+        if (u, v) in used or (v, u) in used:
+            continue
+        path = [u, v]
+        used.add((u, v))
+        cur, prev = v, u
+        while True:
+            nxts = [w for w in adj[cur]
+                    if (cur, w) not in used and (w, cur) not in used]
+            if not nxts:
+                break
+            nxt = nxts[0]
+            used.add((cur, nxt))
+            path.append(nxt)
+            prev, cur = cur, nxt
+            if cur == path[0]:
+                break
+        if len(path) >= 4 and path[0] == path[-1]:
+            rings.append(pts[path])
+    return rings

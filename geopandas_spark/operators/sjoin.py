@@ -87,10 +87,21 @@ def _bbox_stats(left: DataFrame, right: DataFrame) -> list[dict]:
     return out
 
 
-# rows below this on the build side -> broadcast the exploded cell cover
+# exploded build-side rows below this -> broadcast the exploded cell cover
 # instead of shuffling both sides (UDF-derived sizes defeat AQE's own
 # auto-broadcast estimation, so the operators decide from the stats job)
 BROADCAST_ROWS = 100_000
+BROADCAST_EXPLODED_ROWS = 2_000_000
+
+
+def _est_exploded(stats: dict, resolution: int, domain, pad: float = 0.0) -> float:
+    """Estimated exploded cell-cover rows for a side (n x avg cells)."""
+    from ..index.cells import cell_size
+
+    cw, ch = cell_size(resolution, domain)
+    cells = (stats["aw"] + 2 * pad) / cw + 1.5
+    cells *= (stats["ah"] + 2 * pad) / ch + 1.5
+    return stats["n"] * max(cells, 1.0)
 
 
 def _estimate_resolution(stats: list[dict], domain) -> int:
@@ -336,7 +347,10 @@ def sjoin(
             join_keys.append(lx["__salt"] == rx["__salt"].cast("long"))
 
     if broadcast_right is None:
-        broadcast_right = 0 < stats[1]["n"] <= BROADCAST_ROWS
+        broadcast_right = (
+            0 < stats[1]["n"]
+            and _est_exploded(stats[1], resolution, domain) <= BROADCAST_EXPLODED_ROWS
+        )
     rj = F.broadcast(rx) if broadcast_right else rx
 
     # Refine runs map-side in the same stage as the coarse join; the only
@@ -350,11 +364,10 @@ def sjoin(
         lx["__xlid"], rx["__xrid"], lx["__lgeom"], rx["__rgeom"],
         lx["__cell"].alias("__jcell"),
     )
-    matched = (
-        cand.filter(_refine_rp_udf(predicate, resolution, domain, distance, pad)(
+    refined = cand.filter(
+        _refine_rp_udf(predicate, resolution, domain, distance, pad)(
             F.col("__lgeom"), F.col("__rgeom"), F.col("__jcell")))
-        .select("__xlid", "__xrid")
-    )
+    matched = refined.select("__xlid", "__xrid")
 
     # ---- assemble output -------------------------------------------------
     # Internal unambiguous keys __LID/__RID; user id columns (when supplied)
@@ -371,6 +384,25 @@ def sjoin(
         rdata = [c for c in rdata if c != right_geom]
     else:
         ldata = [c for c in ldata if c != left_geom]
+
+    # Narrow-assembly fast path: when both sides carry nothing beyond
+    # (id, geometry), every output column already flows through the refine
+    # stage — emit directly and skip BOTH assembly joins (the dominant
+    # shuffles at scale: matched is |result| rows, the joins re-shuffle it
+    # twice against the base tables).
+    if (how == "inner" and not on_attribute
+            and set(ldata) <= {lid, left_geom}
+            and set(rdata) <= {rid}):
+        cols = []
+        if lid in ldata:
+            cols.append(F.col("__xlid").alias(lid))
+        if left_geom in ldata:
+            cols.append(F.col("__lgeom").alias(left_geom))
+        if rid in rdata:
+            cols.append(F.col("__xrid").alias(rid if rid != lid else f"{rid}_{rsuffix}"))
+        cols.append(F.col("__xrid").alias("index_right"))
+        return refined.select(*cols)
+
     lmap, rmap = _suffix_columns(
         lclean.select(ldata), rclean.select(rdata), lsuffix, rsuffix, exclude=set()
     )

@@ -284,3 +284,46 @@ def test_union_batch_parts_general():
     merged = W.from_wkb(pd.Series([w]))
     # each triangle area 2; overlap is a smaller triangle area 0.5
     assert abs(area(merged)[0] - 3.5) < 1e-9
+
+
+def test_crs_transforms():
+    import numpy as np
+
+    from geopandas_spark.geom.crs import estimate_utm_crs, transform_xy
+
+    lon = np.array([-122.4194, 151.2093])
+    lat = np.array([37.7749, -33.8688])
+    x, y = transform_xy(lon, lat, 4326, 3857)
+    lon2, lat2 = transform_xy(x, y, 3857, 4326)
+    assert np.allclose(lon, lon2) and np.allclose(lat, lat2)
+    e, n = transform_xy(lon[:1], lat[:1], 4326, 32610)
+    lon3, lat3 = transform_xy(e, n, 32610, 4326)
+    assert abs(lon3[0] - lon[0]) < 1e-9 and abs(lat3[0] - lat[0]) < 1e-9
+    assert estimate_utm_crs(-122.5, 37.7, -122.3, 37.8) == 32610
+    assert estimate_utm_crs(151.0, -34.0, 151.4, -33.7) == 32756
+
+
+def test_delaunay_voronoi_concave():
+    import numpy as np
+
+    from geopandas_spark.geom.transforms import _hull_one
+    from geopandas_spark.geom.triangulate import concave_hull, delaunay, voronoi
+
+    rng = np.random.default_rng(11)
+    pts = rng.random((40, 2))
+    tris, up = delaunay(pts)
+    tri_area = sum(
+        abs(np.cross(up[b] - up[a], up[c] - up[a])) / 2 for a, b, c in tris)
+    h = _hull_one(pts)
+    hull_area = abs(np.cross(h, np.roll(h, -1, axis=0)).sum()) / 2
+    assert abs(tri_area - hull_area) < 1e-9
+    cells, _ = voronoi(pts, (0, 0, 1, 1))
+    va = sum(abs(np.cross(c[:-1], c[1:]).sum()) / 2
+             for c in cells if c is not None)
+    assert abs(va - 1.0) < 1e-9  # cells tile the extent
+    r1 = concave_hull(pts, ratio=1.0)
+    a1 = abs(np.cross(r1[0][:-1], r1[0][1:]).sum()) / 2
+    assert abs(a1 - hull_area) < 1e-9  # ratio=1 == convex hull
+    r0 = concave_hull(pts, ratio=0.2)
+    a0 = abs(np.cross(r0[0][:-1], r0[0][1:]).sum()) / 2
+    assert a0 <= hull_area + 1e-12
