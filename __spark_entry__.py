@@ -338,6 +338,93 @@ def q_overlay_rect_intersection(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_transform_webmercator(spark, sf_dir) -> DataFrame:
+    """to_crs 4326->3857 (geoseries.py:878) on customer points (x,y taken
+    as lon/lat degrees); oracle = the spherical-Mercator formulas in SQL."""
+    from geopandas_spark.functions.st import st_transform, st_x, st_y
+
+    pts = _customer_points(spark, sf_dir)
+    t = pts.withColumn("g3857", st_transform("geometry", 4326, 3857))
+    return t.select(
+        "c_custkey",
+        (F.round(st_x("g3857"), 3) + F.lit(0.0)).alias("mx"),  # +0.0 kills -0.0
+        (F.round(st_y("g3857"), 3) + F.lit(0.0)).alias("my"),
+    )
+
+
+def q_buffer_point_area(spark, sf_dir) -> DataFrame:
+    """buffer (base.py:4806) on points: area of the 32-gon ring; oracle =
+    the regular-polygon closed form (n/2)*sin(2pi/n)*r^2."""
+    from geopandas_spark.functions.st import st_area, st_buffer
+
+    pts = _customer_points(spark, sf_dir)
+    buf = pts.withColumn("bg", st_buffer("geometry", 0.013, quad_segs=8))
+    return buf.select("c_custkey", F.round(st_area("bg"), 9).alias("barea"))
+
+
+def q_union_rect_area(spark, sf_dir) -> DataFrame:
+    """pairwise union (base.py:4078, Martinez-Rueda/rectilinear kernel) of
+    consecutive part rects; oracle = inclusion-exclusion in SQL."""
+    from geopandas_spark.functions.st import st_area, st_union
+
+    r = _part_rects(spark, sf_dir)
+    a = r.filter(F.col("p_partkey") % 2 == 0).select(
+        (F.col("p_partkey") / 2).cast("long").alias("k"),
+        F.col("geometry").alias("ga"))
+    b = r.filter(F.col("p_partkey") % 2 == 1).select(
+        ((F.col("p_partkey") - 1) / 2).cast("long").alias("k"),
+        F.col("geometry").alias("gb"))
+    j = a.join(b, on="k")
+    return j.select(
+        "k", F.round(st_area(st_union("ga", "gb")), 9).alias("u_area"))
+
+
+def q_segmentize_counts(spark, sf_dir) -> DataFrame:
+    """segmentize (base.py:1711) on part rects; oracle = 4*ceil(side/d)+1
+    ring points in SQL."""
+    from geopandas_spark.functions.st import st_num_coordinates, st_segmentize
+
+    r = _part_rects(spark, sf_dir)
+    out = r.withColumn("sg", st_segmentize("geometry", 0.0097))
+    return out.select(
+        "p_partkey", st_num_coordinates("sg").alias("n_pts"))
+
+
+def q_min_bounding_radius(spark, sf_dir) -> DataFrame:
+    """minimum_bounding_radius (base.py:1542) of rects; oracle =
+    side*sqrt(2)/2."""
+    from geopandas_spark.functions.st import st_minimum_bounding_radius
+
+    r = _part_rects(spark, sf_dir)
+    return r.select(
+        "p_partkey",
+        F.round(st_minimum_bounding_radius("geometry"), 9).alias("mbr"))
+
+
+def q_hausdorff_center(spark, sf_dir) -> DataFrame:
+    """hausdorff_distance (base.py:3617) rect vs its center point; oracle
+    = half-diagonal."""
+    from geopandas_spark.functions.st import st_hausdorff_distance, st_point
+
+    r = _part_rects(spark, sf_dir)
+    c = r.withColumn("ctr", st_point(
+        (F.col("minx") + F.col("maxx")) / 2, (F.col("miny") + F.col("maxy")) / 2))
+    return c.select(
+        "p_partkey",
+        F.round(st_hausdorff_distance("geometry", "ctr"), 9).alias("hd"))
+
+
+def q_geojson_roundtrip(spark, sf_dir) -> DataFrame:
+    """GeoJSON out/in (geoseries.py:475, geodataframe.py:416): coordinates
+    survive exactly; oracle = the original x/y."""
+    from geopandas_spark.functions.st import st_x, st_y
+    from geopandas_spark.sources.geojson import st_asgeojson, st_geomfromgeojson
+
+    pts = _customer_points(spark, sf_dir)
+    rt = pts.withColumn("g2", st_geomfromgeojson(st_asgeojson("geometry")))
+    return rt.select("c_custkey", st_x("g2").alias("x"), st_y("g2").alias("y"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_sjoin_points_in_rects(spark, "/root/testdata/sf0.001")
@@ -365,6 +452,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "events_topk_window": q_events_topk_window,
         "overlay_rect_intersection": q_overlay_rect_intersection,
+        "transform_webmercator": q_transform_webmercator,
+        "buffer_point_area": q_buffer_point_area,
+        "union_rect_area": q_union_rect_area,
+        "segmentize_counts": q_segmentize_counts,
+        "min_bounding_radius": q_min_bounding_radius,
+        "hausdorff_center": q_hausdorff_center,
+        "geojson_roundtrip": q_geojson_roundtrip,
     }
 
 
@@ -535,4 +629,52 @@ def oracle_sql() -> dict[str, str]:
               AND least(a.maxy, b.maxy) - greatest(a.miny, b.miny) > 0
         """,
         # hilbert_keys / minhash / simhash: rows-only (not SQL-expressible)
+
+        "transform_webmercator": f"""
+            WITH pts AS ({_PTS_SQL})
+            SELECT c_custkey,
+                   round(radians(x) * 6378137.0, 3) + 0.0 AS mx,
+                   round(6378137.0 * ln(tan(pi()/4 + radians(y)/2)), 3) + 0.0 AS my
+            FROM pts
+        """,
+        "buffer_point_area": f"""
+            SELECT c_custkey,
+                   round(16.0 * sin(2*pi()/32.0) * 0.013 * 0.013, 9) AS barea
+            FROM customer
+        """,
+        "union_rect_area": f"""
+            WITH r AS ({_RECT_SQL}),
+            a AS (SELECT p_partkey//2 AS k, minx, miny, maxx, maxy FROM r
+                  WHERE p_partkey % 2 = 0),
+            b AS (SELECT (p_partkey-1)//2 AS k, minx AS bminx, miny AS bminy,
+                         maxx AS bmaxx, maxy AS bmaxy FROM r
+                  WHERE p_partkey % 2 = 1)
+            SELECT a.k,
+                   round((a.maxx-a.minx)*(a.maxy-a.miny)
+                       + (bmaxx-bminx)*(bmaxy-bminy)
+                       - greatest(0, least(a.maxx,bmaxx)-greatest(a.minx,bminx))
+                         * greatest(0, least(a.maxy,bmaxy)-greatest(a.miny,bminy)), 9)
+                       AS u_area
+            FROM a JOIN b ON a.k = b.k
+        """,
+        "segmentize_counts": f"""
+            WITH r AS ({_RECT_SQL})
+            SELECT p_partkey,
+                   CAST(4 * ceil((maxx-minx) / 0.0097) + 1 AS INT) AS n_pts
+            FROM r
+        """,
+        "min_bounding_radius": f"""
+            WITH r AS ({_RECT_SQL})
+            SELECT p_partkey, round((maxx-minx) * sqrt(2.0) / 2, 9) AS mbr
+            FROM r
+        """,
+        "hausdorff_center": f"""
+            WITH r AS ({_RECT_SQL})
+            SELECT p_partkey, round((maxx-minx) * sqrt(2.0) / 2, 9) AS hd
+            FROM r
+        """,
+        "geojson_roundtrip": f"""
+            WITH pts AS ({_PTS_SQL})
+            SELECT c_custkey, x, y FROM pts
+        """,
     }

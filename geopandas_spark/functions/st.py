@@ -1052,3 +1052,62 @@ def st_concave_hull(geom, ratio: float = 0.0, allow_holes: bool = False) -> Colu
         return pd.Series(list(to_wkb(bld.finish())))
 
     return _f(_col(geom))
+
+
+def st_polygonize(geom_list) -> Column:
+    """polygonize (base.py:5763): array<binary> of noded linework -> one
+    GeometryCollection WKB of the assembled polygons."""
+
+    @pandas_udf("binary")
+    def _f(arrs: pd.Series) -> pd.Series:
+        from ..geom import wkb as B
+        from ..geom.polygonize import batch_segments, polygonize_segments
+        from ..geom.ragged import GEOMETRYCOLLECTION, POLYGON, GeometryBatchBuilder
+
+        out = []
+        for a in arrs:
+            vals = [w for w in (a or []) if w is not None]
+            if not vals:
+                out.append(None)
+                continue
+            batch = B.from_wkb(vals)
+            segs = []
+            for g in range(len(batch)):
+                segs.extend(batch_segments(batch, g))
+            res = polygonize_segments(segs)
+            bld = GeometryBatchBuilder()
+            bld.add(GEOMETRYCOLLECTION,
+                    [(POLYGON, [r]) for r in res["polygons"]])
+            out.append(B.to_wkb(bld.finish())[0])
+        return pd.Series(out)
+
+    return _f(_col(geom_list))
+
+
+def st_build_area(geom) -> Column:
+    """build_area (base.py:5712): polygonize the geometry's own linework
+    into a (Multi)Polygon per row."""
+
+    @pandas_udf("binary")
+    def _f(s: pd.Series) -> pd.Series:
+        from ..geom import wkb as B
+        from ..geom.polygonize import batch_segments, polygonize_segments
+        from ..geom.ragged import MULTIPOLYGON, POLYGON, GeometryBatchBuilder
+
+        b = B.from_wkb(s)
+        bld = GeometryBatchBuilder()
+        for g in range(len(b)):
+            if b.types[g] == 0:
+                bld.add_missing()
+                continue
+            res = polygonize_segments(batch_segments(b, g))
+            polys = res["polygons"]
+            if not polys:
+                bld.add(POLYGON, [(POLYGON, [])])
+            elif len(polys) == 1:
+                bld.add(POLYGON, [(POLYGON, [polys[0]])])
+            else:
+                bld.add(MULTIPOLYGON, [(POLYGON, [r]) for r in polys])
+        return pd.Series(list(B.to_wkb(bld.finish())))
+
+    return _f(_col(geom))

@@ -1,0 +1,166 @@
+"""GeoJSON geometry/feature interchange.
+
+Reference surface: ``GeoDataFrame.from_features`` (geodataframe.py:416),
+``iterfeatures``/``to_geo_dict`` (:638/:706), ``GeoSeries.to_json`` /
+``__geo_interface__`` (geoseries.py:475). Here: column-level conversions
+WKB <-> GeoJSON geometry strings plus DataFrame helpers for feature
+collections; all Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..geom.ragged import (
+    GEOMETRYCOLLECTION,
+    LINESTRING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    GeometryBatch,
+    GeometryBatchBuilder,
+)
+
+_T2NAME = {POINT: "Point", LINESTRING: "LineString", POLYGON: "Polygon",
+           MULTIPOINT: "MultiPoint", MULTILINESTRING: "MultiLineString",
+           MULTIPOLYGON: "MultiPolygon"}
+_NAME2T = {v: k for k, v in _T2NAME.items()}
+
+
+def geojson_geometry(b: GeometryBatch, g: int) -> dict | None:
+    """Geometry g -> GeoJSON geometry dict."""
+    t = int(b.types[g])
+    if t == 0:
+        return None
+
+    def part_coords(p):
+        rings = b.part_rings(p)
+        pt = int(b.part_types[p])
+        if pt == POINT:
+            return list(rings[0][0]) if rings and len(rings[0]) else []
+        if pt == LINESTRING:
+            return [list(c) for c in rings[0]] if rings else []
+        return [[list(c) for c in ring] for ring in rings]
+
+    parts = list(range(b.geom_part_off[g], b.geom_part_off[g + 1]))
+    if t in (POINT, LINESTRING, POLYGON):
+        coords = part_coords(parts[0]) if parts else []
+        return {"type": _T2NAME[t], "coordinates": coords}
+    if t in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON):
+        return {"type": _T2NAME[t],
+                "coordinates": [part_coords(p) for p in parts]}
+    # GeometryCollection
+    geoms = []
+    for p in parts:
+        pt = int(b.part_types[p])
+        geoms.append({"type": _T2NAME[pt], "coordinates": part_coords(p)})
+    return {"type": "GeometryCollection", "geometries": geoms}
+
+
+def _add_geojson(bld: GeometryBatchBuilder, obj: dict) -> None:
+    t = obj.get("type")
+    c = obj.get("coordinates")
+
+    def ring_arr(ring):
+        return np.array([[p[0], p[1]] for p in ring], dtype=np.float64)
+
+    if t == "Point":
+        if not c:
+            bld.add(POINT, [(POINT, [])])
+        else:
+            bld.add(POINT, [(POINT, [np.array([[c[0], c[1]]])])])
+    elif t == "LineString":
+        bld.add(LINESTRING, [(LINESTRING, [ring_arr(c)] if c else [])])
+    elif t == "Polygon":
+        bld.add(POLYGON, [(POLYGON, [ring_arr(r) for r in c])])
+    elif t == "MultiPoint":
+        bld.add(MULTIPOINT, [(POINT, [np.array([[p[0], p[1]]])]) for p in c])
+    elif t == "MultiLineString":
+        bld.add(MULTILINESTRING, [(LINESTRING, [ring_arr(l)]) for l in c])
+    elif t == "MultiPolygon":
+        bld.add(MULTIPOLYGON,
+                [(POLYGON, [ring_arr(r) for r in poly]) for poly in c])
+    elif t == "GeometryCollection":
+        parts = []
+        for sub in obj.get("geometries", []):
+            st = sub.get("type")
+            sc = sub.get("coordinates")
+            if st == "Point":
+                parts.append((POINT, [np.array([[sc[0], sc[1]]])]))
+            elif st == "LineString":
+                parts.append((LINESTRING, [ring_arr(sc)]))
+            elif st == "Polygon":
+                parts.append((POLYGON, [ring_arr(r) for r in sc]))
+        bld.add(GEOMETRYCOLLECTION, parts)
+    else:
+        bld.add_missing()
+
+
+def st_asgeojson(geom) -> F.Column:
+    """WKB -> GeoJSON geometry string (geoseries.py:475)."""
+
+    @pandas_udf("string")
+    def _f(s: pd.Series) -> pd.Series:
+        from ..geom.wkb import from_wkb
+
+        b = from_wkb(s)
+        return pd.Series([
+            json.dumps(geojson_geometry(b, g)) if b.types[g] != 0 else None
+            for g in range(len(b))
+        ])
+
+    return _f(F.col(geom) if isinstance(geom, str) else geom)
+
+
+def st_geomfromgeojson(js) -> F.Column:
+    """GeoJSON geometry string -> WKB."""
+
+    @pandas_udf("binary")
+    def _f(s: pd.Series) -> pd.Series:
+        from ..geom.wkb import to_wkb
+
+        bld = GeometryBatchBuilder()
+        for v in s:
+            if v is None:
+                bld.add_missing()
+            else:
+                _add_geojson(bld, json.loads(v))
+        return pd.Series(list(to_wkb(bld.finish())))
+
+    return _f(F.col(js) if isinstance(js, str) else js)
+
+
+def to_features(df: DataFrame, geom: str = "geometry") -> DataFrame:
+    """One GeoJSON Feature string per row (iterfeatures,
+    geodataframe.py:638) — properties = all non-geometry columns."""
+    props = [c for c in df.columns if c != geom]
+    prop_struct = F.to_json(F.struct(*[F.col(c) for c in props]))
+    return df.select(
+        F.concat(
+            F.lit('{"type": "Feature", "geometry": '),
+            F.coalesce(st_asgeojson(geom), F.lit("null")),
+            F.lit(', "properties": '),
+            prop_struct,
+            F.lit("}"),
+        ).alias("feature")
+    )
+
+
+def from_features(df: DataFrame, feature_col: str = "feature",
+                  geom: str = "geometry") -> DataFrame:
+    """Feature strings -> DataFrame with WKB geometry + properties as a
+    JSON string column (from_features, geodataframe.py:416)."""
+    g = F.get_json_object(F.col(feature_col), "$.geometry")
+    p = F.get_json_object(F.col(feature_col), "$.properties")
+    return df.select(
+        st_geomfromgeojson(g).alias(geom),
+        p.alias("properties"),
+    )

@@ -327,3 +327,24 @@ def test_delaunay_voronoi_concave():
     r0 = concave_hull(pts, ratio=0.2)
     a0 = abs(np.cross(r0[0][:-1], r0[0][1:]).sum()) / 2
     assert a0 <= hull_area + 1e-12
+
+
+def test_polygonize():
+    from geopandas_spark.geom.polygonize import polygonize_segments
+
+    # a unit square drawn as 4 separate segments + one dangle
+    segs = [((0, 0), (1, 0)), ((1, 0), (1, 1)), ((1, 1), (0, 1)),
+            ((0, 1), (0, 0)), ((1, 1), (2, 2))]
+    res = polygonize_segments(segs)
+    assert len(res["polygons"]) == 1
+    r = res["polygons"][0]
+    assert abs(np.cross(r[:-1], r[1:]).sum() / 2 - 1.0) < 1e-12
+    assert len(res["dangles"]) == 1
+    # two squares sharing an edge -> two faces
+    segs2 = [((0, 0), (1, 0)), ((1, 0), (1, 1)), ((1, 1), (0, 1)),
+             ((0, 1), (0, 0)), ((1, 0), (2, 0)), ((2, 0), (2, 1)),
+             ((2, 1), (1, 1))]
+    res2 = polygonize_segments(segs2)
+    assert len(res2["polygons"]) == 2
+    assert abs(sum(np.cross(r[:-1], r[1:]).sum() / 2
+                   for r in res2["polygons"]) - 2.0) < 1e-12

@@ -40,7 +40,7 @@ def _norm(v) -> str:
     if isinstance(v, float):
         if v != v:
             return "nan"
-        return repr(round(v, 9))
+        return repr(round(v, 9) + 0.0)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
