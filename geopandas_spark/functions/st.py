@@ -249,10 +249,20 @@ def st_force_2d(geom) -> Column:
 
 
 def st_buffer(geom, distance: float, quad_segs: int = 8) -> Column:
-    """base.py:4806 (puntal inputs; see transforms.buffer_points)."""
-    return _transform_udf(
-        lambda t, b: t.buffer_points(b, distance, quad_segs)
-    )(_col(geom))
+    """base.py:4806 — all geometry types. Puntal batches take the fast
+    vectorized disc path; lines/polygons buffer via capsule union with
+    the Martinez-Rueda sweep (transforms.buffer_general), negative
+    distances erode polygons."""
+
+    def _dispatch(t, b):
+        from ..geom.ragged import POINT
+
+        if distance > 0 and len(b) and (b.types == POINT).all() and (
+                b.n_coords_per_geom() == 1).all():
+            return t.buffer_points(b, distance, quad_segs)
+        return t.buffer_general(b, distance, quad_segs)
+
+    return _transform_udf(_dispatch)(_col(geom))
 
 
 def st_simplify(geom, tolerance: float) -> Column:

@@ -319,8 +319,8 @@ class _Sweep:
         l = _Event(p, True, e.pol)
         r.other = e
         l.other = e.other
-        r.etype = e.etype
-        l.etype = e.etype
+        # the remainder is its own segment: overlap/transition flags do
+        # NOT carry over (its fields are computed when it is popped)
         e.other.other = l
         e.other = r
         self.queue.push(l)

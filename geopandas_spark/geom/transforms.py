@@ -520,3 +520,87 @@ def representative_point(batch: GeometryBatch) -> np.ndarray:
         if len(hit):
             out[g] = [xs[hit[len(hit) // 2]], ys[0]]
     return out
+
+
+def buffer_general(batch: GeometryBatch, distance: float,
+                   quad_segs: int = 8) -> GeometryBatch:
+    """Buffer for any geometry type (base.py:4806).
+
+    Positive distance: the buffered region is the union of per-segment
+    capsules (rectangle + vertex discs with 4*quad_segs-gon arcs) and,
+    for polygonal inputs, the polygon itself — merged exactly with the
+    Martinez-Rueda sweep. Negative distance erodes polygons by
+    differencing the boundary capsules. Matches GEOS's discretized-arc
+    semantics (same vertex count per quadrant)."""
+    from .boolean import boolean_rings, group_rings
+    from .clipping import _all_poly_rings
+    from .unary import _geom_rings
+    from .ragged import MULTIPOLYGON, TYPE_DIM
+
+    d = float(distance)
+    n_arc = 4 * quad_segs
+    # half-step rotation: no disc vertex falls exactly on a capsule corner
+    # or axis (avoids degenerate vertex-on-vertex sweep cases)
+    ang = np.linspace(0, 2 * np.pi, n_arc, endpoint=False) + np.pi / n_arc
+    disc = np.column_stack([np.cos(ang), np.sin(ang)]) * abs(d)
+
+    def capsules(g: int) -> list[np.ndarray]:
+        rings_out = []
+        for _, r in _geom_rings(batch, g):
+            for i in range(len(r)):
+                c = r[i] + disc
+                rings_out.append(np.vstack([c, c[:1]]))
+            for i in range(len(r) - 1):
+                p0, p1 = r[i], r[i + 1]
+                seg = p1 - p0
+                L = np.hypot(*seg)
+                if L == 0:
+                    continue
+                nrm = np.array([-seg[1], seg[0]]) / L * abs(d)
+                rect = np.array([p0 + nrm, p1 + nrm, p1 - nrm, p0 - nrm,
+                                 p0 + nrm])
+                rings_out.append(rect)
+        return rings_out
+
+    def union_fold(ring_sets: list[list[np.ndarray]]) -> list[np.ndarray]:
+        sets = [r for r in ring_sets if r]
+        while len(sets) > 1:
+            nxt = []
+            for i in range(0, len(sets), 2):
+                if i + 1 < len(sets):
+                    nxt.append(boolean_rings(sets[i], sets[i + 1], "union"))
+                else:
+                    nxt.append(sets[i])
+            sets = nxt
+        return sets[0] if sets else []
+
+    out = GeometryBatchBuilder()
+    for g in range(len(batch)):
+        t = int(batch.types[g])
+        if t == 0:
+            out.add_missing()
+            continue
+        caps = capsules(g)
+        if not caps:
+            out.add(POLYGON, [(POLYGON, [])])
+            continue
+        if d >= 0:
+            sets = [[c] for c in caps]
+            if TYPE_DIM[t] == 2:
+                sets.append(_all_poly_rings(batch, g)[0])
+            rings = union_fold(sets)
+        else:
+            if TYPE_DIM[t] != 2:
+                out.add(POLYGON, [(POLYGON, [])])
+                continue
+            boundary_region = union_fold([[c] for c in caps])
+            rings = boolean_rings(_all_poly_rings(batch, g)[0],
+                                  boundary_region, "difference")
+        polys = group_rings(rings)
+        if not polys:
+            out.add(POLYGON, [(POLYGON, [])])
+        elif len(polys) == 1:
+            out.add(POLYGON, [(POLYGON, polys[0])])
+        else:
+            out.add(MULTIPOLYGON, [(POLYGON, r) for r in polys])
+    return out.finish()

@@ -348,3 +348,21 @@ def test_polygonize():
     assert len(res2["polygons"]) == 2
     assert abs(sum(np.cross(r[:-1], r[1:]).sum() / 2
                    for r in res2["polygons"]) - 2.0) < 1e-12
+
+
+def test_buffer_general():
+    import math
+
+    from geopandas_spark.geom.kernels import area
+    from geopandas_spark.geom.transforms import buffer_general
+
+    b = G(("point", (0, 0)),
+          ("line", [(0, 0), (10, 0)]),
+          ("poly", [[(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]]))
+    disc = 16 * math.sin(2 * math.pi / 32)  # 32-gon unit-disc area
+    r = buffer_general(b, 1.0, quad_segs=8)
+    assert abs(area(r)[0] - disc) < 1e-9
+    assert abs(area(r)[1] - (20 + disc)) < 1e-9
+    assert abs(area(r)[2] - (32 + disc)) < 1e-9
+    e = buffer_general(b, -0.4, quad_segs=8)
+    assert abs(area(e)[2] - 3.2 * 3.2) < 1e-9
