@@ -1121,3 +1121,10 @@ def st_build_area(geom) -> Column:
         return pd.Series(list(B.to_wkb(bld.finish())))
 
     return _f(_col(geom))
+
+
+def st_offset_curve(geom, distance: float, quad_segs: int = 8) -> Column:
+    """base.py:1265."""
+    return _transform_udf(
+        lambda t, b: t.offset_curve(b, distance, quad_segs)
+    )(_col(geom))

@@ -604,3 +604,82 @@ def buffer_general(batch: GeometryBatch, distance: float,
         else:
             out.add(MULTIPOLYGON, [(POLYGON, r) for r in polys])
     return out.finish()
+
+
+def offset_curve(batch: GeometryBatch, distance: float,
+                 quad_segs: int = 8) -> GeometryBatch:
+    """Parallel offset of lineal geometries (base.py:1265): left side for
+    positive distance, right for negative; round joins with
+    quad_segs-per-quadrant arcs at convex turns, miter-trim at concave
+    turns. Non-lineal rows -> missing."""
+    from .ragged import LINESTRING, MULTILINESTRING, TYPE_DIM
+    from .unary import _geom_rings
+
+    d = float(distance)
+    side = 1.0 if d >= 0 else -1.0
+    r = abs(d)
+
+    def offset_line(c: np.ndarray) -> np.ndarray | None:
+        if len(c) < 2:
+            return None
+        seg = np.diff(c, axis=0)
+        L = np.sqrt((seg ** 2).sum(axis=1))
+        keep = L > 0
+        if not keep.any():
+            return None
+        seg = seg[keep]
+        L = L[keep]
+        starts = c[:-1][keep]
+        ends = starts + seg
+        nrm = np.column_stack([-seg[:, 1], seg[:, 0]]) / L[:, None] * (side * r)
+        pts = [starts[0] + nrm[0], ends[0] + nrm[0]]
+        for i in range(1, len(seg)):
+            turn = float(np.cross(seg[i - 1], seg[i]))
+            v = ends[i - 1]  # original vertex
+            if turn * side > 0:  # turning toward the offset side -> trim
+                # turning toward the offset side: trim via intersection of
+                # the two offset lines (fall back to direct connect)
+                p0, d0 = starts[i - 1] + nrm[i - 1], seg[i - 1]
+                p1, d1 = starts[i] + nrm[i], seg[i]
+                den = d0[0] * d1[1] - d0[1] * d1[0]
+                if den != 0:
+                    t = ((p1[0] - p0[0]) * d1[1] - (p1[1] - p0[1]) * d1[0]) / den
+                    pts[-1] = p0 + t * d0
+                else:
+                    pts.append(starts[i] + nrm[i])
+            else:
+                # arc around the vertex from nrm[i-1] to nrm[i]
+                a0 = np.arctan2(nrm[i - 1][1], nrm[i - 1][0])
+                a1 = np.arctan2(nrm[i][1], nrm[i][0])
+                sweep = (a1 - a0)
+                if side > 0:
+                    while sweep > 0:
+                        sweep -= 2 * np.pi
+                else:
+                    while sweep < 0:
+                        sweep += 2 * np.pi
+                nsteps = max(1, int(np.ceil(abs(sweep) / (np.pi / 2) * quad_segs)))
+                for k in range(1, nsteps + 1):
+                    a = a0 + sweep * k / nsteps
+                    pts.append(v + r * np.array([np.cos(a), np.sin(a)]))
+            pts.append(ends[i] + nrm[i])
+        return np.array(pts)
+
+    out = GeometryBatchBuilder()
+    for g in range(len(batch)):
+        t = int(batch.types[g])
+        if t not in (LINESTRING, MULTILINESTRING):
+            out.add_missing()
+            continue
+        lines = []
+        for _, ring in _geom_rings(batch, g):
+            o = offset_line(ring)
+            if o is not None:
+                lines.append(o)
+        if not lines:
+            out.add(LINESTRING, [(LINESTRING, [])])
+        elif len(lines) == 1:
+            out.add(LINESTRING, [(LINESTRING, lines)])
+        else:
+            out.add(MULTILINESTRING, [(LINESTRING, [l]) for l in lines])
+    return out.finish()

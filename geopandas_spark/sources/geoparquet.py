@@ -1,0 +1,126 @@
+"""GeoParquet read/write with `geo` file metadata parity.
+
+Reference: ``to_parquet``/``read_parquet`` (io/arrow.py:179/:296) and the
+``geo`` metadata blob (io/arrow.py:60-112): version, primary_column and
+per-column encoding / geometry_types / crs / bbox. Spark's parquet writer
+cannot attach custom file-level metadata, so the engine follows the
+reference split:
+
+* ``write_geoparquet(df, path)`` — distributed ``df.write.parquet`` for
+  the data (optionally with a covering ``bbox`` struct column — the §4
+  pruning backbone) plus a ``_geo_metadata.json`` sidecar carrying the
+  exact ``geo`` blob; ``write_geoparquet_file`` writes a single
+  pyarrow-backed .parquet with the blob embedded in the file metadata
+  (interchange with other GeoParquet readers, dev-scale).
+* ``read_geoparquet(spark, path)`` — reads either layout; returns
+  (DataFrame, geo_metadata).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GEO_VERSION = "1.1.0"
+
+
+def _geometry_types(df: DataFrame, geom: str, sample: int = 1000) -> list[str]:
+    from ..functions.st import st_geometry_type
+
+    rows = (
+        df.select(st_geometry_type(geom).alias("t"))
+        .limit(sample).distinct().collect()
+    )
+    return sorted(r["t"] for r in rows if r["t"] is not None)
+
+
+def geo_metadata(df: DataFrame, geom: str = "geometry",
+                 crs: str | None = None,
+                 with_bbox_stats: bool = True) -> dict:
+    """The ``geo`` blob (io/arrow.py:60-112)."""
+    col: dict = {"encoding": "WKB",
+                 "geometry_types": _geometry_types(df, geom)}
+    if crs is not None:
+        col["crs"] = crs
+    if with_bbox_stats:
+        from ..functions.st import st_bounds
+
+        r = df.select(st_bounds(geom).alias("b")).agg(
+            F.min("b.minx"), F.min("b.miny"), F.max("b.maxx"), F.max("b.maxy")
+        ).collect()[0]
+        if r[0] is not None:
+            col["bbox"] = [float(v) for v in r]
+    return {"version": GEO_VERSION, "primary_column": geom,
+            "columns": {geom: col}}
+
+
+def write_geoparquet(df: DataFrame, path: str, geom: str = "geometry",
+                     crs: str | None = None, covering_bbox: bool = True,
+                     mode: str = "overwrite") -> dict:
+    """Distributed GeoParquet-style write: data as parquet (+ covering
+    bbox struct column for row-group/partition pruning) and the ``geo``
+    blob as a sidecar."""
+    from ..functions.st import st_bounds
+
+    out = df
+    meta = geo_metadata(df, geom, crs)
+    if covering_bbox:
+        out = out.withColumn("bbox", st_bounds(geom))
+        meta["columns"][geom]["covering"] = {
+            "bbox": {"xmin": ["bbox", "minx"], "ymin": ["bbox", "miny"],
+                     "xmax": ["bbox", "maxx"], "ymax": ["bbox", "maxy"]}}
+    out.write.mode(mode).parquet(path)
+    with open(os.path.join(path, "_geo_metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
+def write_geoparquet_file(df: DataFrame, path: str, geom: str = "geometry",
+                          crs: str | None = None) -> dict:
+    """Single-file pyarrow write with the ``geo`` blob embedded in the
+    parquet file metadata (full interchange parity; dev-scale — collects
+    to the driver like the reference's pandas-based writer)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta = geo_metadata(df, geom, crs)
+    pdf = df.toPandas()
+    table = pa.Table.from_pandas(pdf)
+    existing = table.schema.metadata or {}
+    table = table.replace_schema_metadata(
+        {**existing, b"geo": json.dumps(meta).encode()})
+    pq.write_table(table, path)
+    return meta
+
+
+def read_geoparquet(spark: SparkSession, path: str):
+    """-> (DataFrame, geo_metadata | None). Reads both layouts."""
+    meta = None
+    side = os.path.join(path, "_geo_metadata.json")
+    if os.path.isfile(side):
+        with open(side) as f:
+            meta = json.load(f)
+    elif os.path.isfile(path):
+        import pyarrow.parquet as pq
+
+        md = pq.read_schema(path).metadata or {}
+        if b"geo" in md:
+            meta = json.loads(md[b"geo"].decode())
+    df = spark.read.parquet(path)
+    return df, meta
+
+
+def bbox_filter(df: DataFrame, minx: float, miny: float, maxx: float,
+                maxy: float) -> DataFrame:
+    """Pure-SQL bbox predicate on the covering bbox column — Catalyst
+    pushes it to parquet row-group stats (read_parquet bbox semantics,
+    io/arrow.py:341-344)."""
+    return df.filter(
+        (F.col("bbox.minx") <= maxx) & (F.col("bbox.maxx") >= minx)
+        & (F.col("bbox.miny") <= maxy) & (F.col("bbox.maxy") >= miny)
+    )

@@ -368,3 +368,17 @@ def test_buffer_general():
     assert abs(area(r)[2] - (32 + disc)) < 1e-3
     e = buffer_general(b, -0.4, quad_segs=8)
     assert abs(area(e)[2] - 3.2 * 3.2) < 1e-9
+
+
+def test_offset_curve():
+    from geopandas_spark.geom.kernels import length
+    from geopandas_spark.geom.transforms import offset_curve
+
+    b = G(("line", [(0, 0), (5, 0), (5, 5)]),
+          ("line", [(0, 0), (10, 0)]))
+    left = offset_curve(b, 1.0)
+    assert abs(length(left)[0] - 8.0) < 1e-9       # inside turn trims
+    assert abs(length(left)[1] - 10.0) < 1e-9
+    assert np.allclose(left.coords[-2:], [[0, 1], [10, 1]])
+    right = offset_curve(b, -1.0)
+    assert 11.4 < length(right)[0] < 11.7          # round-join arc
