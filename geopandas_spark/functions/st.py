@@ -852,7 +852,7 @@ def st_intersection_all(geom_list) -> Column:
 
         out = []
         for a in arrs:
-            vals = [w for w in (a or []) if w is not None]
+            vals = [w for w in (list(a) if a is not None else []) if w is not None]
             if not vals:
                 out.append(None)
                 continue
@@ -1076,7 +1076,7 @@ def st_polygonize(geom_list) -> Column:
 
         out = []
         for a in arrs:
-            vals = [w for w in (a or []) if w is not None]
+            vals = [w for w in (list(a) if a is not None else []) if w is not None]
             if not vals:
                 out.append(None)
                 continue

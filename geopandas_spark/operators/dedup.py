@@ -130,6 +130,9 @@ def minhash_lsh(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             )
         ).alias("band_id", "band"),
     ).withColumn("band_hash", F.xxhash64(F.col("band_id"), F.to_json("band")))
+    # both join branches read the banded signatures: pin one materialization
+    # (otherwise the signature UDF and banding run twice)
+    banded = banded.persist()
     a = banded.select(F.col("__id").alias("id_a"), F.col("__text").alias("ta"),
                       "band_hash")
     bdf = banded.select(F.col("__id").alias("id_b"), F.col("__text").alias("tb"),

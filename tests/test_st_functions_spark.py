@@ -1,0 +1,143 @@
+"""Spark-level smoke tests for the newer st_* wrappers: each runs through
+a real pandas UDF (Arrow serialization, closure pickling) and checks an
+exact expected value."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geopandas_spark.functions import st
+
+
+@pytest.fixture(scope="module")
+def gdf(spark):
+    pdf = pd.DataFrame({
+        "id": [0, 1, 2],
+        "wkt": [
+            "POINT (0.25 0.5)",
+            "LINESTRING (0 0, 1 0, 1 1)",
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+        ],
+    })
+    df = spark.createDataFrame(pdf)
+    return df.withColumn("geometry", st.st_geomfromtext("wkt")).persist()
+
+
+def _vals(df, col):
+    return [r[0] for r in df.select(col).orderBy("id").collect()]
+
+
+def test_unary_predicates(gdf):
+    out = gdf.select(
+        "id",
+        st.st_is_valid("geometry").alias("v"),
+        st.st_is_simple("geometry").alias("s"),
+        st.st_is_closed("geometry").alias("c"),
+        st.st_has_z("geometry").alias("z"),
+    )
+    rows = out.orderBy("id").collect()
+    assert [r["v"] for r in rows] == [True, True, True]
+    assert [r["s"] for r in rows] == [True, True, True]
+    assert [r["c"] for r in rows] == [False, False, False]
+    assert [r["z"] for r in rows] == [False, False, False]
+
+
+def test_constructive(gdf):
+    out = gdf.select(
+        "id",
+        st.st_area(st.st_minimum_bounding_circle("geometry")).alias("mbc"),
+        st.st_minimum_bounding_radius("geometry").alias("mbr"),
+        st.st_area(st.st_buffer("geometry", 0.5)).alias("buf"),
+        st.st_num_coordinates(st.st_segmentize("geometry", 0.5)).alias("nseg"),
+    )
+    r = {row["id"]: row for row in out.collect()}
+    assert abs(r[0]["mbr"]) < 1e-12                      # point radius 0
+    assert abs(r[2]["mbr"] - 4 * math.sqrt(2) / 2) < 1e-9
+    disc = 16 * math.sin(2 * math.pi / 32) * 0.25
+    assert abs(r[0]["buf"] - disc) < 1e-9                # point buffer
+    assert abs(r[2]["buf"] - (16 + 8 + disc)) < 1e-3     # square buffer
+    assert r[2]["nseg"] == 4 * 8 + 1                     # 4 sides / 0.5
+
+
+def test_transform_crs(gdf, spark):
+    out = gdf.filter(F.col("id") == 0).select(
+        st.st_x(st.st_transform("geometry", 4326, 3857)).alias("mx"))
+    mx = out.collect()[0]["mx"]
+    assert abs(mx - math.radians(0.25) * 6378137.0) < 1e-6
+
+
+def test_pairwise_boolean_spark(gdf, spark):
+    pdf = pd.DataFrame({
+        "id": [0],
+        "wa": ["POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"],
+        "wb": ["POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"],
+    })
+    df = spark.createDataFrame(pdf)
+    df = df.withColumn("a", st.st_geomfromtext("wa")).withColumn(
+        "b", st.st_geomfromtext("wb"))
+    row = df.select(
+        st.st_area(st.st_intersection("a", "b")).alias("i"),
+        st.st_area(st.st_union("a", "b")).alias("u"),
+        st.st_area(st.st_difference("a", "b")).alias("d"),
+        st.st_area(st.st_symmetric_difference("a", "b")).alias("x"),
+    ).collect()[0]
+    assert (row["i"], row["u"], row["d"], row["x"]) == (4.0, 28.0, 12.0, 24.0)
+
+
+def test_triangulate_spark(gdf, spark):
+    pts = ", ".join(f"{x} {y}" for x, y in
+                    np.random.default_rng(3).random((12, 2)))
+    df = spark.createDataFrame(pd.DataFrame({"id": [0], "w": [f"MULTIPOINT ({pts})"]}))
+    df = df.withColumn("g", st.st_geomfromtext("w"))
+    row = df.select(
+        st.st_area(st.st_delaunay_triangles("g")).alias("ta"),
+        st.st_area(st.st_convex_hull("g")).alias("ha"),
+        st.st_area(st.st_concave_hull("g", ratio=1.0)).alias("ca"),
+    ).collect()[0]
+    assert abs(row["ta"] - row["ha"]) < 1e-9
+    assert abs(row["ca"] - row["ha"]) < 1e-9
+
+
+def test_interpolate_project_spark(gdf):
+    line = gdf.filter(F.col("id") == 1)
+    row = line.select(
+        st.st_astext(st.st_interpolate("geometry", 1.5)).alias("p"),
+        st.st_project("geometry", st.st_point(F.lit(1.0), F.lit(0.25))).alias("d"),
+    ).collect()[0]
+    assert row["p"] == "POINT (1 0.5)"
+    assert abs(row["d"] - 1.25) < 1e-12
+
+
+def test_geojson_spark(gdf, spark):
+    from geopandas_spark.sources.geojson import st_asgeojson, st_geomfromgeojson
+
+    rt = gdf.select(
+        "id",
+        st.st_astext(st_geomfromgeojson(st_asgeojson("geometry"))).alias("t"),
+        st.st_astext("geometry").alias("t0"),
+    )
+    for r in rt.collect():
+        assert r["t"] == r["t0"]
+
+
+def test_polygonize_spark(gdf, spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "gid": [1, 1, 1, 1],
+        "w": ["LINESTRING (0 0, 1 0)", "LINESTRING (1 0, 1 1)",
+              "LINESTRING (1 1, 0 1)", "LINESTRING (0 1, 0 0)"],
+    }))
+    df = df.withColumn("g", st.st_geomfromtext("w"))
+    agg = df.groupBy("gid").agg(F.collect_list("g").alias("gs"))
+    row = agg.select(st.st_area(st.st_polygonize("gs")).alias("a")).collect()[0]
+    assert abs(row["a"] - 1.0) < 1e-12
+
+
+def test_sample_points_spark(gdf):
+    poly = gdf.filter(F.col("id") == 2)
+    out = poly.select(
+        st.st_num_geometries(
+            st.st_sample_points("geometry", 7, seed=3, row_key="id")).alias("n"))
+    assert out.collect()[0]["n"] == 7
