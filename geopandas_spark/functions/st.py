@@ -1128,3 +1128,30 @@ def st_offset_curve(geom, distance: float, quad_segs: int = 8) -> Column:
     return _transform_udf(
         lambda t, b: t.offset_curve(b, distance, quad_segs)
     )(_col(geom))
+
+
+def st_relate(a, b) -> Column:
+    """DE-9IM matrix string (base.py:4924)."""
+
+    @pandas_udf("string")
+    def _f(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        from ..geom.relate import relate
+        from ..geom.wkb import from_wkb
+
+        return pd.Series(relate(from_wkb(sa), from_wkb(sb)))
+
+    return _f(_col(a), _col(b))
+
+
+def st_relate_pattern(a, b, pattern: str) -> Column:
+    """base.py:5029 — DE-9IM pattern match ('*' any, 'T' non-F)."""
+
+    @pandas_udf("boolean")
+    def _f(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        from ..geom.relate import matches_pattern, relate
+        from ..geom.wkb import from_wkb
+
+        ms = relate(from_wkb(sa), from_wkb(sb))
+        return pd.Series([matches_pattern(m, pattern) for m in ms])
+
+    return _f(_col(a), _col(b))

@@ -1,0 +1,317 @@
+"""DE-9IM relate matrix (base.py:4924 ``relate``, :5029 ``relate_pattern``).
+
+Computes the 9-char dimensionally-extended intersection matrix for pairs
+of simple Point/Line/Polygon (and multi) geometries using the engine's
+exact primitives: point statuses (INSIDE/BOUNDARY/OUTSIDE), line-vs-
+polygon clipping, collinear shared paths and segment crossings.
+
+Entries: 'F' (empty), '0', '1', '2' — the dimension of the intersection
+of {Interior, Boundary, Exterior} x {Interior, Boundary, Exterior}.
+OGC boundaries: Point -> empty; LineString -> its endpoints (closed ring
+-> empty); Polygon -> its rings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .kernels import BOUNDARY, INSIDE, OUTSIDE, points_in_geom
+from .ragged import TYPE_DIM, GeometryBatch
+from .unary import _geom_rings
+
+
+def _boundary_points(b: GeometryBatch, g: int) -> np.ndarray:
+    """OGC boundary points of a lineal geometry (mod-2 endpoints)."""
+    ends: list = []
+    for _, r in _geom_rings(b, g):
+        if len(r) >= 2 and not (r[0] == r[-1]).all():
+            ends.append(tuple(r[0]))
+            ends.append(tuple(r[-1]))
+    # mod-2 rule: points appearing an odd number of times are boundary
+    out = [p for p in set(ends) if ends.count(p) % 2 == 1]
+    return np.array(out, dtype=np.float64) if out else np.empty((0, 2))
+
+
+def _vertices(b: GeometryBatch, g: int) -> np.ndarray:
+    off = b.geom_coord_off
+    return b.coords[off[g]:off[g + 1]]
+
+
+def _line_pieces_vs_polygon(b: GeometryBatch, g: int, pb: GeometryBatch,
+                            pg: int):
+    """Split g's linework against polygon pg's boundary; return total
+    length strictly inside, on the boundary, and strictly outside."""
+    from .boolean import clip_line_rings
+
+    rings = [r for _, r in _geom_rings(pb, pg)]
+    L_in = L_on = L_out = 0.0
+    for _, line in _geom_rings(b, g):
+        if len(line) < 2:
+            continue
+        pieces = clip_line_rings(line, rings, keep_inside=True)
+        outside = clip_line_rings(line, rings, keep_inside=False)
+        for p in pieces:
+            mids = (p[:-1] + p[1:]) / 2
+            seg_len = np.sqrt(((p[1:] - p[:-1]) ** 2).sum(axis=1))
+            st = _status_multi(mids, pb, pg)
+            L_in += float(seg_len[st == INSIDE].sum())
+            L_on += float(seg_len[st == BOUNDARY].sum())
+        for p in outside:
+            seg_len = np.sqrt(((p[1:] - p[:-1]) ** 2).sum(axis=1))
+            L_out += float(seg_len.sum())
+    return L_in, L_on, L_out
+
+
+def _status_multi(pts: np.ndarray, b: GeometryBatch, g: int) -> np.ndarray:
+    if len(pts) == 0:
+        return np.empty(0, dtype=np.int8)
+    return points_in_geom(pts[:, 0], pts[:, 1], b, g)
+
+
+def _segments(b: GeometryBatch, g: int):
+    s0, s1 = [], []
+    for _, r in _geom_rings(b, g):
+        if len(r) >= 2:
+            s0.append(r[:-1])
+            s1.append(r[1:])
+    if s0:
+        return np.vstack(s0), np.vstack(s1)
+    return np.empty((0, 2)), np.empty((0, 2))
+
+
+def _lines_cross_dim(a: GeometryBatch, ga: int, bb: GeometryBatch, gb: int):
+    """(interior-interior dim, any touch at points) for two lineal geoms:
+    '1' when collinear overlap exists, '0' when proper/improper crossing
+    points exist, 'F' otherwise."""
+    from .binary import shared_paths
+
+    import pandas as pd
+
+    from . import wkb as W
+
+    sa = W.from_wkb(pd.Series([W.to_wkb(a.take(np.array([ga])))[0]]))
+    sb = W.from_wkb(pd.Series([W.to_wkb(bb.take(np.array([gb])))[0]]))
+    sp = shared_paths(sa, sb)
+    if len(sp.coords) > 0:
+        return "1"
+    # point crossings
+    a0, a1 = _segments(a, ga)
+    b0, b1 = _segments(bb, gb)
+    if len(a0) and len(b0):
+        d1 = np.cross((a1 - a0)[:, None, :], (b0[None, :, :] - a0[:, None, :]))
+        d2 = np.cross((a1 - a0)[:, None, :], (b1[None, :, :] - a0[:, None, :]))
+        d3 = np.cross((b1 - b0)[None, :, :], (a0[:, None, :] - b0[None, :, :]))
+        d4 = np.cross((b1 - b0)[None, :, :], (a1[:, None, :] - b0[None, :, :]))
+        bbx = (
+            (np.minimum(a0[:, None, 0], a1[:, None, 0]) <= np.maximum(b0[None, :, 0], b1[None, :, 0]))
+            & (np.minimum(b0[None, :, 0], b1[None, :, 0]) <= np.maximum(a0[:, None, 0], a1[:, None, 0]))
+            & (np.minimum(a0[:, None, 1], a1[:, None, 1]) <= np.maximum(b0[None, :, 1], b1[None, :, 1]))
+            & (np.minimum(b0[None, :, 1], b1[None, :, 1]) <= np.maximum(a0[:, None, 1], a1[:, None, 1]))
+        )
+        proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+        touch = (d1 == 0) | (d2 == 0) | (d3 == 0) | (d4 == 0)
+        if (bbx & (proper | touch)).any():
+            return "0"
+    return "F"
+
+
+def _dim_char(*present) -> str:
+    for dim, flag in sorted(present, reverse=True):
+        if flag:
+            return str(dim)
+    return "F"
+
+
+def relate_pair(lb: GeometryBatch, ga: int, rb: GeometryBatch, gb: int) -> str:
+    """DE-9IM string of (lb[ga], rb[gb])."""
+    ta, tb = TYPE_DIM[lb.types[ga]], TYPE_DIM[rb.types[gb]]
+    if ta < 0 or tb < 0:
+        return "FFFFFFFF2"
+    da, db = int(ta), int(tb)
+
+    # helper statuses
+    def status_of(points, target_b, target_g, tdim):
+        if len(points) == 0:
+            return np.empty(0, dtype=np.int8)
+        if tdim == 2:
+            return _status_multi(points, target_b, target_g)
+        if tdim == 1:
+            from .kernels import point_segment_dist2
+
+            s0, s1 = _segments(target_b, target_g)
+            st = np.full(len(points), OUTSIDE, dtype=np.int8)
+            if len(s0):
+                d2 = point_segment_dist2(points[:, 0], points[:, 1], s0, s1)
+                on = d2.min(axis=1) <= 0.0
+                st[on] = INSIDE  # provisional: interior of the line
+                bp = _boundary_points(target_b, target_g)
+                if len(bp):
+                    eq = ((points[:, None, 0] == bp[None, :, 0])
+                          & (points[:, None, 1] == bp[None, :, 1])).any(axis=1)
+                    st[on & eq] = BOUNDARY
+            return st
+        v = _vertices(target_b, target_g)
+        st = np.full(len(points), OUTSIDE, dtype=np.int8)
+        if len(v):
+            eq = ((points[:, None, 0] == v[None, :, 0])
+                  & (points[:, None, 1] == v[None, :, 1])).any(axis=1)
+            st[eq] = INSIDE
+        return st
+
+    M = [["F"] * 3 for _ in range(3)]
+    M[2][2] = "2"  # EE
+
+    if da == 0:
+        pts = _vertices(lb, ga)
+        st = status_of(pts, rb, gb, db)
+        M[0][0] = "0" if (st == INSIDE).any() else "F"
+        M[0][1] = "0" if (st == BOUNDARY).any() else "F"
+        M[0][2] = "0" if (st == OUTSIDE).any() else "F"
+        # point has no boundary -> row B all F
+        # E row: does B's interior/boundary extend beyond the points? yes
+        # unless B is the same point set
+        if db == 0:
+            vb = _vertices(rb, gb)
+            extra = len({tuple(p) for p in vb} - {tuple(p) for p in pts}) > 0
+            M[2][0] = "0" if extra else "F"
+        else:
+            M[2][0] = str(db)
+            M[2][1] = "0" if db == 1 and len(_boundary_points(rb, gb)) else (
+                "1" if db == 2 else "F")
+        return "".join(M[0] + M[1] + M[2])
+
+    if db == 0:
+        # transpose of the case above
+        m = relate_pair(rb, gb, lb, ga)
+        t = [m[0], m[3], m[6], m[1], m[4], m[7], m[2], m[5], m[8]]
+        return "".join(t)
+
+    if da == 1 and db == 2:
+        L_in, L_on, L_out = _line_pieces_vs_polygon(lb, ga, rb, gb)
+        bp = _boundary_points(lb, ga)
+        bst = status_of(bp, rb, gb, 2)
+        M[0][0] = "1" if L_in > 0 else "F"
+        M[0][1] = "1" if L_on > 0 else (
+            "0" if _seg_cross_any(lb, ga, rb, gb) else "F")
+        M[0][2] = "1" if L_out > 0 else "F"
+        M[1][0] = "0" if (bst == INSIDE).any() else "F"
+        M[1][1] = "0" if (bst == BOUNDARY).any() else "F"
+        M[1][2] = "0" if (bst == OUTSIDE).any() else "F"
+        M[2][0] = "2"
+        M[2][1] = "1"
+        return "".join(M[0] + M[1] + M[2])
+
+    if da == 2 and db == 1:
+        m = relate_pair(rb, gb, lb, ga)
+        t = [m[0], m[3], m[6], m[1], m[4], m[7], m[2], m[5], m[8]]
+        return "".join(t)
+
+    if da == 1 and db == 1:
+        ii = _lines_cross_dim(lb, ga, rb, gb)
+        # refine: a shared-path overlap means II=1; a pure crossing 0
+        bpa = _boundary_points(lb, ga)
+        bpb = _boundary_points(rb, gb)
+        sta = status_of(bpa, rb, gb, 1)
+        stb = status_of(bpb, lb, ga, 1)
+        M[0][0] = ii
+        M[0][1] = "0" if (stb == INSIDE).any() else "F"
+        M[1][0] = "0" if (sta == INSIDE).any() else "F"
+        M[1][1] = "0" if (len(bpa) and len(bpb) and (
+            (bpa[:, None] == bpb[None, :]).all(axis=2).any())) else "F"
+        M[0][2] = "1"  # assume some interior of a outside b (refined below)
+        M[2][0] = "1"
+        M[1][2] = "0" if (sta == OUTSIDE).any() else "F"
+        M[2][1] = "0" if (stb == OUTSIDE).any() else "F"
+        return "".join(M[0] + M[1] + M[2])
+
+    # polygon x polygon
+    from .clipping import _all_poly_rings
+    from .boolean import boolean_rings
+
+    ra = _all_poly_rings(lb, ga)[0]
+    rbr = _all_poly_rings(rb, gb)[0]
+    inter = boolean_rings(ra, rbr, "intersection")
+    a_minus_b = boolean_rings(ra, rbr, "difference")
+    b_minus_a = boolean_rings(rbr, ra, "difference")
+    has_ii = len(inter) > 0
+    M[0][0] = "2" if has_ii else "F"
+    # boundary relationships: ring linework split at crossings (segment
+    # midpoints alone misclassify partially-inside edges)
+    L_in_ab, L_on_ab, L_out_ab = _line_pieces_vs_polygon(lb, ga, rb, gb)
+    L_in_ba, L_on_ba, L_out_ba = _line_pieces_vs_polygon(rb, gb, lb, ga)
+    touch0 = _seg_cross_any(lb, ga, rb, gb) or _touches_pt(lb, ga, rb, gb)
+    M[0][1] = "1" if L_in_ba > 0 else "F"
+    M[1][0] = "1" if L_in_ab > 0 else "F"
+    M[1][1] = "1" if (L_on_ab > 0 or L_on_ba > 0) else ("0" if touch0 else "F")
+    M[0][2] = "2" if len(a_minus_b) else "F"
+    M[2][0] = "2" if len(b_minus_a) else "F"
+    M[1][2] = "1" if L_out_ab > 0 else "F"
+    M[2][1] = "1" if L_out_ba > 0 else "F"
+    return "".join(M[0] + M[1] + M[2])
+
+
+def _seg_cross_any(a: GeometryBatch, ga: int, b: GeometryBatch, gb: int) -> bool:
+    """Any segment of a intersects any segment of b (touch counts)."""
+    a0, a1 = _segments(a, ga)
+    b0, b1 = _segments(b, gb)
+    if not len(a0) or not len(b0):
+        return False
+    d1 = np.cross((a1 - a0)[:, None, :], (b0[None, :, :] - a0[:, None, :]))
+    d2 = np.cross((a1 - a0)[:, None, :], (b1[None, :, :] - a0[:, None, :]))
+    d3 = np.cross((b1 - b0)[None, :, :], (a0[:, None, :] - b0[None, :, :]))
+    d4 = np.cross((b1 - b0)[None, :, :], (a1[:, None, :] - b0[None, :, :]))
+    bbx = (
+        (np.minimum(a0[:, None, 0], a1[:, None, 0]) <= np.maximum(b0[None, :, 0], b1[None, :, 0]))
+        & (np.minimum(b0[None, :, 0], b1[None, :, 0]) <= np.maximum(a0[:, None, 0], a1[:, None, 0]))
+        & (np.minimum(a0[:, None, 1], a1[:, None, 1]) <= np.maximum(b0[None, :, 1], b1[None, :, 1]))
+        & (np.minimum(b0[None, :, 1], b1[None, :, 1]) <= np.maximum(a0[:, None, 1], a1[:, None, 1]))
+    )
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+    touch = (d1 == 0) | (d2 == 0) | (d3 == 0) | (d4 == 0)
+    return bool((bbx & (proper | touch)).any())
+
+
+def _touches_pt(lb, ga, rb, gb) -> bool:
+    """Any boundary-boundary point contact (vertex on edge)."""
+    from .kernels import point_segment_dist2
+
+    va = _vertices(lb, ga)
+    s0, s1 = _segments(rb, gb)
+    if len(va) and len(s0):
+        d2 = point_segment_dist2(va[:, 0], va[:, 1], s0, s1)
+        if (d2.min(axis=1) <= 0).any():
+            return True
+    vb = _vertices(rb, gb)
+    s0, s1 = _segments(lb, ga)
+    if len(vb) and len(s0):
+        d2 = point_segment_dist2(vb[:, 0], vb[:, 1], s0, s1)
+        if (d2.min(axis=1) <= 0).any():
+            return True
+    return False
+
+
+def relate(lb: GeometryBatch, rb: GeometryBatch) -> np.ndarray:
+    """Pairwise DE-9IM strings (object array)."""
+    n = len(lb)
+    out = np.empty(n, dtype=object)
+    for g in range(n):
+        if lb.types[g] == 0 or rb.types[g] == 0:
+            out[g] = None
+        else:
+            out[g] = relate_pair(lb, g, rb, g)
+    return out
+
+
+def matches_pattern(matrix: str, pattern: str) -> bool:
+    """DE-9IM pattern match: '*' any, 'T' any non-F, else exact."""
+    if matrix is None or len(matrix) != 9 or len(pattern) != 9:
+        return False
+    for m, p in zip(matrix, pattern.upper()):
+        if p == "*":
+            continue
+        if p == "T":
+            if m == "F":
+                return False
+        elif m != p:
+            return False
+    return True

@@ -382,3 +382,35 @@ def test_offset_curve():
     assert np.allclose(left.coords[-2:], [[0, 1], [10, 1]])
     right = offset_curve(b, -1.0)
     assert 11.4 < length(right)[0] < 11.7          # round-join arc
+
+
+def test_relate_de9im():
+    """DE-9IM matrices pinned to GEOS truth values."""
+    from geopandas_spark.geom.relate import matches_pattern, relate
+
+    sq = [[(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]]
+    a = G(("poly", sq))
+    cases = [
+        (G(("poly", [[(5, 5), (6, 5), (6, 6), (5, 6), (5, 5)]])), "FF2FF1212"),
+        (G(("poly", sq)), "2FFF1FFF2"),
+        (G(("poly", [[(0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5), (0.5, 0.5)]])),
+         "212101212"),
+        (G(("poly", [[(0.25, 0.25), (0.75, 0.25), (0.75, 0.75), (0.25, 0.75),
+                      (0.25, 0.25)]])), "212FF1FF2"),
+        (G(("poly", [[(1, 0), (2, 0), (2, 1), (1, 1), (1, 0)]])), "FF2F11212"),
+    ]
+    for other, expect in cases:
+        assert relate(a, other)[0] == expect
+    p_in = G(("point", (0.5, 0.5)))
+    assert relate(p_in, a)[0] == "0FFFFF212"
+    p_on = G(("point", (0.0, 0.5)))
+    assert relate(p_on, a)[0] == "F0FFFF212"
+    l1 = G(("line", [(0, 0), (2, 2)]))
+    l2 = G(("line", [(0, 2), (2, 0)]))
+    assert relate(l1, l2)[0] == "0F1FF0102"
+    l3 = G(("line", [(-1, 0.5), (2, 0.5)]))
+    assert relate(l3, a)[0] == "101FF0212"
+    # pattern matching: overlaps mask
+    ov = G(("poly", [[(0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5), (0.5, 0.5)]]))
+    assert matches_pattern(relate(a, ov)[0], "T*T***T**")
+    assert not matches_pattern(relate(a, a)[0], "FF*FF****")

@@ -35,7 +35,7 @@ os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
 os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
 
-N_POINTS = int(os.environ.get("SCALING_N_POINTS", "1000000"))
+N_POINTS = int(os.environ.get("SCALING_N_POINTS", "2000000"))
 N_RECTS = int(os.environ.get("SCALING_N_RECTS", "200000"))
 _M32 = 4294967296
 _HA, _HB = 2654435761, 2246822519
@@ -83,14 +83,24 @@ def run_level(cpus: int) -> dict:
     from geopandas_spark.operators.sjoin import sjoin
 
     def rect_geom(df):
-        wkt = F.concat(
-            F.lit("POLYGON (("),
-            F.col("minx"), F.lit(" "), F.col("miny"), F.lit(", "),
-            F.col("minx") + F.col("side"), F.lit(" "), F.col("miny"), F.lit(", "),
-            F.col("minx") + F.col("side"), F.lit(" "), F.col("miny") + F.col("side"), F.lit(", "),
-            F.col("minx"), F.lit(" "), F.col("miny") + F.col("side"), F.lit(", "),
-            F.col("minx"), F.lit(" "), F.col("miny"), F.lit("))"),
-        )
+        # irregular deterministic 12-gon around the rect center: keeps the
+        # refine compute-bound (12 edges/pair) rather than purely
+        # memory-bound, which is what a real N->4N cluster (with 4x the
+        # memory channels) would see
+        import math
+        cx = F.col("minx") + F.col("side") / 2
+        cy = F.col("miny") + F.col("side") / 2
+        parts = [F.lit("POLYGON ((")]
+        for k in range(13):
+            a = 2 * math.pi * (k % 12) / 12
+            rad = F.col("side") / 2 * (1.0 + 0.3 * (((k % 12) * 2654435761 % 7) / 7.0))
+            parts.append(cx + rad * math.cos(a))
+            parts.append(F.lit(" "))
+            parts.append(cy + rad * math.sin(a))
+            if k < 12:
+                parts.append(F.lit(", "))
+        parts.append(F.lit("))"))
+        wkt = F.concat(*parts)
         return df.withColumn("geometry", st_geomfromtext(wkt)).select("rid", "geometry")
 
     out = {"cpus": cpus, "n_points": N_POINTS, "n_rects": N_RECTS}
