@@ -11,4 +11,35 @@ from .conf import setup_malloc_env
 
 setup_malloc_env()
 
+__all__ = ["GeoFrame", "read_geoparquet", "sjoin", "sjoin_nearest",
+           "overlay", "dissolve", "clip"]
+
+
+def __getattr__(name):  # lazy: keep bare import light
+    if name in ("GeoFrame", "read_geoparquet"):
+        from . import frame
+
+        return getattr(frame, name)
+    if name == "sjoin":
+        from .operators.sjoin import sjoin
+
+        return sjoin
+    if name == "sjoin_nearest":
+        from .operators.nearest import sjoin_nearest
+
+        return sjoin_nearest
+    if name == "overlay":
+        from .operators.overlay import overlay
+
+        return overlay
+    if name == "dissolve":
+        from .operators.dissolve import dissolve
+
+        return dissolve
+    if name == "clip":
+        from .operators.clip import clip
+
+        return clip
+    raise AttributeError(name)
+
 __version__ = "0.1.0"

@@ -1,0 +1,227 @@
+"""GeoFrame — the GeoDataFrame-shaped API over a Spark DataFrame.
+
+A thin, stateless wrapper holding (DataFrame, active geometry column,
+crs) so that reference users can keep their call shapes
+(/root/reference/geopandas/geodataframe.py:48,263: one *active* geometry
+column + crs; every method either returns a new GeoFrame or a plain
+DataFrame of scalars). All computation delegates to the st_* function
+library and the distributed operators; nothing here adds plan nodes
+beyond the wrapped calls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .functions import st
+
+
+class GeoFrame:
+    """DataFrame + active geometry column (+ optional crs string)."""
+
+    def __init__(self, df: DataFrame, geometry: str = "geometry",
+                 crs: str | None = None):
+        if geometry not in df.columns:
+            raise ValueError(f"geometry column {geometry!r} not in DataFrame")
+        self.df = df
+        self.geometry = geometry
+        self.crs = crs
+
+    # -- plumbing ----------------------------------------------------------
+    def _wrap(self, df: DataFrame, geometry: str | None = None,
+              crs: str | None = None) -> "GeoFrame":
+        return GeoFrame(df, geometry or self.geometry, crs or self.crs)
+
+    def _with_geom(self, col: Column) -> "GeoFrame":
+        return self._wrap(self.df.withColumn(self.geometry, col))
+
+    def _scalar(self, name: str, col: Column) -> DataFrame:
+        return self.df.withColumn(name, col)
+
+    def set_geometry(self, column: str) -> "GeoFrame":
+        """geodataframe.py:158."""
+        return GeoFrame(self.df, column, self.crs)
+
+    def set_crs(self, crs: str) -> "GeoFrame":
+        """geoseries.py:800 — metadata only."""
+        return GeoFrame(self.df, self.geometry, crs)
+
+    # -- scalar accessors (base.py §2.2) ------------------------------------
+    @property
+    def area(self) -> DataFrame:
+        return self._scalar("area", st.st_area(self.geometry))
+
+    @property
+    def length(self) -> DataFrame:
+        return self._scalar("length", st.st_length(self.geometry))
+
+    @property
+    def bounds(self) -> DataFrame:
+        b = st.st_bounds(self.geometry)
+        return self.df.select(
+            "*", b.getField("minx").alias("minx"),
+            b.getField("miny").alias("miny"),
+            b.getField("maxx").alias("maxx"),
+            b.getField("maxy").alias("maxy"))
+
+    def total_bounds(self) -> tuple:
+        """base.py:4703 — plain agg, no UDF beyond bounds."""
+        b = self.df.select(st.st_bounds(self.geometry).alias("b"))
+        r = b.agg(F.min("b.minx"), F.min("b.miny"),
+                  F.max("b.maxx"), F.max("b.maxy")).collect()[0]
+        return tuple(r)
+
+    @property
+    def geom_type(self) -> DataFrame:
+        return self._scalar("geom_type", st.st_geometry_type(self.geometry))
+
+    @property
+    def is_valid(self) -> DataFrame:
+        return self._scalar("is_valid", st.st_is_valid(self.geometry))
+
+    @property
+    def is_empty(self) -> DataFrame:
+        return self._scalar("is_empty", st.st_is_empty(self.geometry))
+
+    # -- constructive (base.py §2.3): return a new GeoFrame ----------------
+    def buffer(self, distance: float, quad_segs: int = 8) -> "GeoFrame":
+        return self._with_geom(st.st_buffer(self.geometry, distance, quad_segs))
+
+    def simplify(self, tolerance: float) -> "GeoFrame":
+        return self._with_geom(st.st_simplify(self.geometry, tolerance))
+
+    def centroid(self) -> "GeoFrame":
+        return self._with_geom(st.st_centroid(self.geometry))
+
+    def convex_hull(self) -> "GeoFrame":
+        return self._with_geom(st.st_convex_hull(self.geometry))
+
+    def concave_hull(self, ratio: float = 0.0, allow_holes: bool = False) -> "GeoFrame":
+        return self._with_geom(st.st_concave_hull(self.geometry, ratio, allow_holes))
+
+    def envelope(self) -> "GeoFrame":
+        return self._with_geom(st.st_envelope(self.geometry))
+
+    def boundary(self) -> "GeoFrame":
+        return self._with_geom(st.st_boundary(self.geometry))
+
+    def normalize(self) -> "GeoFrame":
+        return self._with_geom(st.st_normalize(self.geometry))
+
+    def segmentize(self, max_segment_length: float) -> "GeoFrame":
+        return self._with_geom(st.st_segmentize(self.geometry, max_segment_length))
+
+    def offset_curve(self, distance: float, quad_segs: int = 8) -> "GeoFrame":
+        return self._with_geom(st.st_offset_curve(self.geometry, distance, quad_segs))
+
+    def affine_transform(self, matrix) -> "GeoFrame":
+        return self._with_geom(st.st_affine(self.geometry, matrix))
+
+    def translate(self, xoff: float = 0.0, yoff: float = 0.0) -> "GeoFrame":
+        return self._with_geom(st.st_translate(self.geometry, xoff, yoff))
+
+    def rotate(self, angle: float, origin="center", use_radians: bool = False) -> "GeoFrame":
+        return self._with_geom(st.st_rotate(self.geometry, angle, origin, use_radians))
+
+    def scale(self, xfact: float = 1.0, yfact: float = 1.0, origin="center") -> "GeoFrame":
+        return self._with_geom(st.st_scale(self.geometry, xfact, yfact, origin))
+
+    def to_crs(self, crs) -> "GeoFrame":
+        """geoseries.py:878 — requires a crs set via set_crs/__init__."""
+        if self.crs is None:
+            raise ValueError("GeoFrame has no crs; call set_crs first")
+        out = self._with_geom(st.st_transform(self.geometry, self.crs, crs))
+        out.crs = str(crs)
+        return out
+
+    def sample_points(self, size: int, seed: int = 0, row_key=None) -> "GeoFrame":
+        return self._with_geom(st.st_sample_points(self.geometry, size, seed, row_key))
+
+    # -- joins / set operators ----------------------------------------------
+    def sjoin(self, other: "GeoFrame", how: str = "inner",
+              predicate: str = "intersects", **kw) -> "GeoFrame":
+        from .operators.sjoin import sjoin as _sjoin
+
+        out = _sjoin(self.df, other.df, how=how, predicate=predicate,
+                     left_geom=self.geometry, right_geom=other.geometry, **kw)
+        geom = self.geometry if how in ("inner", "left") else other.geometry
+        return GeoFrame(out, geom, self.crs)
+
+    def sjoin_nearest(self, other: "GeoFrame", **kw) -> "GeoFrame":
+        from .operators.nearest import sjoin_nearest as _nearest
+
+        out = _nearest(self.df, other.df, left_geom=self.geometry,
+                       right_geom=other.geometry, **kw)
+        return GeoFrame(out, self.geometry, self.crs)
+
+    def overlay(self, other: "GeoFrame", how: str = "intersection", **kw) -> "GeoFrame":
+        from .operators.overlay import overlay as _overlay
+
+        if other.geometry != self.geometry:
+            other = GeoFrame(
+                other.df.withColumnRenamed(other.geometry, self.geometry),
+                self.geometry, other.crs)
+        out = _overlay(self.df, other.df, how=how, geom=self.geometry, **kw)
+        return GeoFrame(out, self.geometry, self.crs)
+
+    def clip(self, mask, **kw) -> "GeoFrame":
+        from .operators.clip import clip as _clip
+
+        return self._wrap(_clip(self.df, mask, geom=self.geometry, **kw))
+
+    def dissolve(self, by=None, aggfunc="first", **kw) -> "GeoFrame":
+        from .operators.dissolve import dissolve as _dissolve
+
+        return self._wrap(_dissolve(self.df, by=by, aggfunc=aggfunc,
+                                    geom=self.geometry, **kw))
+
+    def explode(self, **kw) -> "GeoFrame":
+        from .operators.explode import explode as _explode
+
+        return self._wrap(_explode(self.df, geom=self.geometry, **kw))
+
+    def to_tiles(self, zoom: int, **kw) -> "GeoFrame":
+        from .operators.tiles import to_tiles as _tiles
+
+        return self._wrap(_tiles(self.df, zoom, geom=self.geometry, **kw))
+
+    def get_coordinates(self, id_cols=None) -> DataFrame:
+        return st.st_get_coordinates_exploded(self.df, self.geometry, id_cols)
+
+    # -- I/O -----------------------------------------------------------------
+    def to_geoparquet(self, path: str, **kw) -> dict:
+        from .sources.geoparquet import write_geoparquet
+
+        return write_geoparquet(self.df, path, geom=self.geometry,
+                                crs=self.crs, **kw)
+
+    def to_features(self) -> DataFrame:
+        from .sources.geojson import to_features
+
+        return to_features(self.df, self.geometry)
+
+    # -- passthrough ----------------------------------------------------------
+    def filter(self, cond) -> "GeoFrame":
+        return self._wrap(self.df.filter(cond))
+
+    def select(self, *cols) -> DataFrame:
+        return self.df.select(*cols)
+
+    def count(self) -> int:
+        return self.df.count()
+
+    @property
+    def columns(self):
+        return self.df.columns
+
+
+def read_geoparquet(spark, path: str) -> GeoFrame:
+    from .sources.geoparquet import read_geoparquet as _read
+
+    df, meta = _read(spark, path)
+    geom = (meta or {}).get("primary_column", "geometry")
+    crs = None
+    if meta:
+        crs = meta.get("columns", {}).get(geom, {}).get("crs")
+    return GeoFrame(df, geom, crs)

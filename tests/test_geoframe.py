@@ -1,0 +1,77 @@
+"""GeoFrame wrapper — the GeoDataFrame-shaped API surface."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geopandas_spark.frame import GeoFrame, read_geoparquet
+from geopandas_spark.functions import st
+
+
+@pytest.fixture(scope="module")
+def gf(spark):
+    pdf = pd.DataFrame({
+        "name": ["a", "b", "c"],
+        "grp": [1, 1, 2],
+        "wkt": [
+            "POINT (0.5 0.5)",
+            "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+            "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))",
+        ],
+    })
+    df = spark.createDataFrame(pdf).withColumn(
+        "geometry", st.st_geomfromtext("wkt")).drop("wkt")
+    return GeoFrame(df, crs="EPSG:4326")
+
+
+def test_scalars_and_bounds(gf):
+    a = {r["name"]: r["area"] for r in gf.area.collect()}
+    assert a == {"a": 0.0, "b": 4.0, "c": 4.0}
+    assert gf.total_bounds() == (0.0, 0.0, 3.0, 3.0)
+    t = {r["name"]: r["geom_type"] for r in gf.geom_type.collect()}
+    assert t["a"] == "Point" and t["b"] == "Polygon"
+
+
+def test_constructive_chain(gf):
+    buf = gf.filter(F.col("name") == "a").buffer(0.1)
+    area = buf.area.collect()[0]["area"]
+    assert abs(area - 16 * math.sin(2 * math.pi / 32) * 0.01) < 1e-9
+    c = gf.centroid().filter(F.col("name") == "b")
+    r = c.df.select(st.st_x("geometry").alias("x")).collect()[0]
+    assert r["x"] == 1.0
+
+
+def test_joins_and_overlay(gf, spark):
+    polys = gf.filter(F.col("name") != "a")
+    pts = gf.filter(F.col("name") == "a")
+    j = pts.sjoin(polys, predicate="within", lsuffix="l", rsuffix="r")
+    assert j.count() == 1  # point in polygon b only
+    ov = polys.filter(F.col("name") == "b").overlay(
+        polys.filter(F.col("name") == "c"), how="intersection", resolution=5)
+    r = ov.area.collect()[0]["area"]
+    assert abs(r - 1.0) < 1e-9
+
+
+def test_dissolve_clip(gf):
+    d = gf.filter(F.col("name") != "a").dissolve(by="grp", method="unary")
+    assert d.count() == 2
+    cl = gf.clip((0.0, 0.0, 1.0, 1.0))
+    areas = sorted(r["area"] for r in cl.area.collect())
+    assert abs(areas[-1] - 1.0) < 1e-9  # square b clipped to unit window
+
+
+def test_to_crs_roundtrip(gf):
+    m = gf.to_crs("EPSG:3857").to_crs("EPSG:4326")
+    x = m.filter(F.col("name") == "a").df.select(
+        st.st_x("geometry").alias("x")).collect()[0]["x"]
+    assert abs(x - 0.5) < 1e-9
+
+
+def test_geoparquet_roundtrip(gf, spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("gpq") / "t")
+    meta = gf.to_geoparquet(path)
+    assert meta["primary_column"] == "geometry"
+    back = read_geoparquet(spark, path)
+    assert back.count() == 3 and back.crs == "EPSG:4326"
