@@ -115,6 +115,51 @@ def _lines_cross_dim(a: GeometryBatch, ga: int, bb: GeometryBatch, gb: int):
     return "F"
 
 
+def _covered_length(a: GeometryBatch, ga: int, b: GeometryBatch,
+                    gb: int) -> tuple:
+    """(total linework length of a, length of a covered by collinear
+    segments of b).  Per segment of a, collect the collinear-overlap
+    intervals contributed by b's segments, merge them, and sum — so a's
+    interior lies in b's exterior iff total - covered > eps."""
+    a0, a1 = _segments(a, ga)
+    b0, b1 = _segments(b, gb)
+    total = 0.0
+    covered = 0.0
+    for i in range(len(a0)):
+        da = a1[i] - a0[i]
+        La = float(np.hypot(da[0], da[1]))
+        if La == 0.0:
+            continue
+        total += La
+        u = da / La
+        ivals = []
+        for j in range(len(b0)):
+            db = b1[j] - b0[j]
+            cross = da[0] * db[1] - da[1] * db[0]
+            if cross != 0:
+                continue
+            w = b0[j] - a0[i]
+            if abs(da[0] * w[1] - da[1] * w[0]) > 1e-12 * max(La, 1.0):
+                continue
+            tb0 = float(np.dot(b0[j] - a0[i], u))
+            tb1 = float(np.dot(b1[j] - a0[i], u))
+            lo = max(0.0, min(tb0, tb1))
+            hi = min(La, max(tb0, tb1))
+            if hi > lo:
+                ivals.append((lo, hi))
+        if ivals:
+            ivals.sort()
+            cur_lo, cur_hi = ivals[0]
+            for lo, hi in ivals[1:]:
+                if lo > cur_hi:
+                    covered += cur_hi - cur_lo
+                    cur_lo, cur_hi = lo, hi
+                else:
+                    cur_hi = max(cur_hi, hi)
+            covered += cur_hi - cur_lo
+    return total, covered
+
+
 def _dim_char(*present) -> str:
     for dim, flag in sorted(present, reverse=True):
         if flag:
@@ -218,8 +263,16 @@ def relate_pair(lb: GeometryBatch, ga: int, rb: GeometryBatch, gb: int) -> str:
         M[1][0] = "0" if (sta == INSIDE).any() else "F"
         M[1][1] = "0" if (len(bpa) and len(bpb) and (
             (bpa[:, None] == bpb[None, :]).all(axis=2).any())) else "F"
-        M[0][2] = "1"  # assume some interior of a outside b (refined below)
-        M[2][0] = "1"
+        # IE/EI for lineal pairs: interior of a meets exterior of b iff
+        # some of a's linework length is not covered by collinear pieces
+        # of b (ADVICE fix — previously hard-coded '1', wrong for equal /
+        # covered line pairs).
+        tot_a, cov_a = _covered_length(lb, ga, rb, gb)
+        tot_b, cov_b = _covered_length(rb, gb, lb, ga)
+        eps_a = 1e-9 * max(tot_a, 1.0)
+        eps_b = 1e-9 * max(tot_b, 1.0)
+        M[0][2] = "1" if tot_a - cov_a > eps_a else "F"
+        M[2][0] = "1" if tot_b - cov_b > eps_b else "F"
         M[1][2] = "0" if (sta == OUTSIDE).any() else "F"
         M[2][1] = "0" if (stb == OUTSIDE).any() else "F"
         return "".join(M[0] + M[1] + M[2])

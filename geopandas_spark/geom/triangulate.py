@@ -18,13 +18,15 @@ from __future__ import annotations
 import numpy as np
 
 
-def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
-    """Bowyer–Watson -> list of vertex-index triangles (CCW)."""
+def delaunay(points: np.ndarray):
+    """Bowyer–Watson -> (list of vertex-index triangles (CCW), unique pts)."""
     pts = np.asarray(points, dtype=np.float64)
     pts = np.unique(pts, axis=0)
     n = len(pts)
     if n < 3:
-        return []
+        # uniform return shape — callers unpack (tris, pts); >=3 raw
+        # coords can still collapse to <3 unique points (ADVICE fix)
+        return [], pts
     # super-triangle
     cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
     span = max(np.ptp(pts[:, 0]), np.ptp(pts[:, 1]), 1e-9) * 100

@@ -107,11 +107,67 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, _sig(F.col(text_col)))
 
 
+def _cap_hot_buckets(exploded: DataFrame, bucket_cols: list[str],
+                     id_col: str, max_bucket: int, what: str):
+    """Split exploded bucket rows into (normal, star) candidate pairs.
+
+    Buckets larger than ``max_bucket`` would emit O(size^2) clique pairs —
+    the classic hot-key blowup (empty/boilerplate docs all land in one
+    bucket). Those buckets instead emit STAR pairs (every member paired
+    with the bucket's min id): O(size) rows that still link all members
+    transitively for connected-component dedup, at the cost of pairs
+    between non-representative members. The downgrade count is logged.
+    """
+    import logging
+
+    sizes = exploded.groupBy(*bucket_cols).agg(F.count("*").alias("__bn"))
+    hot = sizes.filter(F.col("__bn") > int(max_bucket)).select(*bucket_cols)
+    stats = sizes.agg(
+        F.sum(F.when(F.col("__bn") > int(max_bucket), 1).otherwise(0)),
+        F.sum(F.when(F.col("__bn") > int(max_bucket), F.col("__bn"))
+              .otherwise(0))).collect()[0]
+    n_hot, n_rows = int(stats[0] or 0), int(stats[1] or 0)
+    if n_hot:
+        logging.getLogger(__name__).warning(
+            "%s: %d hot buckets (> %d members, %d rows total) downgraded "
+            "from clique to star candidate pairs", what, n_hot, max_bucket,
+            n_rows)
+        hot_b = F.broadcast(hot)
+        normal = exploded.join(hot_b, on=bucket_cols, how="left_anti")
+        hot_rows = exploded.join(hot_b, on=bucket_cols, how="left_semi")
+        reps = hot_rows.groupBy(*bucket_cols).agg(F.min(id_col).alias("__rep"))
+        star = (
+            hot_rows.join(reps, on=bucket_cols)
+            .filter(F.col(id_col) != F.col("__rep"))
+            .select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+    else:
+        normal, star = exploded, None
+    a = normal.select(F.col(id_col).alias("id_a"), *bucket_cols)
+    b = normal.select(F.col(id_col).alias("id_b"), *bucket_cols)
+    cand = (
+        a.join(b, on=bucket_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    if star is not None:
+        cand = cand.unionByName(star)
+    return cand.dropDuplicates(["id_a", "id_b"])
+
+
 def minhash_lsh(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 num_perm: int = 64, bands: int = 16, shingle: int = 5,
-                threshold: float = 0.7, seed: int = 1) -> DataFrame:
+                threshold: float = 0.7, seed: int = 1,
+                max_bucket: int = 1000) -> DataFrame:
     """-> candidate near-duplicate pairs (id_a, id_b, jaccard) verified by
-    exact shingle Jaccard >= threshold."""
+    exact shingle Jaccard >= threshold.
+
+    Scale shape (round-2 fix): document text NEVER rides the band explode
+    or the bucket self-join — banding shuffles (id, band_hash) rows only
+    (~16 bytes), candidate pairs are generated and deduped on ids, and
+    text is joined back ONLY for the candidate pairs' exact-Jaccard
+    verification. Hot band buckets are star-mitigated (_cap_hot_buckets).
+    """
     if num_perm % bands:
         raise ValueError("num_perm must divide into bands")
     from ..conf import widen
@@ -119,29 +175,25 @@ def minhash_lsh(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     df = widen(df)
     r = num_perm // bands
     sigs = minhash_signatures(df, text_col, num_perm, shingle, seed).select(
-        F.col(id_col).alias("__id"), F.col(text_col).alias("__text"), "minhash"
+        F.col(id_col).alias("__id"), "minhash"
     ).filter(F.col("minhash").isNotNull())
     banded = sigs.select(
-        "__id", "__text",
+        "__id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda i: F.slice(F.col("minhash"), i * r + 1, r),
             )
         ).alias("band_id", "band"),
-    ).withColumn("band_hash", F.xxhash64(F.col("band_id"), F.to_json("band")))
-    # both join branches read the banded signatures: pin one materialization
-    # (otherwise the signature UDF and banding run twice)
-    banded = banded.persist()
-    a = banded.select(F.col("__id").alias("id_a"), F.col("__text").alias("ta"),
-                      "band_hash")
-    bdf = banded.select(F.col("__id").alias("id_b"), F.col("__text").alias("tb"),
-                        "band_hash")
-    cand = (
-        a.join(bdf, on="band_hash")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    ).select(
+        "__id",
+        F.xxhash64(F.col("band_id"), F.to_json("band")).alias("band_hash"))
+    # several downstream branches read the banded rows: pin one
+    # materialization (GC-freed localCheckpoint, not persist — no
+    # CacheManager leak)
+    banded = banded.localCheckpoint(eager=False)
+    cand = _cap_hot_buckets(banded, ["band_hash"], "__id", max_bucket,
+                            "minhash_lsh")
 
     @pandas_udf("double")
     def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
@@ -156,6 +208,13 @@ def minhash_lsh(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             out[i] = inter / (len(ha) + len(hb) - inter) if (len(ha) + len(hb) - inter) else 0.0
         return pd.Series(out)
 
+    texts = df.select(F.col(id_col), F.col(text_col))
+    cand = (
+        cand.join(texts.select(F.col(id_col).alias("id_a"),
+                               F.col(text_col).alias("ta")), on="id_a")
+        .join(texts.select(F.col(id_col).alias("id_b"),
+                           F.col(text_col).alias("tb")), on="id_b")
+    )
     return (
         cand.withColumn("jaccard", _jac("ta", "tb"))
         .filter(F.col("jaccard") >= float(threshold))
@@ -192,35 +251,90 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                      id_col: str = "doc_id", max_hamming: int = 3,
+                      max_bucket: int = 1000) -> DataFrame:
     """Banding on 4x16-bit chunks: pairs within hamming<=3 share >=1 chunk
-    (pigeonhole). -> (id_a, id_b, hamming)."""
+    (pigeonhole). -> (id_a, id_b, hamming).
+
+    Hot chunk buckets (chunk value 0 collects every empty/boilerplate doc)
+    are star-mitigated via _cap_hot_buckets instead of emitting O(n^2)
+    clique pairs; signatures are joined back per candidate pair, so the
+    bucket self-join shuffles (id, chunk) rows only.
+    """
     from ..conf import widen
 
     df = widen(df)
     sig = simhash_signatures(df, text_col).select(
         F.col(id_col).alias("__id"), F.col("simhash"))
+    sig = sig.localCheckpoint(eager=False)
     chunks = sig.select(
-        "__id", "simhash",
+        "__id",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("chunk_id"),
                      F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
                      .alias("chunk"))
             for i in range(4)
         ])).alias("c"),
-    ).select("__id", "simhash", "c.chunk_id", "c.chunk")
-    a = chunks.select(F.col("__id").alias("id_a"), F.col("simhash").alias("sa"),
-                      "chunk_id", "chunk")
-    b = chunks.select(F.col("__id").alias("id_b"), F.col("simhash").alias("sb"),
-                      "chunk_id", "chunk")
+    ).select("__id", "c.chunk_id", "c.chunk")
+    cand = _cap_hot_buckets(chunks, ["chunk_id", "chunk"], "__id", max_bucket,
+                            "simhash_near_dups")
     cand = (
-        a.join(b, on=["chunk_id", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        cand.join(sig.select(F.col("__id").alias("id_a"),
+                             F.col("simhash").alias("sa")), on="id_a")
+        .join(sig.select(F.col("__id").alias("id_b"),
+                         F.col("simhash").alias("sb")), on="id_b")
     )
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3,
+                  threshold: float = 0.5,
+                  max_df: int | None = 10_000) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity pairs (id_a, id_b, jaccard).
+
+    Pure Catalyst (zero Python UDFs — every stage is JVM codegen):
+    tokenize + n-gram via ``transform``/``slice``, explode DISTINCT
+    n-grams, self-join on the n-gram, and compute
+    ``|A ∩ B| / (|A| + |B| - |A ∩ B|)`` from group counts. N-grams whose
+    document frequency exceeds ``max_df`` are dropped before the join
+    (the hot-key guard — stopword-only n-grams otherwise join the whole
+    corpus with itself); the drop is part of the operator contract so the
+    oracle can mirror it in SQL.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ngrams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ))).otherwise(F.array(F.concat_ws(" ", toks)))
+    ng = df.select(F.col(id_col).alias("__id"),
+                   F.explode(ngrams).alias("__g"))
+    if max_df is not None:
+        dfreq = (ng.groupBy("__g").agg(F.count("*").alias("__df"))
+                 .filter(F.col("__df") <= int(max_df)).select("__g"))
+        ng = ng.join(dfreq, on="__g", how="left_semi")
+    ng = ng.localCheckpoint(eager=False)
+    counts = ng.groupBy("__id").agg(F.count("*").alias("__n"))
+    inter = (
+        ng.alias("a").join(ng.alias("b"), on="__g")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("__i"))
+    )
+    return (
+        inter.join(counts.select(F.col("__id").alias("id_a"),
+                                 F.col("__n").alias("__na")), on="id_a")
+        .join(counts.select(F.col("__id").alias("id_b"),
+                            F.col("__n").alias("__nb")), on="id_b")
+        .withColumn("jaccard",
+                    F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")))
+        .filter(F.col("jaccard") >= float(threshold))
+        .select("id_a", "id_b", "jaccard")
     )

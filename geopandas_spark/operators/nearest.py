@@ -345,7 +345,7 @@ def sjoin_nearest(
         _knn_cell_pass(min_cell, max_distance, exclusive),
         schema=(f"__xlid {lid_t}, __xrid {rid_t}, __d double, __ok boolean,"
                 " __tgeom binary, __tcell long, __trad double"),
-    ).persist()
+    ).localCheckpoint(eager=False)
 
     done = p1.filter(F.col("__ok")).select("__xlid", "__xrid", "__d")
 
@@ -354,7 +354,9 @@ def sjoin_nearest(
     if max_distance is not None:
         k_cap = min(k_cap, int(np.ceil(max_distance / min_cell)) + 1)
 
-    rxp = rx.persist()
+    # lazily checkpointed (not persist): blocks free on GC, no CacheManager
+    # leak per call — see _prep_side for the rationale
+    rxp = rx.localCheckpoint(eager=False)
 
     # ---- tail: one directory-driven probe for every uncertified row ------
     # A directory of the right side's non-empty cells (one small distinct
@@ -368,7 +370,7 @@ def sjoin_nearest(
         "__xlid", F.col("__tgeom").alias("__lgeom"),
         F.col("__tcell").alias("__cell0"), F.col("__trad").alias("__lrad"),
         F.col("__d").alias("__dbest"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     tail_parts = []
     if not unresolved.isEmpty():
         dir_max = 1 << 18
@@ -414,12 +416,19 @@ def sjoin_nearest(
                         out[lo + i] = dir_ids[sel[i]].tolist()
                 return pd.Series(out)
 
+            def _probe(src, bcol):
+                return src.select(
+                    "__xlid", "__lgeom",
+                    F.explode(_probe_cells(F.col("__lgeom"), bcol))
+                    .alias("__cell"))
+
             bcol = F.col("__dbest")
             if max_distance is not None:
                 bcol = F.least(bcol, F.lit(float(max_distance)))
-            lx = unresolved.select(
-                "__xlid", "__lgeom",
-                F.explode(_probe_cells(F.col("__lgeom"), bcol)).alias("__cell"))
+            lx = _probe(unresolved, bcol)
+            # nan __dbest rows used the optimistic directory bound; with a
+            # max_distance cap the bound is the (valid) cap instead
+            need_reprobe = max_distance is None
         else:
             # huge directory: bounded disk expansion at a coarse radius
             # derived from a coarse directory (scale path, rarely taken)
@@ -448,31 +457,54 @@ def sjoin_nearest(
                 bound = np.sqrt(2.0) * (D + 1) * (1 << shift) * min_cell
                 return pd.Series(bound)
 
-            unresolved = unresolved.withColumn(
-                "__B",
-                F.when(F.col("__dbest").isNotNull() & ~F.isnan("__dbest"),
-                       F.col("__dbest"))
-                .otherwise(_nocand_bound(F.col("__cell0"))),
+            def _probe(src, bcol):
+                kcol = F.least(
+                    F.ceil((bcol + F.col("__lrad")) / F.lit(min_cell)) + 1,
+                    F.lit(k_cap),
+                ).cast("long")
+                return src.withColumn("__k", kcol).select(
+                    "__xlid", "__lgeom",
+                    F.explode(_disk_cells_var_udf()(
+                        F.col("__cell0"), F.col("__k"))).alias("__cell"))
+
+            bcol = F.when(
+                F.col("__dbest").isNotNull() & ~F.isnan("__dbest"),
+                F.col("__dbest")).otherwise(_nocand_bound(F.col("__cell0")))
+            lx = _probe(unresolved, bcol)
+            # the coarse no-candidate bound is always optimistic (derived
+            # from cover cells, which are bbox-based and may hold no
+            # geometry) -> rows that used it must be validated
+            need_reprobe = True
+
+        def _exact_pairs(lx_):
+            cand_ = (
+                lx_.join(rxp, on="__cell", how="inner")
+                .select("__xlid", "__xrid", "__lgeom", "__rgeom")
+                .dropDuplicates(["__xlid", "__xrid"])
             )
-            kcol = F.least(
-                F.ceil((F.col("__B") + F.col("__lrad")) / F.lit(min_cell)) + 1,
-                F.lit(k_cap),
-            ).cast("long")
-            src = unresolved.withColumn("__k", kcol)
-            lx = src.select("__xlid", "__lgeom",
-                            F.explode(_disk_cells_var_udf()(
-                                F.col("__cell0"), F.col("__k"))).alias("__cell"))
-        cand = (
-            lx.join(rxp, on="__cell", how="inner")
-            .select("__xlid", "__xrid", "__lgeom", "__rgeom")
-            .dropDuplicates(["__xlid", "__xrid"])
-        )
-        if exclusive:
-            cand = cand.filter(F.col("__lgeom") != F.col("__rgeom"))
-        cand = cand.withColumn("__d", st_distance("__lgeom", "__rgeom"))
-        if max_distance is not None:
-            cand = cand.filter(F.col("__d") <= float(max_distance))
-        tail_parts.append(cand.select("__xlid", "__xrid", "__d"))
+            if exclusive:
+                cand_ = cand_.filter(F.col("__lgeom") != F.col("__rgeom"))
+            cand_ = cand_.withColumn("__d", st_distance("__lgeom", "__rgeom"))
+            if max_distance is not None:
+                cand_ = cand_.filter(F.col("__d") <= float(max_distance))
+            return cand_.select("__xlid", "__xrid", "__d")
+
+        cand = _exact_pairs(lx)
+        tail_parts.append(cand)
+        if need_reprobe:
+            # ADVICE fix: for rows that entered the probe with NO phase-1
+            # candidate, the bound came from bbox-cover cells that may
+            # contain no actual geometry, so it can UNDERestimate the true
+            # nearest distance and the probe can miss the true nearest's
+            # cover cells. The best exact distance d* found in round 1 IS
+            # a valid upper bound (it is a realized distance to a real
+            # geometry), so re-probe those rows once at radius d* before
+            # the tie filter.
+            nanrows = unresolved.filter(
+                F.col("__dbest").isNull() | F.isnan("__dbest"))
+            dstar = cand.groupBy("__xlid").agg(F.min("__d").alias("__B2"))
+            src2 = nanrows.join(dstar, on="__xlid", how="inner")
+            tail_parts.append(_exact_pairs(_probe(src2, F.col("__B2"))))
     if tail_parts:
         tail_pairs = tail_parts[0]
         for pdf_ in tail_parts[1:]:

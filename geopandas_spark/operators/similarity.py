@@ -26,6 +26,22 @@ def _to_matrix(col: pd.Series) -> np.ndarray:
     return np.array([np.asarray(v, dtype=np.float32) for v in col])
 
 
+# queries are the small broadcast side BY CONTRACT; an unbounded collect
+# would silently OOM the driver on a mis-called large frame (VERDICT fix)
+MAX_QUERIES = 65_536
+
+
+def _collect_queries(queries: DataFrame, qid_col: str, qvec_col: str,
+                     cap: int = MAX_QUERIES) -> list:
+    qrows = queries.select(qid_col, qvec_col).limit(cap + 1).collect()
+    if len(qrows) > cap:
+        raise ValueError(
+            f"query side has more than {cap} rows — the top-k operators "
+            "broadcast the query matrix, so the query side must be small; "
+            "swap the sides or pre-aggregate the queries")
+    return qrows
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 qid_col: str = "vec_id", qvec_col: str = "embedding") -> DataFrame:
@@ -39,7 +55,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     from ..conf import widen
 
     corpus = widen(corpus)
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qrows = _collect_queries(queries, qid_col, qvec_col)
     qids = np.array([r[qid_col] for r in qrows])
     qm = np.array([np.asarray(r[qvec_col], dtype=np.float32) for r in qrows])
     qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
@@ -96,17 +112,12 @@ def lsh_signatures(df: DataFrame, vec_col: str = "embedding",
     return df.withColumn(out_col, _sig(F.col(vec_col)))
 
 
-def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
-                        vec_col: str = "embedding", threshold: float = 0.95,
-                        nbits: int = 64, bands: int = 8, seed: int = 11) -> DataFrame:
-    """Cosine >= threshold pairs via hyperplane-LSH banding + exact rerank.
-    -> (id_a, id_b, cosine)."""
+def _banded_sig(sig: DataFrame, nbits: int, bands: int) -> DataFrame:
+    """(id, lsh_sig) -> exploded (id, band_id, band) bucket rows."""
     bits_per_band = nbits // bands
-    sig = lsh_signatures(df, vec_col, nbits, seed).select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "lsh_sig")
     mask = (1 << bits_per_band) - 1
-    banded = sig.select(
-        "__id", "__v",
+    return sig.select(
+        "__id",
         F.explode(F.array(*[
             F.struct(
                 F.lit(i).alias("band_id"),
@@ -114,15 +125,34 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
                 .bitwiseAND(F.lit(mask)).alias("band"),
             ) for i in range(bands)
         ])).alias("b"),
-    ).select("__id", "__v", "b.band_id", "b.band")
-    a = banded.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"),
-                      "band_id", "band")
-    b = banded.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb"),
-                      "band_id", "band")
+    ).select("__id", "b.band_id", "b.band")
+
+
+def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding", threshold: float = 0.95,
+                        nbits: int = 64, bands: int = 8, seed: int = 11,
+                        max_bucket: int = 1000) -> DataFrame:
+    """Cosine >= threshold pairs via hyperplane-LSH banding + exact rerank.
+    -> (id_a, id_b, cosine).
+
+    Scale shape: the band self-join shuffles (id, band) rows only; vectors
+    are joined back per candidate pair for the exact rerank. Hot buckets
+    are star-mitigated (see dedup._cap_hot_buckets).
+    """
+    from .dedup import _cap_hot_buckets
+
+    sig = lsh_signatures(df, vec_col, nbits, seed).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "lsh_sig")
+    sig = sig.localCheckpoint(eager=False)
+    banded = _banded_sig(sig, nbits, bands)
+    cand = _cap_hot_buckets(banded, ["band_id", "band"], "__id", max_bucket,
+                            "embedding_near_dups")
+    vecs = sig.select("__id", "__v")
     cand = (
-        a.join(b, on=["band_id", "band"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        cand.join(vecs.select(F.col("__id").alias("id_a"),
+                              F.col("__v").alias("va")), on="id_a")
+        .join(vecs.select(F.col("__id").alias("id_b"),
+                          F.col("__v").alias("vb")), on="id_b")
     )
 
     @pandas_udf("double")
@@ -137,4 +167,99 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
         cand.withColumn("cosine", _cos("va", "vb"))
         .filter(F.col("cosine") >= float(threshold))
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "vec_id", qvec_col: str = "embedding",
+             nbits: int = 64, bands: int = 8, probe_bits: int = 2,
+             seed: int = 11) -> DataFrame:
+    """Approximate top-k cosine neighbors via hyperplane LSH + exact rerank
+    (the scale path promised alongside brute-force ``cosine_topk``).
+
+    Plan (one corpus scan, zero corpus-vector shuffles):
+
+    1. Queries are collected (guarded small side). Driver-side numpy
+       computes each query's band values plus MULTI-PROBE variants — every
+       bucket within ``probe_bits`` bit-flips of the query's own bucket.
+       The probe table (query_id, band_id, band) is broadcast.
+    2. The corpus is scanned once: signature -> band explode -> broadcast
+       hash join against the probe table. The join is map-side, so the
+       corpus vector column rides for free; candidates are scored
+       IMMEDIATELY (exact cosine against the broadcast query matrix) and
+       only (query_id, corpus_id, score) triples ever shuffle.
+    3. groupBy (query, corpus) collapses multi-band duplicates, then a
+       window rank takes the top-k per query.
+
+    Recall/selectivity follow the standard S-curve: with r bits per band,
+    b bands and m probe bits, P(candidate) = 1-(1-sum_{j<=m} C(r,j)
+    p^(r-j) (1-p)^j)^b where p = 1 - theta/pi. Structured (clustered)
+    corpora prune hard; near-uniform random vectors degrade toward a full
+    scan — that is a property of the data, not the plan.
+    """
+    from itertools import combinations
+
+    qrows = _collect_queries(queries, qid_col, qvec_col, cap=4096)
+    spark = corpus.sparkSession
+    qids = np.array([r[qid_col] for r in qrows])
+    qm = np.array([np.asarray(r[qvec_col], dtype=np.float32) for r in qrows])
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    dim = qm.shape[1]
+    H = _hyperplanes(dim, nbits, seed)
+    bits_per_band = nbits // bands
+
+    qbits = (qn @ H.T) > 0  # (q, nbits)
+    flip_sets = [()] + [
+        c for m in range(1, probe_bits + 1)
+        for c in combinations(range(bits_per_band), m)
+    ]
+    probe_rows = []
+    for qi in range(len(qids)):
+        for bi in range(bands):
+            band_bits = qbits[qi, bi * bits_per_band:(bi + 1) * bits_per_band]
+            base = int((band_bits.astype(np.uint64)
+                        * (1 << np.arange(bits_per_band, dtype=np.uint64))).sum())
+            for flips in flip_sets:
+                v = base
+                for f in flips:
+                    v ^= 1 << f
+                probe_rows.append((int(qids[qi]), bi, v))
+    probes = spark.createDataFrame(probe_rows, "query_id long, band_id int, band long")
+
+    @pandas_udf("double")
+    def _score1(qid: pd.Series, vecs: pd.Series) -> pd.Series:
+        qidx = {int(q): i for i, q in enumerate(qids)}
+        rows = np.array([qidx[int(q)] for q in qid], dtype=np.int64)
+        m = _to_matrix(vecs)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        return pd.Series((mn * qn[rows]).sum(axis=1).astype(np.float64))
+
+    sig = lsh_signatures(corpus, vec_col, nbits, seed, dim=dim).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "lsh_sig")
+    mask = (1 << bits_per_band) - 1
+    # band explode is a pure projection: the vector column rides into the
+    # map-side broadcast join without ever shuffling
+    banded = sig.select(
+        "__id", "__v",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).cast("int").alias("band_id"),
+                F.shiftright("lsh_sig", i * bits_per_band)
+                .bitwiseAND(F.lit(mask)).alias("band"),
+            ) for i in range(bands)
+        ])).alias("b"),
+    ).select("__id", "__v", "b.band_id", "b.band")
+    scored = (
+        banded.join(F.broadcast(probes), on=["band_id", "band"])
+        .select(F.col("query_id"), F.col("__id").alias("corpus_id"),
+                _score1(F.col("query_id"), F.col("__v")).alias("score"))
+        .groupBy("query_id", "corpus_id")
+        .agg(F.max("score").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
     )

@@ -211,12 +211,19 @@ def _prep_side(df: DataFrame, geom: str, id_col: str | None, tag: str):
     Auto ids come from monotonically_increasing_id, which Spark defines as
     NONDETERMINISTIC across plan branches — the join assembles results by
     re-joining on these ids from two branches, so the id-bearing frame is
-    persisted to pin one materialization (otherwise attribute rows can be
-    attached to the wrong geometry rows)."""
+    pinned to one materialization via localCheckpoint (otherwise attribute
+    rows can attach to the wrong geometry rows). localCheckpoint (lazy)
+    rather than persist(): the blocks are released automatically by the
+    ContextCleaner once the frame is unreferenced — persist() entries sit
+    in the CacheManager until an explicit unpersist, which leaked one
+    cached frame per auto-id join call in long sessions — and checkpoint
+    blocks cannot be silently evicted-and-recomputed (which would reroll
+    the ids)."""
     df = _widen(df)
     if id_col is None:
         id_col = f"__{tag}_id"
-        df = df.withColumn(id_col, F.monotonically_increasing_id()).persist()
+        df = df.withColumn(id_col, F.monotonically_increasing_id())
+        df = df.localCheckpoint(eager=False)
     df = df.withColumn("__bb", st_bounds(geom))
     return df, id_col
 
@@ -393,13 +400,19 @@ def sjoin(
     if (how == "inner" and not on_attribute
             and set(ldata) <= {lid, left_geom}
             and set(rdata) <= {rid}):
+        # collision naming must mirror _suffix_columns (ADVICE fix): when
+        # the two user id columns share a name, BOTH get suffixed, so the
+        # fast path emits the same schema as the general assembly
+        collide = lid in ldata and rid in rdata and lid == rid
         cols = []
         if lid in ldata:
-            cols.append(F.col("__xlid").alias(lid))
+            cols.append(F.col("__xlid").alias(
+                f"{lid}_{lsuffix}" if collide else lid))
         if left_geom in ldata:
             cols.append(F.col("__lgeom").alias(left_geom))
         if rid in rdata:
-            cols.append(F.col("__xrid").alias(rid if rid != lid else f"{rid}_{rsuffix}"))
+            cols.append(F.col("__xrid").alias(
+                f"{rid}_{rsuffix}" if collide else rid))
         cols.append(F.col("__xrid").alias("index_right"))
         return refined.select(*cols)
 

@@ -29,12 +29,15 @@ from pyspark.sql import functions as F
 GEO_VERSION = "1.1.0"
 
 
-def _geometry_types(df: DataFrame, geom: str, sample: int = 1000) -> list[str]:
+def _geometry_types(df: DataFrame, geom: str) -> list[str]:
     from ..functions.st import st_geometry_type
 
+    # Full-column distinct (a tiny aggregate): the `geo` blob must list
+    # EXACT types present (io/arrow.py:60-112) — a sampled list could
+    # mislead readers that trust it (ADVICE fix: no limit() here).
     rows = (
         df.select(st_geometry_type(geom).alias("t"))
-        .limit(sample).distinct().collect()
+        .distinct().collect()
     )
     return sorted(r["t"] for r in rows if r["t"] is not None)
 

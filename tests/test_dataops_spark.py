@@ -6,9 +6,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from geopandas_spark.operators.dedup import (
-    exact_dedup, minhash_lsh, simhash_near_dups)
+    exact_dedup, minhash_lsh, ngram_jaccard, simhash_near_dups)
 from geopandas_spark.operators.similarity import (
-    cosine_topk, embedding_near_dups)
+    cosine_topk, embedding_near_dups, lsh_topk)
 from geopandas_spark.operators.textstats import (
     fingerprint, lang_id, quality_columns, token_count)
 
@@ -50,6 +50,32 @@ def test_simhash_near_dups(corpus):
     assert (0, 1) in got  # identical -> hamming 0
     h = pairs.set_index(["id_a", "id_b"]).hamming
     assert h[(0, 1)] == 0
+
+
+def test_ngram_jaccard(corpus):
+    pairs = ngram_jaccard(corpus, "text", "doc_id", n=3,
+                          threshold=0.3).toPandas()
+    got = {tuple(p): j for *p, j in
+           zip(pairs.id_a, pairs.id_b, pairs.jaccard)}
+    assert got[(0, 1)] == 1.0                      # identical docs
+    # one word changed: 3 of 7 trigrams differ -> 4/10 exactly
+    assert abs(got[(0, 2)] - 0.4) < 1e-12
+    assert not any(3 in p for p in got)            # unrelated doc
+
+
+def test_hot_bucket_star_mitigation(spark):
+    """10k identical docs: candidate pairs stay O(n), not O(n^2), and the
+    duplicates remain transitively linked through the representative."""
+    n = 10_000
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(n),
+        "text": ["same boilerplate text here"] * n}))
+    pairs = simhash_near_dups(df, "text", "doc_id", max_hamming=3,
+                              max_bucket=100)
+    cnt = pairs.count()
+    assert cnt == n - 1  # star: every doc linked to the min-id rep
+    sample = pairs.limit(5).toPandas()
+    assert (sample.id_a == 0).all() and (sample.hamming == 0).all()
 
 
 def test_quality_and_tokens(corpus, spark):
@@ -103,6 +129,51 @@ def test_embedding_near_dups(embeddings, spark):
     pairs = embedding_near_dups(df, threshold=0.99).toPandas()
     assert (0, 1) in set(zip(pairs.id_a, pairs.id_b))
     assert len(pairs) == 1  # random gaussians don't collide at 0.99
+
+
+def test_lsh_topk_recall_sf01(spark):
+    """ANN top-k recall >= 0.9 vs brute-force cosine_topk on the driver's
+    sf0.1 embeddings table (VERDICT round-1 'done' criterion)."""
+    import os
+
+    path = "/root/testdata/sf0.1/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.1 testdata not present")
+    df = spark.read.parquet(path)
+    q = df.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    exact = cosine_topk(df, q, k=11).toPandas()
+    approx = lsh_topk(df, q, k=11).toPandas()
+    recalls = []
+    for qid in range(10):
+        t = set(exact[(exact.query_id == qid)
+                      & (exact.corpus_id != qid)].corpus_id) - {qid}
+        a = set(approx[approx.query_id == qid].corpus_id)
+        recalls.append(len(t & a) / len(t))
+    assert np.mean(recalls) >= 0.9
+
+
+def test_lsh_topk_clustered_prunes(spark):
+    """On clustered data the LSH probe keeps recall ~1 while the bucketed
+    candidate set is a small corpus fraction (the 100 TB value prop)."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 32)).astype(np.float32) * 4
+    vecs = np.vstack([
+        c + 0.3 * rng.standard_normal((100, 32)).astype(np.float32)
+        for c in centers
+    ])
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(len(vecs)),
+        "embedding": [v.tolist() for v in vecs]}))
+    q = df.filter(F.col("vec_id").isin([0, 100, 200])).select(
+        "vec_id", "embedding")
+    exact = cosine_topk(df, q, k=10).toPandas()
+    approx = lsh_topk(df, q, k=10, nbits=64, bands=8, probe_bits=1).toPandas()
+    for qid in [0, 100, 200]:
+        t = list(exact[exact.query_id == qid].sort_values("rank").corpus_id)
+        a = set(approx[approx.query_id == qid].corpus_id)
+        assert len(set(t) & a) / len(t) >= 0.9
+        # same-cluster neighbors dominate the top-k
+        assert sum(1 for c in a if c // 100 == qid // 100) >= 8
 
 
 def test_multimodal_plumbing(spark):

@@ -414,3 +414,18 @@ def test_relate_de9im():
     ov = G(("poly", [[(0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5), (0.5, 0.5)]]))
     assert matches_pattern(relate(a, ov)[0], "T*T***T**")
     assert not matches_pattern(relate(a, a)[0], "FF*FF****")
+
+
+def test_relate_lineal_ie_ei():
+    """Line-vs-line IE/EI entries (covered/equal pairs — round-2 fix:
+    these were hard-coded '1')."""
+    from geopandas_spark.geom.relate import relate
+
+    h = G(("line", [(0, 0), (2, 0)]))
+    assert relate(h, G(("line", [(0, 0), (2, 0)])))[0] == "1FFF0FFF2"
+    # contained line: endpoints inside the host's interior
+    assert relate(h, G(("line", [(0.5, 0), (1.5, 0)])))[0] == "101FF0FF2"
+    assert relate(G(("line", [(0.5, 0), (1.5, 0)])), h)[0] == "1FF0FF102"
+    # disjoint parallel / proper crossing keep their matrices
+    assert relate(h, G(("line", [(0, 1), (2, 1)])))[0] == "FF1FF0102"
+    assert relate(h, G(("line", [(1, -1), (1, 1)])))[0] == "0F1FF0102"
