@@ -143,7 +143,10 @@ def q_bbox_filter_cx(spark, sf_dir) -> DataFrame:
     from geopandas_spark.operators.clip import clip
 
     pts = _customer_points(spark, sf_dir).select("c_custkey", "x", "y", "geometry")
-    return clip(pts, (0.2, 0.2, 0.6, 0.7)).select("c_custkey", "x", "y")
+    # bounds=(x, y): the window predicate is pure SQL on the point columns
+    # and runs BEFORE any WKB decode (round-2 pushdown)
+    return clip(pts, (0.2, 0.2, 0.6, 0.7),
+                bounds=("x", "y")).select("c_custkey", "x", "y")
 
 
 def q_dissolve_nation_bounds(spark, sf_dir) -> DataFrame:
@@ -215,8 +218,10 @@ def q_clip_window_area(spark, sf_dir) -> DataFrame:
     from geopandas_spark.functions.st import st_area
     from geopandas_spark.operators.clip import clip
 
-    rects = _part_rects(spark, sf_dir).select("p_partkey", "geometry")
-    out = clip(rects, (0.25, 0.25, 0.75, 0.75))
+    rects = _part_rects(spark, sf_dir).select(
+        "p_partkey", "minx", "miny", "maxx", "maxy", "geometry")
+    out = clip(rects, (0.25, 0.25, 0.75, 0.75),
+               bounds=("minx", "miny", "maxx", "maxy"))
     return out.select(
         "p_partkey", F.round(st_area("geometry"), 9).alias("clip_area"))
 

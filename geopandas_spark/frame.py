@@ -170,6 +170,15 @@ class GeoFrame:
 
         return self._wrap(_clip(self.df, mask, geom=self.geometry, **kw))
 
+    @property
+    def cx(self) -> "_CxIndexer":
+        """Coordinate-slice indexer (base.py:5513-5548):
+        ``gf.cx[xmin:xmax, ymin:ymax]`` keeps rows whose bbox intersects
+        the window. Open sides (``:``) are unbounded. Pure-SQL pushdown
+        when a covering ``bbox`` struct column exists (operators/clip.py).
+        """
+        return _CxIndexer(self)
+
     def dissolve(self, by=None, aggfunc="first", **kw) -> "GeoFrame":
         from .operators.dissolve import dissolve as _dissolve
 
@@ -225,3 +234,24 @@ def read_geoparquet(spark, path: str) -> GeoFrame:
     if meta:
         crs = meta.get("columns", {}).get(geom, {}).get("crs")
     return GeoFrame(df, geom, crs)
+
+
+class _CxIndexer:
+    """``gf.cx[xmin:xmax, ymin:ymax]`` — reference _CoordinateIndexer
+    (base.py:5845-5866). Slices only; steps are rejected."""
+
+    def __init__(self, gf: GeoFrame):
+        self._gf = gf
+
+    def __getitem__(self, key) -> GeoFrame:
+        from .operators.clip import cx_filter
+
+        if not (isinstance(key, tuple) and len(key) == 2
+                and all(isinstance(s, slice) for s in key)):
+            raise TypeError("cx expects [xmin:xmax, ymin:ymax] slices")
+        xs, ys = key
+        if xs.step is not None or ys.step is not None:
+            raise TypeError("cx slices do not support a step")
+        gf = self._gf
+        return gf._wrap(cx_filter(
+            gf.df, (xs.start, ys.start, xs.stop, ys.stop), geom=gf.geometry))

@@ -92,3 +92,50 @@ def test_total_bounds_is_plain_agg(squares, spark):
     r = b.agg(F.min("bb.minx"), F.min("bb.miny"),
               F.max("bb.maxx"), F.max("bb.maxy")).collect()[0]
     assert list(r) == [0.0, 0.0, 8.0, 8.0]
+
+
+def test_clip_bbox_pushdown_geoparquet(squares, spark, tmp_path_factory):
+    """clip over a GeoParquet table with a covering bbox struct: the
+    window predicate must reach the parquet scan as PushedFilters, with
+    no pandas UDF upstream of it (VERDICT round-1 'done' criterion)."""
+    from geopandas_spark.sources.geoparquet import write_geoparquet
+
+    path = str(tmp_path_factory.mktemp("gp") / "squares")
+    write_geoparquet(squares, path, covering_bbox=True)
+    df = spark.read.parquet(path)
+    out = clip(df, (4.5, 4.5, 6.5, 6.5))  # bounds auto-detects "bbox"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan"):]
+    pushed = scan[scan.index("PushedFilters"):].split("]", 1)[0]
+    # bbox range predicates reached the scan
+    assert "bbox.minx" in pushed and "bbox.maxy" in pushed
+    # and no Python/Arrow UDF evaluates before the pushed filter: the
+    # FileScan (with the filters) is the leaf; any ArrowEvalPython node
+    # must appear above it in the tree string (earlier = closer to root)
+    if "ArrowEvalPython" in plan:
+        assert plan.index("ArrowEvalPython") < plan.index("FileScan")
+    areas = sorted(r[0] for r in out.select(st_area("geometry")).collect())
+    assert np.allclose(areas, [1.0, 1.0])  # the two 5..6 squares
+
+
+def test_cx_filter_pure_sql(squares, spark):
+    """cx on a table with bbox columns is a zero-UDF SQL filter; on raw
+    WKB it falls back to one bounds UDF but still returns the same rows."""
+    from geopandas_spark.operators.clip import cx_filter
+
+    out = cx_filter(squares, (4.5, 4.5, None, None))
+    assert out.count() == 3  # both 5..5 squares + 7..8
+    # open sides: everything
+    assert cx_filter(squares, (None, None, None, None)).count() == 5
+    # bbox-touching windows keep the row (intersects semantics)
+    assert cx_filter(squares, (8.0, 8.0, 9.0, 9.0)).count() == 1
+
+
+def test_geoframe_cx_indexer(squares, spark):
+    from geopandas_spark.frame import GeoFrame
+
+    gf = GeoFrame(squares)
+    assert gf.cx[4.5:6.5, 4.5:6.5].count() == 2
+    assert gf.cx[:, 7.0:].count() == 1
+    with pytest.raises(TypeError):
+        gf.cx[1:2:1, 0:1]
