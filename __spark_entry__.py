@@ -194,9 +194,6 @@ def q_morton_cells(spark, sf_dir) -> DataFrame:
 
 def q_cell_cover_counts(spark, sf_dir) -> DataFrame:
     """Cover cardinality at res 6 per rect (index planning quantity)."""
-    from pyspark.sql.functions import pandas_udf
-    import pandas as pd
-
     from geopandas_spark.functions.st import st_cells
 
     rects = _part_rects(spark, sf_dir)

@@ -293,6 +293,22 @@ def st_affine(geom, matrix) -> Column:
     return _transform_udf(lambda t, b: t.affine_transform(b, m))(_col(geom))
 
 
+def st_skew(geom, xs: float = 0.0, ys: float = 0.0, origin="center",
+            use_radians: bool = False) -> Column:
+    """base.py:5462."""
+    return _transform_udf(
+        lambda t, b: t.skew(b, xs, ys, origin, use_radians)
+    )(_col(geom))
+
+
+def st_transform_fn(geom, fn, include_z: bool = False) -> Column:
+    """base.py:1751 — arbitrary user coordinate function over whole Arrow
+    coordinate blocks (the UDF escape hatch; geom/transforms.transform_fn)."""
+    return _transform_udf(
+        lambda t, b: t.transform_fn(b, fn, include_z)
+    )(_col(geom))
+
+
 def st_clip_by_rect(geom, minx: float, miny: float, maxx: float, maxy: float) -> Column:
     """base.py:4305."""
     return _transform_udf(
@@ -426,6 +442,12 @@ def st_dwithin(a, b, distance: float) -> Column:
     """base.py:2280 (GEOS>=3.10 gate in reference _compat.py:14-15 — here
     native)."""
     return st_predicate("dwithin", a, b, distance)
+
+
+def st_disjoint(a, b) -> Column:
+    """base.py:2744 — complement of intersects; missing/empty rows are
+    False per the engine's never-match convention."""
+    return st_predicate("disjoint", a, b)
 
 
 def st_distance(a, b) -> Column:
@@ -610,6 +632,19 @@ def st_minimum_clearance(geom) -> Column:
 def st_set_precision(geom, grid_size: float) -> Column:
     """base.py:1389 (pointwise mode)."""
     return _unary_geom_udf("set_precision", grid_size)(_col(geom))
+
+
+def st_get_precision(geom) -> Column:
+    """base.py:622. WKB carries no precision-grid metadata (unlike a live
+    GEOS geometry), so every stored geometry reports full precision (0.0);
+    missing rows are null. set_precision here is pointwise rounding, which
+    by design does not attach a grid to the bytes."""
+
+    @pandas_udf("double")
+    def _f(s: pd.Series) -> pd.Series:
+        return pd.Series(np.where(s.isna(), np.nan, 0.0)).astype("float64")
+
+    return _f(_col(geom))
 
 
 def st_representative_point(geom) -> Column:

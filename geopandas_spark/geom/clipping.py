@@ -16,8 +16,9 @@ tests/test_overlay.py:29-43 and tools/overlay.py:124-165):
                         drift), so results match QGIS-style goldens
                         bit-for-bit after normalization.
 
-General curved/non-convex boolean ops are detected and raise
-NotImplementedError (tracked for a later round: Martinez–Rueda sweep).
+General non-rectilinear/non-convex polygon pairs route to the
+Martinez–Rueda boolean sweep (geom/boolean.py); the kernels here remain
+the exact fast paths for rectilinear and convex inputs.
 """
 
 from __future__ import annotations

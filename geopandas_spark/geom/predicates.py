@@ -47,6 +47,7 @@ from .ragged import (
 PREDICATES = (
     "intersects", "contains", "contains_properly", "within", "covers",
     "covered_by", "touches", "crosses", "overlaps", "dwithin", "equals",
+    "disjoint",
 )
 
 
@@ -755,6 +756,14 @@ def pairwise_predicate(pred: str, lb: GeometryBatch, rb: GeometryBatch,
     n = len(lb)
     if len(rb) != n:
         raise ValueError("pairwise_predicate needs equal-length batches")
+    if pred == "disjoint":
+        # base.py:2744 — complement of intersects on valid rows; missing/
+        # empty rows stay False (the engine-wide "never match" convention,
+        # sindex.py:159-166)
+        inter = pairwise_predicate("intersects", lb, rb)
+        valid_d = (~lb.is_missing() & ~lb.is_empty()
+                   & ~rb.is_missing() & ~rb.is_empty())
+        return valid_d & ~inter
     out = np.zeros(n, dtype=bool)
     valid = (~lb.is_missing() & ~lb.is_empty()
              & ~rb.is_missing() & ~rb.is_empty())

@@ -56,6 +56,30 @@ def affine_transform(batch: GeometryBatch, matrix) -> GeometryBatch:
     return _copy_structure_with_coords(batch, np.column_stack([nx, ny]))
 
 
+def transform_fn(batch: GeometryBatch, fn, include_z: bool = False) -> GeometryBatch:
+    """base.py:1751 — apply a user coordinate function to every vertex.
+
+    ``fn`` receives an (N, 2) float64 array (or (N, 3) with include_z when
+    Z values exist) and must return an array of the same shape; geometry
+    structure (rings/parts/types) is preserved. This is the user-UDF
+    escape hatch: it runs inside the Arrow batch, so the function is
+    applied to whole coordinate blocks, never per row.
+    """
+    if include_z and batch.zs is not None:
+        c = np.column_stack([batch.coords, batch.zs])
+    else:
+        c = batch.coords.copy()
+    new = np.asarray(fn(c), dtype=np.float64)
+    if new.shape != c.shape:
+        raise ValueError(
+            f"transform function changed the coordinate shape "
+            f"{c.shape} -> {new.shape}; it must be shape-preserving")
+    out = _copy_structure_with_coords(batch, np.ascontiguousarray(new[:, :2]))
+    if include_z and batch.zs is not None and new.shape[1] == 3:
+        out.zs = np.ascontiguousarray(new[:, 2])
+    return out
+
+
 def translate(batch: GeometryBatch, xoff=0.0, yoff=0.0) -> GeometryBatch:
     """base.py:5326."""
     return affine_transform(batch, [1.0, 0.0, 0.0, 1.0, xoff, yoff])
@@ -180,15 +204,17 @@ def convex_hull(batch: GeometryBatch) -> GeometryBatch:
 
 def buffer_points(batch: GeometryBatch, distance, quad_segs: int = 8) -> GeometryBatch:
     """base.py:4806 for puntal inputs: circle polygon approximation with
-    4*quad_segs vertices (GEOS buffer convention). Non-point rows raise —
-    general polygon/line offsetting is tracked for a later round."""
+    4*quad_segs vertices (GEOS buffer convention). This is the puntal fast
+    path only — st_buffer dispatches mixed/non-point batches to
+    ``buffer_general`` (capsule union via the boolean sweep), so the raise
+    below is an internal guard, not the public contract."""
     n = len(batch)
     dist = np.broadcast_to(np.asarray(distance, dtype=np.float64), (n,))
     pt_mask = np.isin(batch.types, (POINT, MULTIPOINT)) | (batch.types == MISSING)
     if not pt_mask.all():
         raise NotImplementedError(
-            "buffer currently supports puntal geometries only (circle "
-            "approximation); line/polygon offsetting lands in a later round"
+            "buffer_points is the puntal fast path; route non-point rows "
+            "through buffer_general (st_buffer does this automatically)"
         )
     k = max(int(quad_segs) * 4, 4)
     th = np.arange(k) * (2 * np.pi / k)

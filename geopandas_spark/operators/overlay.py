@@ -19,9 +19,9 @@ its *neighbors only* (never a global union — that is the distributed trick
 that keeps overlay shuffle-light at scale; SURVEY.md §2.4 overlay row).
 Rows with no candidates at all pass through untouched via anti-join.
 
-Geometry engine: exact rectilinear boolean / convex clipping
-(geom/clipping.py). Non-rectilinear non-convex pairs raise
-NotImplementedError (Martinez–Rueda sweep planned).
+Geometry engine: exact rectilinear boolean / convex clipping fast paths
+(geom/clipping.py) with the general Martinez–Rueda sweep
+(geom/boolean.py) handling arbitrary polygon pairs.
 """
 
 from __future__ import annotations

@@ -141,3 +141,37 @@ def test_sample_points_spark(gdf):
         st.st_num_geometries(
             st.st_sample_points("geometry", 7, seed=3, row_key="id")).alias("n"))
     assert out.collect()[0]["n"] == 7
+
+
+def test_disjoint_skew_transform_fn_precision(gdf, spark):
+    """Round-2 parity adds: st_disjoint, st_skew, st_transform_fn,
+    st_get_precision."""
+    # disjoint: point (0.25, 0.5) vs a far square / the containing square
+    far = st.st_geomfromtext(F.lit("POLYGON ((9 9, 10 9, 10 10, 9 10, 9 9))"))
+    near = st.st_geomfromtext(F.lit("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+    rows = gdf.filter(F.col("id") == 0).select(
+        st.st_disjoint("geometry", far).alias("d1"),
+        st.st_disjoint("geometry", near).alias("d2"),
+        st.st_disjoint(F.lit(None).cast("binary"), near).alias("d3"),
+    ).collect()[0]
+    assert rows["d1"] is True and rows["d2"] is False
+    assert rows["d3"] is False  # missing never matches
+
+    # skew 45deg in x about the origin: (x, y) -> (x + y, y)
+    sk = gdf.filter(F.col("id") == 0).select(
+        st.st_astext(st.st_skew("geometry", xs=45.0, origin=(0, 0)),
+                     rounding=2).alias("t")).collect()[0]["t"]
+    assert sk == "POINT (0.75 0.5)"
+
+    # transform_fn: user fn doubling x over the coordinate block
+    tf = gdf.select(
+        "id",
+        st.st_astext(st.st_transform_fn(
+            "geometry", lambda c: np.column_stack([c[:, 0] * 2, c[:, 1]])),
+            rounding=1).alias("t")).orderBy("id").collect()
+    assert tf[0]["t"] == "POINT (0.5 0.5)"
+    assert tf[1]["t"] == "LINESTRING (0 0, 2 0, 2 1)"
+
+    # get_precision: stored WKB is always full precision
+    pr = _vals(gdf.select("id", st.st_get_precision("geometry").alias("p")), "p")
+    assert pr == [0.0, 0.0, 0.0]
