@@ -634,6 +634,21 @@ def st_set_precision(geom, grid_size: float) -> Column:
     return _unary_geom_udf("set_precision", grid_size)(_col(geom))
 
 
+def st_make_valid(geom) -> Column:
+    """base.py:1641 — GEOS-'linework' repair (geom/validity.py): node the
+    ring linework, rebuild faces, keep odd-covered regions. Valid and
+    non-polygonal rows pass through unchanged."""
+
+    @pandas_udf("binary")
+    def _f(s: pd.Series) -> pd.Series:
+        from ..geom.validity import make_valid
+        from ..geom.wkb import from_wkb, to_wkb
+
+        return pd.Series(list(to_wkb(make_valid(from_wkb(s)))))
+
+    return _f(_col(geom))
+
+
 def st_get_precision(geom) -> Column:
     """base.py:622. WKB carries no precision-grid metadata (unlike a live
     GEOS geometry), so every stored geometry reports full precision (0.0);

@@ -463,19 +463,40 @@ def pairwise_intersection(lb: GeometryBatch, rb: GeometryBatch) -> GeometryBatch
                     parts.append((int(sub.part_types[p]), sub.part_rings(p)))
                 out.add(t0, parts)
             continue
-        raise NotImplementedError(
-            f"intersection of type {lt} x {rt} not supported yet"
-        )
+        # ---- round-2 full type matrix (geom/mixed.py) -------------------
+        from .ragged import GEOMETRYCOLLECTION
+        from . import mixed as M
+
+        if lt == GEOMETRYCOLLECTION or rt == GEOMETRYCOLLECTION:
+            M.collection_intersection(lb, g, rb, g, out)
+            continue
+        if lt in (POINT, MULTIPOINT):
+            pts = M.puntal_coords(lb, g)
+            M.emit_points(out, pts[M.puntal_membership(pts, rb, g)])
+            continue
+        if rt in (POINT, MULTIPOINT):
+            pts = M.puntal_coords(rb, g)
+            M.emit_points(out, pts[M.puntal_membership(pts, lb, g)])
+            continue
+        # lineal x lineal
+        pieces, pts = M.line_line_intersection(
+            M.line_chains(lb, g), M.line_chains(rb, g))
+        if len(pts) and not pieces:
+            M.emit_points(out, pts)
+        elif len(pts):
+            M.emit_mixed(out, pieces, pts)
+        else:
+            M.emit_lines(out, pieces)
     return out.finish()
 
 
 def pairwise_boolean(lb: GeometryBatch, rb: GeometryBatch, op: str) -> GeometryBatch:
-    """Row-wise polygon boolean (base.py:3852 difference, :3963 symmetric_
+    """Row-wise boolean (base.py:3852 difference, :3963 symmetric_
     difference, :4078 union, :4192 intersection) via the Martinez-Rueda
-    sweep with a rectilinear fast path. Polygonal inputs only (use
-    pairwise_intersection for mixed types)."""
+    sweep with a rectilinear fast path; puntal/lineal/mixed-dimension and
+    GeometryCollection combinations route through geom/mixed.py."""
     from .boolean import boolean_rings, group_rings
-    from .ragged import MISSING
+    from .ragged import GEOMETRYCOLLECTION, MISSING, TYPE_DIM
 
     if op == "intersection":
         return pairwise_intersection(lb, rb)
@@ -486,6 +507,12 @@ def pairwise_boolean(lb: GeometryBatch, rb: GeometryBatch, op: str) -> GeometryB
         lt, rt = int(lb.types[g]), int(rb.types[g])
         if lt == MISSING or rt == MISSING:
             out.add_missing()
+            continue
+        if (TYPE_DIM[lt] != 2 or TYPE_DIM[rt] != 2
+                or lt == GEOMETRYCOLLECTION or rt == GEOMETRYCOLLECTION):
+            from . import mixed as M
+
+            M.mixed_boolean(lb, g, rb, g, op, out)
             continue
         lr = _all_poly_rings(lb, g)[0]
         rr = _all_poly_rings(rb, g)[0]

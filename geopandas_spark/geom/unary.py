@@ -201,6 +201,36 @@ def is_valid(b: GeometryBatch, reason: bool = False):
                         break
             if not good:
                 break
+        if good:
+            # multi-part: shells must not nest/overlap (OGC multipolygon
+            # rule). A strictly-interior vertex of another part's shell
+            # catches nesting and crossing overlaps.
+            from .kernels import INSIDE
+
+            parts = []
+            for p in range(b.geom_part_off[g], b.geom_part_off[g + 1]):
+                rr = b.part_rings(p)
+                if rr and len(rr[0]) >= 4:
+                    parts.append(rr)
+            for i in range(len(parts)):
+                for j in range(len(parts)):
+                    if i == j or not good:
+                        continue
+                    sj = parts[j][0]
+                    st = points_in_ring(sj[:-1, 0], sj[:-1, 1], parts[i][0])
+                    strictly_in = st == INSIDE
+                    if not strictly_in.any():
+                        continue
+                    # a part fully inside another part's HOLE is legal
+                    # (island-in-donut); only interior-of-i placement is
+                    # a nesting violation
+                    in_hole = np.zeros(len(sj) - 1, dtype=bool)
+                    for hole in parts[i][1:]:
+                        if len(hole) >= 4:
+                            in_hole |= points_in_ring(
+                                sj[:-1, 0], sj[:-1, 1], hole) != 0
+                    if (strictly_in & ~in_hole).any():
+                        good, msg = False, "Nested shells"
         ok[g] = good
         msgs[g] = msg
     if reason:

@@ -241,9 +241,21 @@ def overlay(
     resolution: int | None = None,
     domain=DOMAIN_UNIT,
     keep_geom_type: bool = True,
+    make_valid: bool = True,
 ) -> DataFrame:
     if how not in VALID_HOW:
         raise ValueError(f"`how` was {how!r} but is expected to be in {VALID_HOW}")
+    if make_valid:
+        # reference contract (tools/overlay.py:89-208): repair invalid
+        # inputs before overlaying. The kernel passes valid rows through,
+        # so the cost is one validity scan per side; pass make_valid=False
+        # to skip when inputs are known-clean (the reference would raise
+        # on invalid rows in that mode — at scale we skip the check
+        # entirely rather than run it just to raise).
+        from ..functions.st import st_make_valid
+
+        df1 = df1.withColumn(geom, st_make_valid(geom))
+        df2 = df2.withColumn(geom, st_make_valid(geom))
     df1p, i1 = _prep_side(df1, geom, id1, "o1")
     df2p, i2 = _prep_side(df2, geom, id2, "o2")
     from .sjoin import _bbox_stats, _min_cover_res
@@ -264,7 +276,8 @@ def overlay(
 
     pairs = _pairs(df1p, df2p, geom, geom, i1, i2, resolution, domain,
                    min1, min2, with_intersection="__inter",
-                   broadcast2=0 < stats[1]["n"] <= BROADCAST_ROWS).persist()
+                   broadcast2=0 < stats[1]["n"] <= BROADCAST_ROWS
+                   ).localCheckpoint(eager=False)
 
     auto1, auto2 = id1 is None, id2 is None
     d1cols = [c for c in df1c.columns if not (auto1 and c == i1)]

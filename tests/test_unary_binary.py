@@ -429,3 +429,81 @@ def test_relate_lineal_ie_ei():
     # disjoint parallel / proper crossing keep their matrices
     assert relate(h, G(("line", [(0, 1), (2, 1)])))[0] == "FF1FF0102"
     assert relate(h, G(("line", [(1, -1), (1, 1)])))[0] == "0F1FF0102"
+
+
+def test_type_matrix_intersection():
+    """Round-2 full binary-op type matrix (base.py:4192): line x line,
+    point x line, point x point, GeometryCollection."""
+    import pandas as pd
+    from geopandas_spark.geom import wkt as W
+    from geopandas_spark.geom.clipping import (
+        pairwise_boolean, pairwise_intersection)
+
+    def g(*w):
+        return W.from_wkt(pd.Series(list(w)))
+
+    def show(b):
+        return list(W.to_wkt(b))
+
+    a = g("LINESTRING (0 0, 2 0)", "LINESTRING (0 0, 2 0)",
+          "POINT (1 0)", "MULTIPOINT (0 0, 5 5)")
+    b = g("LINESTRING (1 -1, 1 1)", "LINESTRING (1 0, 3 0)",
+          "LINESTRING (0 0, 2 0)", "MULTIPOINT (0 0, 9 9)")
+    assert show(pairwise_intersection(a, b)) == [
+        "POINT (1 0)", "LINESTRING (1 0, 2 0)", "POINT (1 0)", "POINT (0 0)"]
+    # GC decomposition
+    gc = g("GEOMETRYCOLLECTION (POINT (1 0), LINESTRING (0 1, 2 1), "
+           "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)))")
+    win = g("POLYGON ((0.5 -0.5, 3 -0.5, 3 3, 0.5 3, 0.5 -0.5))")
+    got = show(pairwise_intersection(gc, win))[0]
+    assert got.startswith("GEOMETRYCOLLECTION")
+    assert "POINT (1 0)" in got and "LINESTRING (0.5 1, 2 1)" in got
+    # mixed-dim difference / union
+    lp = g("LINESTRING (-1 0.5, 3 0.5)")
+    poly = g("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    assert show(pairwise_boolean(lp, poly, "difference")) == [
+        "MULTILINESTRING ((-1 0.5, 0 0.5), (2 0.5, 3 0.5))"]
+    assert show(pairwise_boolean(poly, lp, "difference")) == [
+        "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"]
+    u = show(pairwise_boolean(poly, lp, "union"))[0]
+    assert u.startswith("GEOMETRYCOLLECTION") and "POLYGON" in u
+    # line/line difference with full coverage -> typed empty
+    same = g("LINESTRING (0 0, 2 0)")
+    assert show(pairwise_boolean(same, same, "difference")) == [
+        "LINESTRING EMPTY"]
+    assert show(pairwise_boolean(same, same, "symmetric_difference")) == [
+        "LINESTRING EMPTY"]
+
+
+def test_make_valid():
+    """base.py:1641 — bowtie split, nested-shell even-odd, pass-through."""
+    import pandas as pd
+    from geopandas_spark.geom import wkt as W
+    from geopandas_spark.geom.kernels import area
+    from geopandas_spark.geom.unary import is_valid
+    from geopandas_spark.geom.validity import make_valid
+
+    def g(*w):
+        return W.from_wkt(pd.Series(list(w)))
+
+    bow = g("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")
+    assert not is_valid(bow)[0]
+    mv = make_valid(bow)
+    assert list(W.to_wkt(mv)) == [
+        "MULTIPOLYGON (((0 0, 1 1, 0 2, 0 0)), ((2 2, 1 1, 2 0, 2 2)))"]
+    assert is_valid(mv)[0] and abs(area(mv)[0] - 2.0) < 1e-12
+    # nested shells -> shell + hole
+    nested = g("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), "
+               "((1 1, 3 1, 3 3, 1 3, 1 1)))")
+    assert not is_valid(nested)[0]
+    mv2 = make_valid(nested)
+    assert abs(area(mv2)[0] - 12.0) < 1e-12  # 16 - 4 (even-odd hole)
+    assert is_valid(mv2)[0]
+    # valid / non-polygonal rows unchanged
+    ok = g("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "LINESTRING (0 0, 1 1)")
+    assert list(W.to_wkt(make_valid(ok))) == list(W.to_wkt(ok))
+    # island-in-donut stays valid (nesting check must not flag it)
+    donut = g("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0), "
+              "(1 1, 3 1, 3 3, 1 3, 1 1)), "
+              "((1.5 1.5, 2.5 1.5, 2.5 2.5, 1.5 2.5, 1.5 1.5)))")
+    assert is_valid(donut)[0]
