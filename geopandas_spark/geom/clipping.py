@@ -353,6 +353,42 @@ def pairwise_intersection(lb: GeometryBatch, rb: GeometryBatch) -> GeometryBatch
         nonempty = (imaxx > iminx) & (imaxy > iminy)
         rect_boxes = (iminx, iminy, imaxx, imaxy, nonempty)
 
+    # ---- batched Greiner-Hormann pre-pass for general polygon pairs ------
+    # Pairs that would reach the per-pair Martinez-Rueda sweep (both
+    # polygonal, not rectilinear, neither side convex-single-ring) are
+    # intersected in ONE vectorized pass (geom/ghclip.py); degenerate
+    # pairs fall back to the sweep inside the main loop.
+    gh_results: dict = {}
+    gen_idx: list = []
+    gh_subs: list = []
+    gh_clips: list = []
+    for g in range(len(lb)):
+        if rect_pair[g]:
+            continue
+        lt_, rt_ = int(lb.types[g]), int(rb.types[g])
+        if lt_ not in (POLYGON, MULTIPOLYGON) or rt_ not in (POLYGON, MULTIPOLYGON):
+            continue
+        if polygons_rectilinear(lb, g) is not None \
+                and polygons_rectilinear(rb, g) is not None:
+            continue
+        rr_ = _single_ring(rb, g)
+        if rr_ is not None and is_convex_ring(rr_):
+            continue
+        lr_ = _single_ring(lb, g)
+        if lr_ is not None and is_convex_ring(lr_):
+            continue
+        if lr_ is not None and rr_ is not None:
+            gen_idx.append(g)
+            gh_subs.append(lr_)
+            gh_clips.append(rr_)
+    if gen_idx:
+        from .ghclip import batch_intersection
+
+        res_gh, fb_gh = batch_intersection(gh_subs, gh_clips)
+        for i, g in enumerate(gen_idx):
+            if not fb_gh[i] and res_gh[i] is not None:
+                gh_results[g] = res_gh[i]
+
     out = GeometryBatchBuilder()
     for g in range(len(lb)):
         if rect_pair[g]:
@@ -424,7 +460,10 @@ def pairwise_intersection(lb: GeometryBatch, rb: GeometryBatch) -> GeometryBatch
                         res.append(c)
                 _emit_polys(out, [[r] for r in res])
                 continue
-            # general polygons: Martinez-Rueda sweep
+            # general polygons: batched GH result if clean, else sweep
+            if g in gh_results:
+                _emit_polys(out, [[r] for r in gh_results[g]])
+                continue
             from .boolean import boolean_rings, group_rings
 
             res_rings = boolean_rings(_all_poly_rings(lb, g)[0],

@@ -507,3 +507,50 @@ def test_make_valid():
               "(1 1, 3 1, 3 3, 1 3, 1 1)), "
               "((1.5 1.5, 2.5 1.5, 2.5 2.5, 1.5 2.5, 1.5 1.5)))")
     assert is_valid(donut)[0]
+
+
+def test_gh_batch_matches_sweep():
+    """Batched Greiner-Hormann intersection (geom/ghclip.py) must agree
+    with the Martinez-Rueda sweep on random non-convex pairs, and flag
+    degenerate (vertex-sharing) pairs for fallback."""
+    from geopandas_spark.geom.boolean import boolean_rings, group_rings
+    from geopandas_spark.geom.ghclip import batch_intersection
+
+    rng = np.random.default_rng(3)
+
+    def star(cx, cy, r, k, rot):
+        th = np.linspace(0, 2 * np.pi, 2 * k, endpoint=False) + rot
+        rad = r * (0.6 + 0.4 * (np.arange(2 * k) % 2))
+        pts = np.column_stack([cx + rad * np.cos(th), cy + rad * np.sin(th)])
+        return np.vstack([pts, pts[:1]])
+
+    def ring_area(r):
+        x, y = r[:-1, 0], r[:-1, 1]
+        return 0.5 * abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+    subs, clips = [], []
+    for _ in range(300):
+        s = star(rng.uniform(0, 1), rng.uniform(0, 1), rng.uniform(0.03, 0.1),
+                 int(rng.integers(4, 9)), rng.uniform(0, 3))
+        c = star(s[0, 0] + rng.uniform(-0.08, 0.08),
+                 s[0, 1] + rng.uniform(-0.08, 0.08),
+                 rng.uniform(0.03, 0.1), int(rng.integers(4, 9)),
+                 rng.uniform(0, 3))
+        subs.append(s)
+        clips.append(c)
+    res, fb = batch_intersection(subs, clips)
+    assert fb.sum() <= 3  # random data: essentially no degenerate pairs
+    for i in range(300):
+        if fb[i]:
+            continue
+        sweep = group_rings(boolean_rings([subs[i]], [clips[i]],
+                                          "intersection"))
+        a_sw = sum(ring_area(grp[0]) - sum(ring_area(h) for h in grp[1:])
+                   for grp in sweep)
+        a_gh = sum(ring_area(r) for r in res[i])
+        assert abs(a_gh - a_sw) <= 1e-9 * max(a_sw, 1e-12)
+    # degenerate: shared vertex -> fallback, not a wrong answer
+    tri1 = np.array([[0, 0], [2, 0], [1, 1], [0, 0]], float)
+    tri2 = np.array([[2, 0], [4, 0], [3, 1], [2, 0]], float)
+    _, fb2 = batch_intersection([tri1], [tri2])
+    assert fb2[0]
