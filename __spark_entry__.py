@@ -427,6 +427,78 @@ def q_geojson_roundtrip(spark, sf_dir) -> DataFrame:
     return rt.select("c_custkey", st_x("g2").alias("x"), st_y("g2").alias("y"))
 
 
+def q_ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
+    """Word-trigram Jaccard near-dup pairs — pure-Catalyst dedup op with a
+    full SQL oracle (operators/dedup.ngram_jaccard)."""
+    from geopandas_spark.operators.dedup import ngram_jaccard
+
+    docs = _load(spark, sf_dir, "documents")
+    out = ngram_jaccard(docs, "text", "doc_id", n=3, threshold=0.2,
+                        max_df=None)
+    return out.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+def q_disjoint_window(spark, sf_dir) -> DataFrame:
+    """st_disjoint predicate (base.py:2744) vs a fixed window polygon."""
+    from geopandas_spark.functions.st import st_disjoint, st_geomfromtext
+
+    pts = _customer_points(spark, sf_dir)
+    win = st_geomfromtext(F.lit(
+        "POLYGON ((0.2 0.2, 0.6 0.2, 0.6 0.7, 0.2 0.7, 0.2 0.2))"))
+    return pts.filter(st_disjoint("geometry", win)).select(
+        "c_custkey", F.round("x", 9).alias("x"), F.round("y", 9).alias("y"))
+
+
+def q_make_valid_bowtie_area(spark, sf_dir) -> DataFrame:
+    """st_make_valid (base.py:1641): bowtie rings built from the part
+    rects repair to two triangles of total area side^2/2."""
+    from geopandas_spark.functions.st import (
+        st_area, st_geomfromtext, st_make_valid)
+
+    r = _part_rects(spark, sf_dir)
+    bow = F.concat(
+        F.lit("POLYGON (("),
+        F.col("minx"), F.lit(" "), F.col("miny"), F.lit(", "),
+        F.col("maxx"), F.lit(" "), F.col("maxy"), F.lit(", "),
+        F.col("maxx"), F.lit(" "), F.col("miny"), F.lit(", "),
+        F.col("minx"), F.lit(" "), F.col("maxy"), F.lit(", "),
+        F.col("minx"), F.lit(" "), F.col("miny"), F.lit("))"),
+    )
+    fixed = st_make_valid(st_geomfromtext(bow))
+    return r.select("p_partkey",
+                    F.round(st_area(fixed), 9).alias("fixed_area"))
+
+
+def q_skew_transform_points(spark, sf_dir) -> DataFrame:
+    """st_skew + st_transform_fn closed forms on points: skew 30deg about
+    the origin gives x' = x + tan(30deg) * y; the user transform doubles x."""
+    from geopandas_spark.functions.st import (
+        st_skew, st_transform_fn, st_x, st_y)
+
+    pts = _customer_points(spark, sf_dir)
+    sk = st_skew("geometry", xs=30.0, origin=(0, 0))
+    tf = st_transform_fn(
+        "geometry",
+        lambda c: __import__("numpy").column_stack([c[:, 0] * 2, c[:, 1]]))
+    return pts.select(
+        "c_custkey",
+        F.round(st_x(sk), 9).alias("skx"),
+        F.round(st_y(sk), 9).alias("sky"),
+        F.round(st_x(tf), 9).alias("tfx"),
+    )
+
+
+def q_lsh_topk_embeddings(spark, sf_dir) -> DataFrame:
+    """ANN top-k via multi-probe hyperplane LSH (rows-only: bucketing is
+    not SQL-expressible; recall vs brute force pinned in pytest)."""
+    from geopandas_spark.operators.similarity import lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = lsh_topk(emb, queries, k=3)
+    return out.select("query_id", "corpus_id", F.col("rank").alias("rnk"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_sjoin_points_in_rects(spark, "/root/testdata/sf0.001")
@@ -461,6 +533,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_bounding_radius": q_min_bounding_radius,
         "hausdorff_center": q_hausdorff_center,
         "geojson_roundtrip": q_geojson_roundtrip,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "disjoint_window": q_disjoint_window,
+        "make_valid_bowtie_area": q_make_valid_bowtie_area,
+        "skew_transform_points": q_skew_transform_points,
+        "lsh_topk_embeddings": q_lsh_topk_embeddings,
     }
 
 
@@ -678,5 +755,52 @@ def oracle_sql() -> dict[str, str]:
         "geojson_roundtrip": f"""
             WITH pts AS ({_PTS_SQL})
             SELECT c_custkey, x, y FROM pts
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), ng AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(
+                       t[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)], ' ') AS g
+              FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+              WHERE len(t) >= 3
+              UNION
+              SELECT doc_id, array_to_string(t, ' ') AS g
+              FROM toks WHERE len(t) < 3
+            ), cnt AS (
+              SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(i * 1.0 / (ca.n + cb.n - i), 9) AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = id_a
+            JOIN cnt cb ON cb.doc_id = id_b
+            WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
+        """,
+        "disjoint_window": f"""
+            WITH pts AS ({_PTS_SQL})
+            SELECT c_custkey, round(x, 9) AS x, round(y, 9) AS y FROM pts
+            WHERE NOT (x BETWEEN 0.2 AND 0.6 AND y BETWEEN 0.2 AND 0.7)
+        """,
+        "make_valid_bowtie_area": f"""
+            WITH rects AS ({{rects}})
+            SELECT p_partkey,
+                   round((maxx - minx) * (maxy - miny) / 2, 9) AS fixed_area
+            FROM rects
+        """.format(rects=rects),
+        "skew_transform_points": f"""
+            WITH pts AS ({_PTS_SQL})
+            SELECT c_custkey,
+                   round(x + tan(radians(30)) * y, 9) AS skx,
+                   round(y, 9) AS sky,
+                   round(x * 2, 9) AS tfx
+            FROM pts
         """,
     }

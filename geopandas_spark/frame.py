@@ -135,6 +135,14 @@ class GeoFrame:
         out.crs = str(crs)
         return out
 
+    def estimate_utm_crs(self) -> str:
+        """array.py:456 — UTM EPSG of the frame's total-bounds center
+        (pyproj-free zone math; one tiny agg job)."""
+        from .geom.crs import estimate_utm_crs as _est
+
+        minx, miny, maxx, maxy = self.total_bounds()
+        return f"EPSG:{_est(minx, miny, maxx, maxy, self.crs or 4326)}"
+
     def sample_points(self, size: int, seed: int = 0, row_key=None) -> "GeoFrame":
         return self._with_geom(st.st_sample_points(self.geometry, size, seed, row_key))
 

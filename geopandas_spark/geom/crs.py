@@ -107,24 +107,149 @@ def tm_to_lonlat(x, y, lon0_deg: float, south: bool):
     return np.degrees(lam) + lon0_deg, np.degrees(phi)
 
 
-def transform_xy(x, y, src, dst):
-    """Transform coordinate arrays between supported EPSG codes."""
-    s = _parse_epsg(src)
-    d = _parse_epsg(dst)
-    if s == d:
-        return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
-    # normalize to lon/lat
+# ---------------------------------------------------------------------------
+# Lambert Azimuthal Equal Area (EPSG method 9820) — e.g. EPSG:3035
+# (ETRS89-extended / LAEA Europe; ETRS89 ~ WGS84 to cm here).
+# Formulas: EPSG Guidance Note 7-2.
+
+_E = np.sqrt(_E2)
+
+
+def _authalic_q(phi):
+    s = np.sin(phi)
+    return (1 - _E2) * (s / (1 - _E2 * s * s)
+                        - (1 / (2 * _E)) * np.log((1 - _E * s) / (1 + _E * s)))
+
+
+_QP = float(_authalic_q(np.pi / 2))
+
+
+def lonlat_to_laea(lon, lat, lon0: float, lat0: float, fe: float, fn: float):
+    lam = np.radians(np.asarray(lon, dtype=np.float64)) - np.radians(lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    phi0 = np.radians(lat0)
+    q = _authalic_q(phi)
+    q0 = float(_authalic_q(phi0))
+    beta = np.arcsin(np.clip(q / _QP, -1, 1))
+    beta0 = np.arcsin(np.clip(q0 / _QP, -1, 1))
+    rq = WGS84_A * np.sqrt(_QP / 2)
+    d = WGS84_A * (np.cos(phi0) / np.sqrt(1 - _E2 * np.sin(phi0) ** 2)) / (
+        rq * np.cos(beta0))
+    b = rq * np.sqrt(np.clip(
+        2 / (1 + np.sin(beta0) * np.sin(beta)
+             + np.cos(beta0) * np.cos(beta) * np.cos(lam)), 0, None))
+    e_ = fe + (b * d) * np.cos(beta) * np.sin(lam)
+    n_ = fn + (b / d) * (np.cos(beta0) * np.sin(beta)
+                         - np.sin(beta0) * np.cos(beta) * np.cos(lam))
+    return e_, n_
+
+
+def laea_to_lonlat(x, y, lon0: float, lat0: float, fe: float, fn: float):
+    xs = np.asarray(x, dtype=np.float64) - fe
+    ys = np.asarray(y, dtype=np.float64) - fn
+    phi0 = np.radians(lat0)
+    q0 = float(_authalic_q(phi0))
+    beta0 = np.arcsin(np.clip(q0 / _QP, -1, 1))
+    rq = WGS84_A * np.sqrt(_QP / 2)
+    d = WGS84_A * (np.cos(phi0) / np.sqrt(1 - _E2 * np.sin(phi0) ** 2)) / (
+        rq * np.cos(beta0))
+    rho = np.hypot(xs / d, d * ys)
+    c = 2 * np.arcsin(np.clip(rho / (2 * rq), -1, 1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        qprime = _QP * (np.cos(c) * np.sin(beta0)
+                        + np.where(rho == 0, 0.0,
+                                   d * ys * np.sin(c) * np.cos(beta0) / rho))
+    lam = np.arctan2(xs * np.sin(c),
+                     d * rho * np.cos(beta0) * np.cos(c)
+                     - d * d * ys * np.sin(beta0) * np.sin(c))
+    phi = np.arcsin(np.clip(qprime / _QP, -1, 1))  # start: authalic lat
+    for _ in range(6):
+        s = np.sin(phi)
+        phi = phi + ((1 - _E2 * s * s) ** 2 / (2 * np.cos(phi))) * (
+            qprime / (1 - _E2) - s / (1 - _E2 * s * s)
+            + (1 / (2 * _E)) * np.log((1 - _E * s) / (1 + _E * s)))
+    return np.degrees(lam) + lon0, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Lambert Conformal Conic 2SP (EPSG method 9802) — e.g. EPSG:2154
+# (RGF93 / Lambert-93; RGF93 ~ WGS84 to cm).
+
+
+def _lcc_m(phi):
+    return np.cos(phi) / np.sqrt(1 - _E2 * np.sin(phi) ** 2)
+
+
+def _lcc_t(phi):
+    s = np.sin(phi)
+    return np.tan(np.pi / 4 - phi / 2) / (
+        (1 - _E * s) / (1 + _E * s)) ** (_E / 2)
+
+
+def _lcc_consts(lat1, lat2, lat0):
+    p1, p2, p0 = np.radians(lat1), np.radians(lat2), np.radians(lat0)
+    m1, m2 = _lcc_m(p1), _lcc_m(p2)
+    t1, t2, t0 = _lcc_t(p1), _lcc_t(p2), _lcc_t(p0)
+    n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    f = m1 / (n * t1 ** n)
+    rho0 = WGS84_A * f * t0 ** n
+    return float(n), float(f), float(rho0)
+
+
+def lonlat_to_lcc(lon, lat, lon0, lat0, lat1, lat2, fe, fn):
+    n, f, rho0 = _lcc_consts(lat1, lat2, lat0)
+    t = _lcc_t(np.radians(np.asarray(lat, dtype=np.float64)))
+    rho = WGS84_A * f * t ** n
+    th = n * (np.radians(np.asarray(lon, dtype=np.float64)) - np.radians(lon0))
+    return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+
+def lcc_to_lonlat(x, y, lon0, lat0, lat1, lat2, fe, fn):
+    n, f, rho0 = _lcc_consts(lat1, lat2, lat0)
+    xs = np.asarray(x, dtype=np.float64) - fe
+    ys = rho0 - (np.asarray(y, dtype=np.float64) - fn)
+    rho = np.sign(n) * np.hypot(xs, ys)
+    tprime = (rho / (WGS84_A * f)) ** (1 / n)
+    theta = np.arctan2(xs, ys)
+    lam = theta / n + np.radians(lon0)
+    phi = np.pi / 2 - 2 * np.arctan(tprime)
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            tprime * ((1 - _E * s) / (1 + _E * s)) ** (_E / 2))
+    return np.degrees(lam), np.degrees(phi)
+
+
+# EPSG registry of non-UTM projected CRSs the engine supports natively.
+# Datum note: ETRS89 / RGF93 / NAD83 are treated as WGS84 (sub-decimeter
+# at continental scale — the same shortcut pyproj-free pipelines use).
+_PROJ_REGISTRY = {
+    3035: ("laea", dict(lon0=10.0, lat0=52.0, fe=4321000.0, fn=3210000.0)),
+    2154: ("lcc", dict(lon0=3.0, lat0=46.5, lat1=49.0, lat2=44.0,
+                       fe=700000.0, fn=6600000.0)),
+    5070: ("aea_unsupported", None),  # Albers: not yet implemented
+}
+
+
+def _to_lonlat(s, x, y):
     if s == 4326:
-        lon, lat = np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
-    elif s == 3857:
-        lon, lat = webmercator_to_lonlat(x, y)
-    elif 32601 <= s <= 32660 or 32701 <= s <= 32760:
+        return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    if s == 3857:
+        return webmercator_to_lonlat(x, y)
+    if 32601 <= s <= 32660 or 32701 <= s <= 32760:
         zone = s % 100
         lon0 = -183.0 + 6 * zone
-        lon, lat = tm_to_lonlat(x, y, lon0, s >= 32701)
-    else:
-        raise ValueError(f"unsupported source CRS EPSG:{s} "
-                         "(supported: 4326, 3857, WGS84 UTM)")
+        return tm_to_lonlat(x, y, lon0, s >= 32701)
+    kind, p = _PROJ_REGISTRY.get(s, (None, None))
+    if kind == "laea":
+        return laea_to_lonlat(x, y, **p)
+    if kind == "lcc":
+        return lcc_to_lonlat(x, y, **p)
+    raise ValueError(f"unsupported source CRS EPSG:{s} (supported: 4326, "
+                     "3857, WGS84 UTM, 3035 LAEA, 2154 LCC)")
+
+
+def _from_lonlat(d, lon, lat):
     if d == 4326:
         return lon, lat
     if d == 3857:
@@ -133,7 +258,23 @@ def transform_xy(x, y, src, dst):
         zone = d % 100
         lon0 = -183.0 + 6 * zone
         return lonlat_to_tm(lon, lat, lon0, d >= 32701)
-    raise ValueError(f"unsupported target CRS EPSG:{d}")
+    kind, p = _PROJ_REGISTRY.get(d, (None, None))
+    if kind == "laea":
+        return lonlat_to_laea(lon, lat, **p)
+    if kind == "lcc":
+        return lonlat_to_lcc(lon, lat, **p)
+    raise ValueError(f"unsupported target CRS EPSG:{d} (supported: 4326, "
+                     "3857, WGS84 UTM, 3035 LAEA, 2154 LCC)")
+
+
+def transform_xy(x, y, src, dst):
+    """Transform coordinate arrays between supported EPSG codes."""
+    s = _parse_epsg(src)
+    d = _parse_epsg(dst)
+    if s == d:
+        return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    lon, lat = _to_lonlat(s, x, y)
+    return _from_lonlat(d, lon, lat)
 
 
 def estimate_utm_crs(minx: float, miny: float, maxx: float, maxy: float,

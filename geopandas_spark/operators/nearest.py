@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 from pyspark.sql.functions import pandas_udf
 
-from ..functions.st import st_bounds, st_cells, st_distance
+from ..functions.st import st_bounds, st_cells_from_bbox, st_distance
 from ..index.cells import DOMAIN_UNIT, MAX_RES, cell_size, pick_resolution
 from .sjoin import _prep_side, _suffix_columns
 
@@ -117,27 +117,29 @@ def _disk_cells_var_udf():
 
 def _knn_cell_pass(min_cell: float, max_distance: float | None,
                    exclusive: bool):
-    """mapInPandas fn: one partition of union-tagged (cell, side, ids,
-    geoms, lrad) rows -> per-left best-distance rows with a certified flag.
+    """mapInPandas fn: union-tagged (cell, side, ids, geoms, lrad) rows ->
+    per-left best-distance rows with a certified flag.
 
     Fully segment-vectorized: combos of (left x right in same cell) are
     built with repeat/expand index math; exact distances come from the
     pairwise numpy kernel; per-left minima via minimum.reduceat.
+
+    STREAMING (round-2): the input is sorted by __cell within the
+    partition, so chunks are processed as they arrive — only the
+    trailing (possibly chunk-spanning) cell group is carried over, never
+    the whole partition (round 1 pd.concat'ed every chunk, the kNN
+    memory/bandwidth bottleneck flagged in the scaling audit).
     """
 
-    def fn(it):
+    def _process(pdf):
         from ..geom.predicates import pairwise_distance
         from ..geom.wkb import from_wkb
         from ..geom.ragged import _expand_ranges
 
-        chunks = list(it)
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True)
         left = pdf[pdf["__side"] == 1]
         right = pdf[pdf["__side"] == 0]
         if len(left) == 0:
-            return
+            return None
         out_lid = []
         out_rid = []
         out_d = []
@@ -153,7 +155,7 @@ def _knn_cell_pass(min_cell: float, max_distance: float | None,
 
         if len(right) == 0:
             k = len(left)
-            yield pd.DataFrame({
+            return pd.DataFrame({
                 "__xlid": left["__lid"].to_numpy(),
                 "__xrid": np.full(k, None, dtype=object),
                 "__d": np.full(k, np.nan),
@@ -162,7 +164,6 @@ def _knn_cell_pass(min_cell: float, max_distance: float | None,
                 "__tcell": left["__cell"].to_numpy(dtype=np.int64),
                 "__trad": left["__lrad"].to_numpy(dtype=np.float64),
             })
-            return
         # order both sides by cell; build per-cell ranges
         lcell = left["__cell"].to_numpy(dtype=np.int64)
         rcell = right["__cell"].to_numpy(dtype=np.int64)
@@ -248,7 +249,7 @@ def _knn_cell_pass(min_cell: float, max_distance: float | None,
                 out_tg.append(lgeom[haspos])
                 out_tc.append(lcell[haspos])
                 out_tr.append(lrad[haspos])
-        yield pd.DataFrame({
+        return pd.DataFrame({
             "__xlid": np.concatenate(out_lid) if out_lid else np.array([], dtype=object),
             "__xrid": np.concatenate(out_rid) if out_rid else np.array([], dtype=object),
             "__d": np.concatenate(out_d) if out_d else np.array([], dtype=np.float64),
@@ -257,6 +258,31 @@ def _knn_cell_pass(min_cell: float, max_distance: float | None,
             "__tcell": np.concatenate(out_tc) if out_tc else np.array([], dtype=np.int64),
             "__trad": np.concatenate(out_tr) if out_tr else np.array([], dtype=np.float64),
         })
+
+    def fn(it):
+        pending = None
+        for chunk in it:
+            if pending is not None and len(pending):
+                chunk = pd.concat([pending, chunk], ignore_index=True)
+                pending = None
+            if len(chunk) == 0:
+                continue
+            cells = chunk["__cell"].to_numpy(dtype=np.int64)
+            # input is sortWithinPartitions("__cell"): everything before
+            # the last cell value is complete; the last cell may continue
+            # into the next chunk
+            cut = int(np.searchsorted(cells, cells[-1], side="left"))
+            if cut == 0:
+                pending = chunk
+                continue
+            pending = chunk.iloc[cut:]
+            out = _process(chunk.iloc[:cut])
+            if out is not None:
+                yield out
+        if pending is not None and len(pending):
+            out = _process(pending)
+            if out is not None:
+                yield out
 
     return fn
 
@@ -296,11 +322,12 @@ def sjoin_nearest(
                 int(np.ceil(np.log2(max(n_right / 8.0, 1)) / 2)), 1, MAX_RES))
     min_cell = min(cell_size(resolution, domain))
 
+    rcells = st_cells_from_bbox("__bb.minx", "__bb.miny", "__bb.maxx",
+                                "__bb.maxy", resolution, domain=domain)
     rx = (
         right.select(F.col(rid).alias("__xrid"),
                      F.col(right_geom).alias("__rgeom"),
-                     F.explode(st_cells(right_geom, resolution, domain=domain))
-                     .alias("__cell"))
+                     F.explode(rcells).alias("__cell"))
     )
 
     # midpoint cell via a tiny UDF on the bbox struct
@@ -327,8 +354,7 @@ def sjoin_nearest(
     # ---- phase 1: single-shuffle cell kNN pass ---------------------------
     rrep = right.select(
         F.col(rid).alias("__rid"), F.col(right_geom).alias("__geom"),
-        F.explode(_cover_disk_udf()(st_cells(right_geom, resolution,
-                                             domain=domain))).alias("__cell"),
+        F.explode(_cover_disk_udf()(rcells)).alias("__cell"),
     ).withColumn("__side", F.lit(0))
     ltag = lbase.select(
         F.col("__xlid").alias("__lid"), F.col("__lgeom").alias("__geom"),
@@ -337,10 +363,13 @@ def sjoin_nearest(
 
     lid_t = dict(lbase.dtypes)["__xlid"]
     rid_t = dict(rx.dtypes)["__xrid"]
+    # hash-partition by cell, then sort within the partition so the kNN
+    # pass can stream chunk-by-chunk (complete cells processed as they
+    # arrive) instead of materializing whole partitions in pandas
     tagged = ltag.unionByName(
         rrep.select(F.col("__rid"), "__geom", "__cell", "__side"),
         allowMissingColumns=True,
-    ).repartition("__cell")
+    ).repartition("__cell").sortWithinPartitions("__cell")
     p1 = tagged.mapInPandas(
         _knn_cell_pass(min_cell, max_distance, exclusive),
         schema=(f"__xlid {lid_t}, __xrid {rid_t}, __d double, __ok boolean,"

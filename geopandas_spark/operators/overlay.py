@@ -50,8 +50,17 @@ def _pairs(df1, df2, geom1, geom2, id1, id2, resolution, domain,
     so each pair's WKB is parsed exactly once."""
     from .sjoin import _ancestors_udf, _refine_rp_udf
 
-    c1 = st_cells(geom1, resolution, domain=domain)
-    c2 = st_cells(geom2, resolution, domain=domain)
+    from ..functions.st import st_cells_from_bbox
+
+    def _cover(df, geom):
+        # reuse the __bb struct when present (no second WKB decode)
+        if "__bb" in df.columns:
+            return st_cells_from_bbox("__bb.minx", "__bb.miny", "__bb.maxx",
+                                      "__bb.maxy", resolution, domain=domain)
+        return st_cells(geom, resolution, domain=domain)
+
+    c1 = _cover(df1, geom1)
+    c2 = _cover(df2, geom2)
     if min2 is not None and min2 < resolution:
         c1 = _ancestors_udf(min2)(c1)
     if min1 is not None and min1 < resolution:

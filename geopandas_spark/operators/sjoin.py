@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..functions.st import st_bounds, st_cells, st_predicate
+from ..functions.st import st_bounds, st_cells_from_bbox, st_predicate
 from ..index.cells import DOMAIN_UNIT, pick_resolution
 
 VALID_HOW = ("inner", "left", "right")
@@ -167,11 +167,16 @@ def _refine_rp_udf(pred: str, resolution: int, domain, distance, lpad: float):
     two bboxes. Replaces a dropDuplicates shuffle with pure map-side math;
     the canonical cell is always among the joined cells because it lies in
     both bboxes and both sides emit ancestors down to the other's min res.
+
+    Bounds arrive as columns carried through the cell join (computed once
+    in _prep_side) — round 1 recomputed them from a second decode here.
     """
 
     @pandas_udf("boolean")
-    def _f(lg: pd.Series, rg: pd.Series, cell: pd.Series) -> pd.Series:
-        from ..geom.kernels import bounds
+    def _f(lg: pd.Series, rg: pd.Series, cell: pd.Series,
+           lmnx: pd.Series, lmny: pd.Series, lmxx: pd.Series, lmxy: pd.Series,
+           rmnx: pd.Series, rmny: pd.Series, rmxx: pd.Series, rmxy: pd.Series,
+           ) -> pd.Series:
         from ..geom.predicates import pairwise_predicate
         from ..geom.wkb import from_wkb
         from ..index import cells as C
@@ -179,8 +184,12 @@ def _refine_rp_udf(pred: str, resolution: int, domain, distance, lpad: float):
         lb = from_wkb(lg)
         rb = from_wkb(rg)
         ok = pairwise_predicate(pred, lb, rb, distance)
-        lbb = np.nan_to_num(bounds(lb))
-        rbb = np.nan_to_num(bounds(rb))
+        lbb = np.nan_to_num(np.column_stack([
+            lmnx.to_numpy(np.float64), lmny.to_numpy(np.float64),
+            lmxx.to_numpy(np.float64), lmxy.to_numpy(np.float64)]))
+        rbb = np.nan_to_num(np.column_stack([
+            rmnx.to_numpy(np.float64), rmny.to_numpy(np.float64),
+            rmxx.to_numpy(np.float64), rmxy.to_numpy(np.float64)]))
         if lpad:
             lbb = lbb + np.array([-lpad, -lpad, lpad, lpad])
         rl = C.cover_res(lbb[:, 0], lbb[:, 1], lbb[:, 2], lbb[:, 3],
@@ -286,7 +295,10 @@ def sjoin(
     rmin = _min_cover_res(stats[1], resolution, domain, 0.0)
 
     def cover(df, geom, pad_by):
-        c = st_cells(geom, resolution, domain=domain)
+        # cover from the __bb struct computed in _prep_side — the geometry
+        # is NOT decoded a second time (round-1 covered via st_cells)
+        c = st_cells_from_bbox("__bb.minx", "__bb.miny", "__bb.maxx",
+                               "__bb.maxy", resolution, domain=domain)
         if pad_by:
             # dwithin: expand the probe bbox by the distance — done by
             # covering a padded rectangle instead of the raw bbox
@@ -320,9 +332,11 @@ def sjoin(
     if lmin < resolution:
         rcov = rcov.withColumn("__cells", _ancestors_udf(lmin)(F.col("__cells")))
 
-    lx = lcov.select(F.col(lid).alias("__xlid"), "__lgeom", *on_attribute,
+    lx = lcov.select(F.col(lid).alias("__xlid"), "__lgeom",
+                     F.col("__bb").alias("__lbb"), *on_attribute,
                      F.explode("__cells").alias("__cell"))
     rx = rcov.select(F.col(rid).alias("__xrid"), "__rgeom",
+                     F.col("__bb").alias("__rbb"),
                      *[F.col(c).alias(f"__r_{c}") for c in on_attribute],
                      F.explode("__cells").alias("__cell"))
 
@@ -369,11 +383,15 @@ def sjoin(
     # cover res. No dropDuplicates stage exists in this plan.
     cand = lx.join(rj, on=join_keys, how="inner").select(
         lx["__xlid"], rx["__xrid"], lx["__lgeom"], rx["__rgeom"],
-        lx["__cell"].alias("__jcell"),
+        lx["__cell"].alias("__jcell"), lx["__lbb"], rx["__rbb"],
     )
     refined = cand.filter(
         _refine_rp_udf(predicate, resolution, domain, distance, pad)(
-            F.col("__lgeom"), F.col("__rgeom"), F.col("__jcell")))
+            F.col("__lgeom"), F.col("__rgeom"), F.col("__jcell"),
+            F.col("__lbb.minx"), F.col("__lbb.miny"),
+            F.col("__lbb.maxx"), F.col("__lbb.maxy"),
+            F.col("__rbb.minx"), F.col("__rbb.miny"),
+            F.col("__rbb.maxx"), F.col("__rbb.maxy")))
     matched = refined.select("__xlid", "__xrid")
 
     # ---- assemble output -------------------------------------------------

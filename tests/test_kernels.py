@@ -152,3 +152,30 @@ def test_hilbert_reference_algorithm():
     xs, ys = np.meshgrid(np.arange(32), np.arange(32))
     dd = xy2d(xs.ravel(), ys.ravel(), 5)
     assert len(np.unique(dd)) == 1024
+
+
+def test_crs_laea_lcc_utm():
+    """Round-2 CRS additions: EPSG:3035 (LAEA, pinned to the EPSG
+    Guidance Note 7-2 worked example), EPSG:2154 (Lambert-93, pinned to
+    Paris), estimate_utm_crs zone math."""
+    import numpy as np
+    from geopandas_spark.geom.crs import estimate_utm_crs, transform_xy
+
+    x, y = transform_xy(np.array([5.0]), np.array([50.0]), 4326, 3035)
+    assert abs(x[0] - 3962799.45) < 0.01 and abs(y[0] - 2999718.85) < 0.01
+    lon, lat = transform_xy(x, y, 3035, 4326)
+    assert abs(lon[0] - 5.0) < 1e-9 and abs(lat[0] - 50.0) < 1e-9
+
+    x, y = transform_xy(np.array([2.3522]), np.array([48.8566]), 4326, 2154)
+    assert abs(x[0] - 652469.02) < 0.5 and abs(y[0] - 6862035.26) < 0.5
+    lon, lat = transform_xy(x, y, 2154, 4326)
+    assert abs(lon[0] - 2.3522) < 1e-9 and abs(lat[0] - 48.8566) < 1e-9
+
+    # zone math: Berlin -> 33N, Sydney -> 56S
+    assert estimate_utm_crs(13.0, 52.0, 13.8, 52.6) == 32633
+    assert estimate_utm_crs(150.8, -34.0, 151.4, -33.5) == 32756
+    # chained: 3035 -> 2154 goes through lon/lat
+    x, y = transform_xy(np.array([3962799.45]), np.array([2999718.85]),
+                        3035, 2154)
+    lon, lat = transform_xy(x, y, 2154, 4326)
+    assert abs(lon[0] - 5.0) < 1e-6 and abs(lat[0] - 50.0) < 1e-6
