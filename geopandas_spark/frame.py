@@ -213,6 +213,20 @@ class GeoFrame:
         return write_geoparquet(self.df, path, geom=self.geometry,
                                 crs=self.crs, **kw)
 
+    def to_arrow(self, geometry_encoding: str = "WKB"):
+        """geodataframe.py:786 — pyarrow Table with GeoArrow metadata."""
+        from .sources.geoarrow import to_arrow as _to_arrow
+
+        return _to_arrow(self.df, self.geometry, geometry_encoding, self.crs)
+
+    @classmethod
+    def from_arrow(cls, spark, table) -> "GeoFrame":
+        """geodataframe.py:540 — build from a GeoArrow-tagged table."""
+        from .sources.geoarrow import from_arrow as _from_arrow
+
+        df, geom, crs = _from_arrow(spark, table)
+        return cls(df, geom or "geometry", crs)
+
     def to_features(self) -> DataFrame:
         from .sources.geojson import to_features
 

@@ -956,10 +956,24 @@ def st_intersection_all(geom_list) -> Column:
     return _f(_col(geom_list))
 
 
-def st_sample_points(geom, size: int, seed: int = 0, row_key=None) -> Column:
-    """sample_points (base.py:5652, tools/_random.py): uniform points per
-    geometry as a MultiPoint; deterministic per row via seed + row key
-    (polygons by area rejection, lines by length; multiparts pooled)."""
+def st_sample_points(geom, size: int, seed: int = 0, row_key=None,
+                     method: str = "uniform") -> Column:
+    """sample_points (base.py:5652, tools/_random.py): points per geometry
+    as a MultiPoint; deterministic per row via seed + row key.
+
+    methods (reference: uniform natively, others via pointpats,
+    base.py:5676-5683):
+
+    * ``uniform`` — polygons by area rejection, lines by length,
+      multiparts pooled.
+    * ``normal`` — Gaussian around the centroid (sigma = 1/4 of the
+    bbox half-extent), rejection-clipped to the geometry; the
+    pointpats-style clustered sampler.
+    """
+    if method not in ("uniform", "normal"):
+        raise ValueError(
+            f"method {method!r} not supported (uniform, normal); other "
+            "pointpats samplers are out of scope without pointpats")
 
     key = _col(row_key) if row_key is not None else F.lit(0)
 
@@ -987,11 +1001,18 @@ def st_sample_points(geom, size: int, seed: int = 0, row_key=None) -> Column:
             pts = []
             if dim == 2 and np.isfinite(bb[g, 0]):
                 minx, miny, maxx, maxy = bb[g]
+                cx, cy = (minx + maxx) / 2, (miny + maxy) / 2
+                sx = max((maxx - minx) / 8, 1e-12)
+                sy = max((maxy - miny) / 8, 1e-12)
                 tries = 0
                 while len(pts) < size and tries < 200 * size + 1000:
                     m = max(size * 2, 64)
-                    xs = rng.uniform(minx, maxx, m)
-                    ys = rng.uniform(miny, maxy, m)
+                    if method == "normal":
+                        xs = rng.normal(cx, sx, m)
+                        ys = rng.normal(cy, sy, m)
+                    else:
+                        xs = rng.uniform(minx, maxx, m)
+                        ys = rng.uniform(miny, maxy, m)
                     st_ = points_in_geom(xs, ys, b, g)
                     for x, y in zip(xs[st_ != 0], ys[st_ != 0]):
                         if len(pts) < size:

@@ -75,3 +75,32 @@ def test_geoparquet_roundtrip(gf, spark, tmp_path_factory):
     assert meta["primary_column"] == "geometry"
     back = read_geoparquet(spark, path)
     assert back.count() == 3 and back.crs == "EPSG:4326"
+
+
+def test_geoarrow_roundtrip(spark):
+    """to_arrow/from_arrow (geodataframe.py:540,786): WKB and point
+    encodings round-trip with GeoArrow extension metadata."""
+    import pandas as pd
+    from geopandas_spark.frame import GeoFrame
+    from geopandas_spark.functions import st
+
+    pdf = pd.DataFrame({"id": [1, 2], "wkt": ["POINT (1 2)", "POINT (3 4)"]})
+    df = spark.createDataFrame(pdf)
+    gf = GeoFrame(df.withColumn("geometry", st.st_geomfromtext("wkt"))
+                  .drop("wkt"), crs="EPSG:4326")
+
+    t = gf.to_arrow()
+    md = t.schema.field("geometry").metadata
+    assert md[b"ARROW:extension:name"] == b"geoarrow.wkb"
+    back = GeoFrame.from_arrow(spark, t)
+    assert back.crs == "EPSG:4326"
+    assert back.df.count() == 2
+    xs = sorted(r[0] for r in back.df.select(st.st_x("geometry")).collect())
+    assert xs == [1.0, 3.0]
+
+    tp = gf.to_arrow(geometry_encoding="point")
+    assert tp.schema.field("geometry").metadata[
+        b"ARROW:extension:name"] == b"geoarrow.point"
+    back2 = GeoFrame.from_arrow(spark, tp)
+    ys = sorted(r[0] for r in back2.df.select(st.st_y("geometry")).collect())
+    assert ys == [2.0, 4.0]

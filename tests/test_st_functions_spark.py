@@ -175,3 +175,21 @@ def test_disjoint_skew_transform_fn_precision(gdf, spark):
     # get_precision: stored WKB is always full precision
     pr = _vals(gdf.select("id", st.st_get_precision("geometry").alias("p")), "p")
     assert pr == [0.0, 0.0, 0.0]
+
+
+def test_sample_points_methods(gdf):
+    """method='normal' clusters around the centroid; unknown methods
+    raise (base.py:5676-5683)."""
+    poly = gdf.filter(F.col("id") == 2)  # 4x4 square, centroid (2,2)
+    samp = poly.select("id", st.st_sample_points(
+        "geometry", 50, seed=7, row_key="id", method="normal").alias("s"))
+    import numpy as np
+
+    rows = st.st_get_coordinates_exploded(samp, "s", ["id"]).collect()
+    coords = np.array([[r["x"], r["y"]] for r in rows])
+    assert len(coords) == 50
+    # clustered: mean near centroid, spread well below uniform's
+    assert abs(coords[:, 0].mean() - 2.0) < 0.4
+    assert coords[:, 0].std() < 0.9  # uniform std would be ~1.15
+    with pytest.raises(ValueError):
+        st.st_sample_points("geometry", 5, method="cluster_poisson")
