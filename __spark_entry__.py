@@ -499,6 +499,50 @@ def q_lsh_topk_embeddings(spark, sf_dir) -> DataFrame:
     return out.select("query_id", "corpus_id", F.col("rank").alias("rnk"))
 
 
+def _star_polys(spark, sf_dir):
+    """Irregular 12-gon stars centered on the part-rect centers — the
+    general (non-rectilinear, non-convex) polygon fixture that drives the
+    batched Greiner-Hormann path instead of the rect fast path."""
+    import math
+
+    from geopandas_spark.functions.st import st_geomfromtext
+
+    p = _part_rects(spark, sf_dir).select("p_partkey", "minx", "miny",
+                                          "maxx", "maxy")
+    cx = (F.col("minx") + F.col("maxx")) / 2
+    cy = (F.col("miny") + F.col("maxy")) / 2
+    half = (F.col("maxx") - F.col("minx")) / 2
+    parts = [F.lit("POLYGON ((")]
+    for k in range(13):
+        a = 2 * math.pi * (k % 12) / 12
+        rad = half * (0.7 + 0.3 * (((k % 12) * 2654435761 % 7) / 7.0))
+        parts.append(cx + rad * math.cos(a))
+        parts.append(F.lit(" "))
+        parts.append(cy + rad * math.sin(a))
+        if k < 12:
+            parts.append(F.lit(", "))
+    parts.append(F.lit("))"))
+    return p.select("p_partkey",
+                    st_geomfromtext(F.concat(*parts)).alias("geometry"))
+
+
+def q_overlay_star_intersection(spark, sf_dir) -> DataFrame:
+    """General-polygon overlay (rows-only: star x star intersection has no
+    SQL oracle; the GH-vs-sweep equality is pinned in pytest). Splits the
+    star set by key parity and intersects the halves."""
+    from geopandas_spark.functions.st import st_area
+    from geopandas_spark.operators.overlay import overlay
+
+    stars = _star_polys(spark, sf_dir)
+    a = stars.filter(F.col("p_partkey") % 2 == 0)
+    b = (stars.filter(F.col("p_partkey") % 2 == 1)
+         .withColumnRenamed("p_partkey", "q_partkey"))
+    out = overlay(a, b, how="intersection", id1="p_partkey",
+                  id2="q_partkey", make_valid=False)
+    return out.select("p_partkey", "q_partkey",
+                      F.round(st_area("geometry"), 9).alias("ia"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_sjoin_points_in_rects(spark, "/root/testdata/sf0.001")
@@ -538,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "make_valid_bowtie_area": q_make_valid_bowtie_area,
         "skew_transform_points": q_skew_transform_points,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "overlay_star_intersection": q_overlay_star_intersection,
     }
 
 

@@ -60,6 +60,10 @@ def main():
         "exact_dedup_docs",
         "minhash_near_dups",
         "cosine_topk",
+        "overlay_star_intersection",
+        "ngram_jaccard_pairs",
+        "make_valid_bowtie_area",
+        "lsh_topk_embeddings",
     ]
     # Warmup pass (not timed, disclosed in the output JSON): this sandbox
     # runs on lazily-provisioned VM memory where the first touch of every
