@@ -104,3 +104,23 @@ def test_geoarrow_roundtrip(spark):
     back2 = GeoFrame.from_arrow(spark, tp)
     ys = sorted(r[0] for r in back2.df.select(st.st_y("geometry")).collect())
     assert ys == [2.0, 4.0]
+
+
+def test_feather_roundtrip(spark, tmp_path):
+    """read_feather/to_feather (io/arrow.py:367) round-trips data + geo
+    metadata blob."""
+    import pandas as pd
+    from geopandas_spark.functions import st
+    from geopandas_spark.sources.feather import read_feather, write_feather
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"id": [1, 2], "wkt": ["POINT (1 2)", "LINESTRING (0 0, 1 1)"]}))
+    df = df.withColumn("geometry", st.st_geomfromtext("wkt")).drop("wkt")
+    path = str(tmp_path / "t.feather")
+    meta = write_feather(df, path, crs="EPSG:4326")
+    assert meta["columns"]["geometry"]["crs"] == "EPSG:4326"
+    back, meta2 = read_feather(spark, path)
+    assert meta2 == meta
+    assert back.count() == 2
+    assert sorted(meta2["columns"]["geometry"]["geometry_types"]) == [
+        "LineString", "Point"]
