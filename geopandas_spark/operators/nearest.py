@@ -259,30 +259,43 @@ def _knn_cell_pass(min_cell: float, max_distance: float | None,
             "__trad": np.concatenate(out_tr) if out_tr else np.array([], dtype=np.float64),
         })
 
+    # Buffer chunks to this many rows before a vectorized _process call:
+    # large enough to keep the numpy kernels batch-efficient (per-call
+    # overhead amortized ~32x vs per-Arrow-chunk processing), small
+    # enough that partition memory stays bounded regardless of partition
+    # size — the round-1 whole-partition concat is never recreated.
+    BUFFER_ROWS = 262_144
+
     def fn(it):
-        pending = None
+        buf: list = []
+        buffered = 0
         for chunk in it:
-            if pending is not None and len(pending):
-                chunk = pd.concat([pending, chunk], ignore_index=True)
-                pending = None
             if len(chunk) == 0:
                 continue
-            cells = chunk["__cell"].to_numpy(dtype=np.int64)
+            buf.append(chunk)
+            buffered += len(chunk)
+            if buffered < BUFFER_ROWS:
+                continue
+            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            cells = pdf["__cell"].to_numpy(dtype=np.int64)
             # input is sortWithinPartitions("__cell"): everything before
             # the last cell value is complete; the last cell may continue
             # into the next chunk
             cut = int(np.searchsorted(cells, cells[-1], side="left"))
             if cut == 0:
-                pending = chunk
+                buf = [pdf]
                 continue
-            pending = chunk.iloc[cut:]
-            out = _process(chunk.iloc[:cut])
+            buf = [pdf.iloc[cut:]]
+            buffered = len(buf[0])
+            out = _process(pdf.iloc[:cut])
             if out is not None:
                 yield out
-        if pending is not None and len(pending):
-            out = _process(pending)
-            if out is not None:
-                yield out
+        if buf:
+            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            if len(pdf):
+                out = _process(pdf)
+                if out is not None:
+                    yield out
 
     return fn
 
