@@ -127,6 +127,20 @@ class GeoFrame:
     def scale(self, xfact: float = 1.0, yfact: float = 1.0, origin="center") -> "GeoFrame":
         return self._with_geom(st.st_scale(self.geometry, xfact, yfact, origin))
 
+    def make_valid(self) -> "GeoFrame":
+        """base.py:1641 — repair invalid polygonal rows (geom/validity)."""
+        return self._with_geom(st.st_make_valid(self.geometry))
+
+    def skew(self, xs: float = 0.0, ys: float = 0.0, origin="center",
+             use_radians: bool = False) -> "GeoFrame":
+        return self._with_geom(
+            st.st_skew(self.geometry, xs, ys, origin, use_radians))
+
+    def transform(self, fn, include_z: bool = False) -> "GeoFrame":
+        """base.py:1751 — arbitrary coordinate function (Arrow-blockwise)."""
+        return self._with_geom(
+            st.st_transform_fn(self.geometry, fn, include_z))
+
     def to_crs(self, crs) -> "GeoFrame":
         """geoseries.py:878 — requires a crs set via set_crs/__init__."""
         if self.crs is None:
