@@ -194,9 +194,28 @@ def _knn_cell_pass(min_cell: float, max_distance: float | None,
         if has.any():
             li = np.repeat(np.nonzero(has)[0], rcnt[has])
             ri = _expand_ranges(r0[has], r1[has])
-            lb = from_wkb(pd.Series(lgeom[li]))
-            rb = from_wkb(pd.Series(rgeom[ri]))
-            d = pairwise_distance(lb, rb)
+            # decode each geometry ONCE per block (round 1 decoded per
+            # COMBO — ~9x redundant WKB parsing, the memory-traffic
+            # hot spot of the whole join); puntal blocks then compute
+            # distances from gathered coordinates with zero extra decode
+            lb_all = from_wkb(pd.Series(lgeom))
+            rb_all = from_wkb(pd.Series(rgeom))
+            from ..geom.ragged import POINT as _PT
+
+            puntal = ((lb_all.types == _PT).all()
+                      and (rb_all.types == _PT).all()
+                      and (lb_all.n_coords_per_geom() == 1).all()
+                      and (rb_all.n_coords_per_geom() == 1).all())
+            if puntal:
+                lc = lb_all.coords
+                rc = rb_all.coords
+                dx = lc[li, 0] - rc[ri, 0]
+                dy = lc[li, 1] - rc[ri, 1]
+                # sqrt(dx^2+dy^2), NOT hypot — bit-parity with the
+                # pairwise_distance kernel and the SQL oracles
+                d = np.sqrt(dx * dx + dy * dy)
+            else:
+                d = pairwise_distance(lb_all.take(li), rb_all.take(ri))
             if exclusive:
                 eq = np.array([lgeom[a] == rgeom[b] for a, b in zip(li, ri)])
                 d = np.where(eq, np.inf, d)
@@ -298,6 +317,116 @@ def _knn_cell_pass(min_cell: float, max_distance: float | None,
                     yield out
 
     return fn
+
+
+def _nocand_tail(nanrows, rxp, _exact_pairs, _disk_probe, resolution, domain,
+                 min_cell, k_cap, max_distance):
+    """Tail probes for rows with NO phase-1 candidate (sparse
+    neighborhoods). A directory of the right side's non-empty cells gives
+    each row an optimistic bound B = min over cells of the worst-case
+    distance into that cell; the candidate set found under B yields an
+    exact best distance d* which IS a valid upper bound, so a second
+    probe at radius d* guarantees the true nearest (ADVICE round-1 fix —
+    the optimistic bound alone can exclude the true nearest's cells).
+    Falls back to coarse-directory disk expansion when the directory is
+    too large to broadcast."""
+    parts = []
+    dir_max = 1 << 18
+    n_dir = rxp.select("__cell").distinct().limit(dir_max + 1).count()
+    if n_dir <= dir_max:
+        dir_ids = np.array(
+            [r[0] for r in rxp.select("__cell").distinct().collect()],
+            dtype=np.int64)
+
+        @pandas_udf("array<long>")
+        def _probe_cells(geom: pd.Series, dbest: pd.Series) -> pd.Series:
+            from ..geom.kernels import bounds as _bounds
+            from ..geom.wkb import from_wkb
+            from ..index import cells as C
+
+            cb = C.cell_bounds(dir_ids, domain)
+            bb = np.nan_to_num(_bounds(from_wkb(geom)))
+            B = dbest.to_numpy(dtype=np.float64)
+            out = np.empty(len(bb), dtype=object)
+            step = max(1, 8_000_000 // max(len(dir_ids), 1))
+            for lo in range(0, len(bb), step):
+                sl = slice(lo, lo + step)
+                dx = np.maximum(
+                    np.maximum(cb[None, :, 0] - bb[sl, None, 2],
+                               bb[sl, None, 0] - cb[None, :, 2]), 0.0)
+                dy = np.maximum(
+                    np.maximum(cb[None, :, 1] - bb[sl, None, 3],
+                               bb[sl, None, 1] - cb[None, :, 3]), 0.0)
+                mind = np.sqrt(dx * dx + dy * dy)
+                Bsl = B[sl].copy()
+                nix = np.isnan(Bsl)
+                if nix.any():
+                    # no bound yet: optimistic B = min worst-case distance
+                    # into any non-empty cell
+                    mxx = np.maximum(np.abs(cb[None, :, 0] - bb[sl, None, 2][nix]),
+                                     np.abs(cb[None, :, 2] - bb[sl, None, 0][nix]))
+                    mxy = np.maximum(np.abs(cb[None, :, 1] - bb[sl, None, 3][nix]),
+                                     np.abs(cb[None, :, 3] - bb[sl, None, 1][nix]))
+                    maxd = np.sqrt(mxx * mxx + mxy * mxy)
+                    Bsl[nix] = maxd.min(axis=1)
+                sel = mind <= Bsl[:, None]
+                for i in range(sel.shape[0]):
+                    out[lo + i] = dir_ids[sel[i]].tolist()
+            return pd.Series(out)
+
+        def _dir_probe(src, bcol):
+            return src.select(
+                "__xlid", "__lgeom",
+                F.explode(_probe_cells(F.col("__lgeom"), bcol))
+                .alias("__cell"))
+
+        bcol = (F.lit(float(max_distance)).cast("double")
+                if max_distance is not None
+                else F.lit(None).cast("double"))
+        cand = _exact_pairs(_dir_probe(nanrows, bcol))
+        parts.append(cand)
+        need_reprobe = max_distance is None
+        if need_reprobe:
+            dstar = cand.groupBy("__xlid").agg(F.min("__d").alias("__B2"))
+            src2 = nanrows.join(dstar, on="__xlid", how="inner")
+            parts.append(_exact_pairs(_dir_probe(src2, F.col("__B2"))))
+        return parts
+
+    # huge directory: coarse-directory bound + disk expansion
+    cres = max(0, resolution - 6)
+    shift = resolution - cres
+    coarse_ids = np.array(
+        [r[0] for r in rxp.select(
+            (F.lit(np.int64(cres) << 56)
+             .bitwiseOR(F.shiftright(
+                 F.col("__cell").bitwiseAND(F.lit((1 << 56) - 1)),
+                 2 * shift))).alias("__cc")
+        ).distinct().collect()],
+        dtype=np.int64)
+
+    @pandas_udf("double")
+    def _nocand_bound(cell0: pd.Series) -> pd.Series:
+        from ..index import cells as C
+
+        _, ci, cj = C.cell_ij(coarse_ids)
+        _, li, lj = C.cell_ij(cell0.to_numpy(dtype=np.int64))
+        li >>= shift
+        lj >>= shift
+        D = np.minimum.reduce(
+            np.maximum(np.abs(li[:, None] - ci[None, :]),
+                       np.abs(lj[:, None] - cj[None, :])), axis=1)
+        bound = np.sqrt(2.0) * (D + 1) * (1 << shift) * min_cell
+        return pd.Series(bound)
+
+    cand = _exact_pairs(_disk_probe(
+        nanrows.withColumn("__B", _nocand_bound(F.col("__cell0"))),
+        F.col("__B")))
+    parts.append(cand)
+    # the coarse bound is always optimistic -> validate with d*
+    dstar = cand.groupBy("__xlid").agg(F.min("__d").alias("__B2"))
+    src2 = nanrows.join(dstar, on="__xlid", how="inner")
+    parts.append(_exact_pairs(_disk_probe(src2, F.col("__B2"))))
+    return parts
 
 
 def sjoin_nearest(
@@ -414,109 +543,32 @@ def sjoin_nearest(
         F.col("__d").alias("__dbest"),
     ).localCheckpoint(eager=False)
     tail_parts = []
-    if not unresolved.isEmpty():
-        dir_max = 1 << 18
-        n_dir = rxp.select("__cell").distinct().limit(dir_max + 1).count()
-        if n_dir <= dir_max:
-            dir_ids = np.array(
-                [r[0] for r in rxp.select("__cell").distinct().collect()],
-                dtype=np.int64)
+    # ONE action sizes both tail classes (round 1 ran isEmpty twice — two
+    # extra serial jobs per call)
+    _nan_pred = F.col("__dbest").isNull() | F.isnan("__dbest")
+    _sz = unresolved.agg(
+        F.count(F.lit(1)).alias("nu"),
+        F.sum(F.when(_nan_pred, 1).otherwise(0)).alias("nn")).collect()[0]
+    n_unres, n_nan = int(_sz["nu"] or 0), int(_sz["nn"] or 0)
+    if n_unres:
+        # Rows WITH a phase-1 candidate carry a realized distance dbest —
+        # a valid upper bound — so they probe a small exact-radius disk:
+        # O(k^2) cells per row with k ~ ceil(dbest/cell). Only rows with
+        # NO candidate (sparse neighborhoods, rare) need the directory
+        # scan below; round-2 change — the directory probe was O(rows x
+        # |directory|) and dominated the whole join on dense data.
+        have_d = unresolved.filter(~_nan_pred)
+        nanrows = unresolved.filter(_nan_pred)
 
-            @pandas_udf("array<long>")
-            def _probe_cells(geom: pd.Series, dbest: pd.Series) -> pd.Series:
-                from ..geom.kernels import bounds as _bounds
-                from ..geom.wkb import from_wkb
-                from ..index import cells as C
-
-                cb = C.cell_bounds(dir_ids, domain)
-                bb = np.nan_to_num(_bounds(from_wkb(geom)))
-                B = dbest.to_numpy(dtype=np.float64)
-                out = np.empty(len(bb), dtype=object)
-                step = max(1, 8_000_000 // max(len(dir_ids), 1))
-                for lo in range(0, len(bb), step):
-                    sl = slice(lo, lo + step)
-                    dx = np.maximum(
-                        np.maximum(cb[None, :, 0] - bb[sl, None, 2],
-                                   bb[sl, None, 0] - cb[None, :, 2]), 0.0)
-                    dy = np.maximum(
-                        np.maximum(cb[None, :, 1] - bb[sl, None, 3],
-                                   bb[sl, None, 1] - cb[None, :, 3]), 0.0)
-                    mind = np.sqrt(dx * dx + dy * dy)
-                    Bsl = B[sl].copy()
-                    nix = np.isnan(Bsl)
-                    if nix.any():
-                        # no phase-1 candidate: bound = min worst-case
-                        # distance into any non-empty cell
-                        mxx = np.maximum(np.abs(cb[None, :, 0] - bb[sl, None, 2][nix]),
-                                         np.abs(cb[None, :, 2] - bb[sl, None, 0][nix]))
-                        mxy = np.maximum(np.abs(cb[None, :, 1] - bb[sl, None, 3][nix]),
-                                         np.abs(cb[None, :, 3] - bb[sl, None, 1][nix]))
-                        maxd = np.sqrt(mxx * mxx + mxy * mxy)
-                        Bsl[nix] = maxd.min(axis=1)
-                    sel = mind <= Bsl[:, None]
-                    for i in range(sel.shape[0]):
-                        out[lo + i] = dir_ids[sel[i]].tolist()
-                return pd.Series(out)
-
-            def _probe(src, bcol):
-                return src.select(
-                    "__xlid", "__lgeom",
-                    F.explode(_probe_cells(F.col("__lgeom"), bcol))
-                    .alias("__cell"))
-
-            bcol = F.col("__dbest")
-            if max_distance is not None:
-                bcol = F.least(bcol, F.lit(float(max_distance)))
-            lx = _probe(unresolved, bcol)
-            # nan __dbest rows used the optimistic directory bound; with a
-            # max_distance cap the bound is the (valid) cap instead
-            need_reprobe = max_distance is None
-        else:
-            # huge directory: bounded disk expansion at a coarse radius
-            # derived from a coarse directory (scale path, rarely taken)
-            cres = max(0, resolution - 6)
-            shift = resolution - cres
-            coarse_ids = np.array(
-                [r[0] for r in rxp.select(
-                    (F.lit(np.int64(cres) << 56)
-                     .bitwiseOR(F.shiftright(
-                         F.col("__cell").bitwiseAND(F.lit((1 << 56) - 1)),
-                         2 * shift))).alias("__cc")
-                ).distinct().collect()],
-                dtype=np.int64)
-
-            @pandas_udf("double")
-            def _nocand_bound(cell0: pd.Series) -> pd.Series:
-                from ..index import cells as C
-
-                _, ci, cj = C.cell_ij(coarse_ids)
-                _, li, lj = C.cell_ij(cell0.to_numpy(dtype=np.int64))
-                li >>= shift
-                lj >>= shift
-                D = np.minimum.reduce(
-                    np.maximum(np.abs(li[:, None] - ci[None, :]),
-                               np.abs(lj[:, None] - cj[None, :])), axis=1)
-                bound = np.sqrt(2.0) * (D + 1) * (1 << shift) * min_cell
-                return pd.Series(bound)
-
-            def _probe(src, bcol):
-                kcol = F.least(
-                    F.ceil((bcol + F.col("__lrad")) / F.lit(min_cell)) + 1,
-                    F.lit(k_cap),
-                ).cast("long")
-                return src.withColumn("__k", kcol).select(
-                    "__xlid", "__lgeom",
-                    F.explode(_disk_cells_var_udf()(
-                        F.col("__cell0"), F.col("__k"))).alias("__cell"))
-
-            bcol = F.when(
-                F.col("__dbest").isNotNull() & ~F.isnan("__dbest"),
-                F.col("__dbest")).otherwise(_nocand_bound(F.col("__cell0")))
-            lx = _probe(unresolved, bcol)
-            # the coarse no-candidate bound is always optimistic (derived
-            # from cover cells, which are bbox-based and may hold no
-            # geometry) -> rows that used it must be validated
-            need_reprobe = True
+        def _disk_probe(src, bcol):
+            kcol = F.least(
+                F.ceil((bcol + F.col("__lrad")) / F.lit(min_cell)) + 1,
+                F.lit(k_cap),
+            ).cast("long")
+            return src.withColumn("__k", kcol).select(
+                "__xlid", "__lgeom",
+                F.explode(_disk_cells_var_udf()(
+                    F.col("__cell0"), F.col("__k"))).alias("__cell"))
 
         def _exact_pairs(lx_):
             cand_ = (
@@ -531,22 +583,15 @@ def sjoin_nearest(
                 cand_ = cand_.filter(F.col("__d") <= float(max_distance))
             return cand_.select("__xlid", "__xrid", "__d")
 
-        cand = _exact_pairs(lx)
-        tail_parts.append(cand)
-        if need_reprobe:
-            # ADVICE fix: for rows that entered the probe with NO phase-1
-            # candidate, the bound came from bbox-cover cells that may
-            # contain no actual geometry, so it can UNDERestimate the true
-            # nearest distance and the probe can miss the true nearest's
-            # cover cells. The best exact distance d* found in round 1 IS
-            # a valid upper bound (it is a realized distance to a real
-            # geometry), so re-probe those rows once at radius d* before
-            # the tie filter.
-            nanrows = unresolved.filter(
-                F.col("__dbest").isNull() | F.isnan("__dbest"))
-            dstar = cand.groupBy("__xlid").agg(F.min("__d").alias("__B2"))
-            src2 = nanrows.join(dstar, on="__xlid", how="inner")
-            tail_parts.append(_exact_pairs(_probe(src2, F.col("__B2"))))
+        bcol = F.col("__dbest")
+        if max_distance is not None:
+            bcol = F.least(bcol, F.lit(float(max_distance)))
+        tail_parts.append(_exact_pairs(_disk_probe(have_d, bcol)))
+
+        if n_nan:
+            tail_parts.extend(_nocand_tail(
+                nanrows, rxp, _exact_pairs, _disk_probe, resolution, domain,
+                min_cell, k_cap, max_distance))
     if tail_parts:
         tail_pairs = tail_parts[0]
         for pdf_ in tail_parts[1:]:
