@@ -117,8 +117,16 @@ def _intersection_rp_udf(resolution: int, domain):
         from ..geom.kernels import bounds
         from ..index import cells as C
 
-        lb = B.from_wkb(g1)
-        rb = B.from_wkb(g2)
+        # decode unique WKB once, gather (candidate batches repeat the
+        # build-side geometry across many pairs — same trick as sjoin)
+        lcod, luniq = pd.factorize(g1, use_na_sentinel=False)
+        rcod, runiq = pd.factorize(g2, use_na_sentinel=False)
+        lb = B.from_wkb(pd.Series(luniq))
+        rb = B.from_wkb(pd.Series(runiq))
+        if len(luniq) != len(g1):
+            lb = lb.take(lcod)
+        if len(runiq) != len(g2):
+            rb = rb.take(rcod)
         lbb = np.nan_to_num(bounds(lb))
         rbb = np.nan_to_num(bounds(rb))
         rl = C.cover_res(lbb[:, 0], lbb[:, 1], lbb[:, 2], lbb[:, 3],

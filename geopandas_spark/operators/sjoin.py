@@ -181,8 +181,18 @@ def _refine_rp_udf(pred: str, resolution: int, domain, distance, lpad: float):
         from ..geom.wkb import from_wkb
         from ..index import cells as C
 
-        lb = from_wkb(lg)
-        rb = from_wkb(rg)
+        # candidate batches repeat the same build-side geometry many
+        # times (every probe row joined to a rect repeats the rect WKB):
+        # decode UNIQUES once and gather — WKB parse is the hot cost
+        lcod, luniq = pd.factorize(lg, use_na_sentinel=False)
+        rcod, runiq = pd.factorize(rg, use_na_sentinel=False)
+        lb = from_wkb(pd.Series(luniq))
+        rb = from_wkb(pd.Series(runiq))
+        # all-unique columns factorize to identity codes -> skip the gather
+        if len(luniq) != len(lg):
+            lb = lb.take(lcod)
+        if len(runiq) != len(rg):
+            rb = rb.take(rcod)
         ok = pairwise_predicate(pred, lb, rb, distance)
         lbb = np.nan_to_num(np.column_stack([
             lmnx.to_numpy(np.float64), lmny.to_numpy(np.float64),
