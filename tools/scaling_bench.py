@@ -175,14 +175,32 @@ def main():
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
         print(json.dumps(run_level(cpus)))
         return
-    results = {}
-    for cpus in (8, 32):
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus)],
-            capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-        line = p.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
-        print(json.dumps(results[cpus]))
+    # The sandbox shares its host: background tenants can halve available
+    # compute for minutes at a time (host_calib_mips varies ~2x between
+    # runs). Interleaving the levels (8,32,8,32) and keeping the BEST
+    # pass per (level, job) makes the ratio robust to one slow window —
+    # a sequential 8-then-32 run silently converts a slow window during
+    # either level into a fake (anti-)scaling signal.
+    rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
+    results: dict = {}
+    for _ in range(rounds):
+        for cpus in (8, 32):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus)],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+            line = p.stdout.strip().splitlines()[-1]
+            r = json.loads(line)
+            print(json.dumps(r))
+            if cpus not in results:
+                results[cpus] = r
+            else:
+                prev = results[cpus]
+                prev["host_calib_mips"] = max(prev["host_calib_mips"],
+                                              r["host_calib_mips"])
+                for job in ("sjoin_intersects", "sjoin_nearest_knn"):
+                    if r[job]["sec"] < prev[job]["sec"]:
+                        prev[job] = r[job]
     report(results)
 
 
