@@ -543,6 +543,26 @@ def q_overlay_star_intersection(spark, sf_dir) -> DataFrame:
                       F.round(st_area("geometry"), 9).alias("ia"))
 
 
+def q_boolean_ops_area(spark, sf_dir) -> DataFrame:
+    """Pairwise union/difference/symmetric_difference areas of each part
+    rect vs a fixed window — closed-form SQL oracle for the boolean
+    kernels (base.py:3852/:3963/:4078)."""
+    from geopandas_spark.functions.st import (
+        st_area, st_difference, st_geomfromtext, st_symmetric_difference,
+        st_union)
+
+    r = _part_rects(spark, sf_dir)
+    win = st_geomfromtext(F.lit(
+        "POLYGON ((0.25 0.25, 0.75 0.25, 0.75 0.75, 0.25 0.75, 0.25 0.25))"))
+    return r.select(
+        "p_partkey",
+        F.round(st_area(st_union("geometry", win)), 9).alias("u_area"),
+        F.round(st_area(st_difference("geometry", win)), 9).alias("d_area"),
+        F.round(st_area(st_symmetric_difference("geometry", win)), 9)
+        .alias("x_area"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_sjoin_points_in_rects(spark, "/root/testdata/sf0.001")
@@ -583,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_transform_points": q_skew_transform_points,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "overlay_star_intersection": q_overlay_star_intersection,
+        "boolean_ops_area": q_boolean_ops_area,
     }
 
 
@@ -848,4 +869,18 @@ def oracle_sql() -> dict[str, str]:
                    round(x * 2, 9) AS tfx
             FROM pts
         """,
+        "boolean_ops_area": f"""
+            WITH rects AS ({{rects}}),
+            i AS (SELECT p_partkey,
+                         (maxx - minx) * (maxy - miny) AS ra,
+                         greatest(least(maxx, 0.75) - greatest(minx, 0.25), 0)
+                       * greatest(least(maxy, 0.75) - greatest(miny, 0.25), 0)
+                           AS ia
+                  FROM rects)
+            SELECT p_partkey,
+                   round(ra + 0.25 - ia, 9) AS u_area,
+                   round(ra - ia, 9) AS d_area,
+                   round(ra + 0.25 - 2 * ia, 9) AS x_area
+            FROM i
+        """.format(rects=rects),
     }
