@@ -249,7 +249,12 @@ def report(results: dict) -> None:
         json.dumps(results, indent=2),
         "```",
     ]
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH.md")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    addendum = os.path.join(root, "tools", "BENCH_ADDENDUM.md")
+    if os.path.isfile(addendum):
+        with open(addendum) as f:
+            lines += ["", f.read().rstrip()]
+    path = os.path.join(root, "BENCH.md")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {path}")
