@@ -93,18 +93,113 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
     @pandas_udf("array<long>")
     def _sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            h = _shingle_hashes(t, shingle)
-            if len(h) == 0:
-                out.append(None)
+        # batch-vectorized (round 2): ONE sliding window over the
+        # concatenated lowercased bytes of the whole Arrow batch, shingle
+        # hashes for every document in one pass, then per-permutation
+        # minima via minimum.reduceat over the doc-contiguous segments.
+        # Duplicate shingles don't change a min, so no per-doc unique()
+        # is needed — signatures are bit-identical to the per-doc path.
+        n = len(texts)
+        bs = [(t.lower().encode("utf-8", "replace") if t is not None else None)
+              for t in texts]
+        lens = np.array([len(x) if x is not None else -1 for x in bs],
+                        dtype=np.int64)
+        out = np.empty(n, dtype=object)
+        k = int(shingle)
+        long_mask = lens >= k
+        if long_mask.any():
+            blob = b"".join(x for x in bs if x is not None and len(x) >= k)
+            buf = np.frombuffer(blob, dtype=np.uint8)
+            dlens = lens[long_mask]
+            offs = np.zeros(len(dlens) + 1, dtype=np.int64)
+            np.cumsum(dlens, out=offs[1:])
+            base = np.uint64(1099511628211)
+            powers = base ** np.arange(k, dtype=np.uint64)
+            win = np.lib.stride_tricks.sliding_window_view(buf, k)
+            h_all = (win.astype(np.uint64) * powers[None, :]).sum(axis=1)
+            # valid window starts per doc: offs[i] .. offs[i+1]-k
+            nwin = dlens - k + 1
+            starts = _expand_starts(offs[:-1], nwin)
+            h = (h_all[starts] & np.uint64((1 << 61) - 1)).astype(np.int64)
+            seg = np.zeros(len(dlens), dtype=np.int64)
+            np.cumsum(nwin[:-1], out=seg[1:])
+            sigs = np.empty((len(dlens), num_perm), dtype=np.int64)
+            for j in range(num_perm):
+                m = (a[j] * h + b[j]) % _MERSENNE
+                sigs[:, j] = np.minimum.reduceat(m, seg)
+            pos = np.nonzero(long_mask)[0]
+            for i, row in zip(pos, sigs):
+                out[i] = row.tolist()
+        for i in np.nonzero(~long_mask)[0]:
+            if lens[i] < 0:
+                out[i] = None
                 continue
-            hv = (h & np.uint64((1 << 61) - 1)).astype(np.int64)
-            m = (a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE
-            out.append(m.min(axis=1).astype(np.int64).tolist())
+            hv = np.int64(_str_hash64(texts.iloc[i].lower())
+                          & 0x7FFFFFFFFFFFFFFF)
+            m = (a * hv + b) % _MERSENNE
+            out[i] = m.astype(np.int64).tolist()
         return pd.Series(out)
 
     return df.withColumn(out_col, _sig(F.col(text_col)))
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str,
+                 k: int, out_col: str = "__sh") -> DataFrame:
+    """(id, sorted unique k-byte-shingle hashes) — computed ONCE per doc
+    with the same batched windowing as minhash_signatures, so the exact
+    Jaccard verify never re-shingles text per candidate pair."""
+
+    @pandas_udf("array<long>")
+    def _sets(texts: pd.Series) -> pd.Series:
+        n = len(texts)
+        bs = [(t.lower().encode("utf-8", "replace") if t is not None else None)
+              for t in texts]
+        lens = np.array([len(x) if x is not None else -1 for x in bs],
+                        dtype=np.int64)
+        out = np.empty(n, dtype=object)
+        long_mask = lens >= k
+        if long_mask.any():
+            blob = b"".join(x for x in bs if x is not None and len(x) >= k)
+            buf = np.frombuffer(blob, dtype=np.uint8)
+            dlens = lens[long_mask]
+            offs = np.zeros(len(dlens) + 1, dtype=np.int64)
+            np.cumsum(dlens, out=offs[1:])
+            base = np.uint64(1099511628211)
+            powers = base ** np.arange(k, dtype=np.uint64)
+            win = np.lib.stride_tricks.sliding_window_view(buf, k)
+            h_all = (win.astype(np.uint64) * powers[None, :]).sum(axis=1)
+            nwin = dlens - k + 1
+            starts = _expand_starts(offs[:-1], nwin)
+            h = h_all[starts]
+            bnd = np.zeros(len(dlens) + 1, dtype=np.int64)
+            np.cumsum(nwin, out=bnd[1:])
+            pos = np.nonzero(long_mask)[0]
+            h = h.astype(np.int64)  # cast BEFORE unique: lists stay sorted
+            for i, (lo, hi) in zip(pos, zip(bnd[:-1], bnd[1:])):
+                out[i] = np.unique(h[lo:hi]).tolist()
+        for i in np.nonzero(~long_mask)[0]:
+            if lens[i] < 0:
+                out[i] = None
+            else:
+                out[i] = [np.int64(np.uint64(
+                    _str_hash64(texts.iloc[i].lower())
+                    & 0x7FFFFFFFFFFFFFFF))]
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _sets(F.col(text_col)).alias(out_col))
+
+
+def _expand_starts(offs: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenated ranges offs[i] .. offs[i]+counts[i]."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    idx = np.repeat(offs, counts)
+    inner = np.arange(total, dtype=np.int64)
+    resets = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=resets[1:])
+    inner -= np.repeat(resets, counts)
+    return idx + inner
 
 
 def _cap_hot_buckets(exploded: DataFrame, bucket_cols: list[str],
@@ -196,27 +291,35 @@ def minhash_lsh(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                             "minhash_lsh")
 
     @pandas_udf("double")
-    def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = np.empty(len(ta))
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            ha = _shingle_hashes(x, shingle)
-            hb = _shingle_hashes(y, shingle)
-            if len(ha) == 0 and len(hb) == 0:
+    def _jac(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        # per-pair sorted-array intersection over PREcomputed shingle
+        # sets (round-2: the verify used to re-shingle text per pair —
+        # O(pairs x textlen) hashing; now it is O(pairs x set size))
+        out = np.empty(len(sa))
+        for i, (x, y) in enumerate(zip(sa, sb)):
+            x = np.asarray(x, dtype=np.int64)
+            y = np.asarray(y, dtype=np.int64)
+            if len(x) == 0 and len(y) == 0:
                 out[i] = 1.0
                 continue
-            inter = len(np.intersect1d(ha, hb, assume_unique=True))
-            out[i] = inter / (len(ha) + len(hb) - inter) if (len(ha) + len(hb) - inter) else 0.0
+            if len(x) > len(y):
+                x, y = y, x
+            idx = np.searchsorted(y, x)
+            idx[idx == len(y)] = 0
+            inter = int((y[idx] == x).sum())
+            u = len(x) + len(y) - inter
+            out[i] = inter / u if u else 0.0
         return pd.Series(out)
 
-    texts = df.select(F.col(id_col), F.col(text_col))
+    sh = shingle_sets(df, text_col, id_col, shingle)
     cand = (
-        cand.join(texts.select(F.col(id_col).alias("id_a"),
-                               F.col(text_col).alias("ta")), on="id_a")
-        .join(texts.select(F.col(id_col).alias("id_b"),
-                           F.col(text_col).alias("tb")), on="id_b")
+        cand.join(sh.select(F.col(id_col).alias("id_a"),
+                            F.col("__sh").alias("sa")), on="id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"),
+                        F.col("__sh").alias("sb")), on="id_b")
     )
     return (
-        cand.withColumn("jaccard", _jac("ta", "tb"))
+        cand.withColumn("jaccard", _jac("sa", "sb"))
         .filter(F.col("jaccard") >= float(threshold))
         .select("id_a", "id_b", "jaccard")
     )
