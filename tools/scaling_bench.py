@@ -86,7 +86,7 @@ def calibrate(cpus: int) -> float:
     return sum(r) / 3e6
 
 
-def run_level(cpus: int) -> dict:
+def run_level(cpus: int, job: str | None = None) -> dict:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -154,8 +154,10 @@ def run_level(cpus: int) -> dict:
     # best-of-N timed passes: wall-clock noise here is +-3x, min is the
     # standard noise-robust estimator
     reps = int(os.environ.get("SCALING_REPS", "2"))
-    for name, fn in (("sjoin_intersects", run_sjoin),
-                     ("sjoin_nearest_knn", run_knn)):
+    jobs = (("sjoin_intersects", run_sjoin), ("sjoin_nearest_knn", run_knn))
+    if job is not None:
+        jobs = tuple(j for j in jobs if j[0] == job)
+    for name, fn in jobs:
         fn()  # warmup
         best = None
         n = 0
@@ -173,7 +175,9 @@ def run_level(cpus: int) -> dict:
 def main():
     if "--cpus" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
-        print(json.dumps(run_level(cpus)))
+        job = (sys.argv[sys.argv.index("--job") + 1]
+               if "--job" in sys.argv else None)
+        print(json.dumps(run_level(cpus, job)))
         return
     # The sandbox shares its host: background tenants can halve available
     # compute for minutes at a time (host_calib_mips varies ~2x between
@@ -181,25 +185,31 @@ def main():
     # pass per (level, job) makes the ratio robust to one slow window —
     # a sequential 8-then-32 run silently converts a slow window during
     # either level into a fake (anti-)scaling signal.
+    # Each (job, level) runs in its OWN subprocess/JVM: measuring two jobs
+    # in one session lets the first job's shuffle files, cached blocks and
+    # checkpoint residue distort the second (observed 10x on kNN after the
+    # 43M-row sjoin at 32 lanes). Levels stay interleaved per job and the
+    # best pass per (job, level) is kept (shared-host noise windows).
     rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
     results: dict = {}
     for _ in range(rounds):
-        for cpus in (8, 32):
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus)],
-                capture_output=True, text=True,
-                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-            line = p.stdout.strip().splitlines()[-1]
-            r = json.loads(line)
-            print(json.dumps(r))
-            if cpus not in results:
-                results[cpus] = r
-            else:
-                prev = results[cpus]
-                prev["host_calib_mips"] = max(prev["host_calib_mips"],
-                                              r["host_calib_mips"])
-                for job in ("sjoin_intersects", "sjoin_nearest_knn"):
-                    if r[job]["sec"] < prev[job]["sec"]:
+        for job in ("sjoin_intersects", "sjoin_nearest_knn"):
+            for cpus in (8, 32):
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--cpus", str(cpus), "--job", job],
+                    capture_output=True, text=True,
+                    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+                line = p.stdout.strip().splitlines()[-1]
+                r = json.loads(line)
+                print(json.dumps(r))
+                if cpus not in results:
+                    results[cpus] = r
+                else:
+                    prev = results[cpus]
+                    prev["host_calib_mips"] = max(prev["host_calib_mips"],
+                                                  r["host_calib_mips"])
+                    if job not in prev or r[job]["sec"] < prev[job]["sec"]:
                         prev[job] = r[job]
     report(results)
 
