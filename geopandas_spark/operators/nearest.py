@@ -192,8 +192,6 @@ def _knn_cell_pass(min_cell: float, max_distance: float | None,
             out_tc.append(lcell[~has])
             out_tr.append(lrad[~has])
         if has.any():
-            li = np.repeat(np.nonzero(has)[0], rcnt[has])
-            ri = _expand_ranges(r0[has], r1[has])
             # decode each geometry ONCE per block (round 1 decoded per
             # COMBO — ~9x redundant WKB parsing, the memory-traffic
             # hot spot of the whole join); puntal blocks then compute
@@ -209,65 +207,97 @@ def _knn_cell_pass(min_cell: float, max_distance: float | None,
             if puntal:
                 lc = lb_all.coords
                 rc = rb_all.coords
-                dx = lc[li, 0] - rc[ri, 0]
-                dy = lc[li, 1] - rc[ri, 1]
-                # sqrt(dx^2+dy^2), NOT hypot — bit-parity with the
-                # pairwise_distance kernel and the SQL oracles
-                d = np.sqrt(dx * dx + dy * dy)
-            else:
-                d = pairwise_distance(lb_all.take(li), rb_all.take(ri))
-            if exclusive:
-                eq = np.array([lgeom[a] == rgeom[b] for a, b in zip(li, ri)])
-                d = np.where(eq, np.inf, d)
-            if max_distance is not None:
-                d = np.where(d > max_distance, np.inf, d)
-            d = np.where(np.isnan(d), np.inf, d)
-            # per-left best via reduceat (combos are contiguous per left)
-            starts = np.zeros(int(has.sum()), dtype=np.int64)
-            np.cumsum(rcnt[has][:-1], out=starts[1:])
-            dbest = np.minimum.reduceat(d, starts)
-            seg = np.repeat(np.arange(int(has.sum())), rcnt[has])
-            certified = (dbest + lrad[has]) < min_cell
-            finite = np.isfinite(dbest)
-            # certified: emit ALL tie rows; uncertified w/ candidate: emit
-            # one best row (carries dbest to the finalize pass)
-            is_tie = d == dbest[seg]
-            emit_all = certified[seg] & finite[seg] & is_tie
-            out_lid.append(lid[li[emit_all]])
-            out_rid.append(rid[ri[emit_all]])
-            out_d.append(d[emit_all])
-            out_ok.append(np.ones(int(emit_all.sum()), dtype=bool))
-            _null_geo(int(emit_all.sum()))
-            unc = ~certified & finite
-            if unc.any():
-                # best combo per uncertified left (first index achieving
-                # the segment minimum): vectorized via the tie mask
-                tie_idx = np.nonzero(is_tie)[0]
-                tie_seg = seg[tie_idx]
-                first_tie = np.zeros(int(has.sum()), dtype=np.int64)
-                # reversed fill keeps the FIRST tie index per segment
-                first_tie[tie_seg[::-1]] = tie_idx[::-1]
-                bi = first_tie[unc]
-                out_lid.append(lid[li[bi]])
-                out_rid.append(rid[ri[bi]])
-                out_d.append(d[bi])
-                out_ok.append(np.zeros(len(bi), dtype=bool))
-                haspos = np.nonzero(has)[0][unc]
-                out_tg.append(lgeom[haspos])
-                out_tc.append(lcell[haspos])
-                out_tr.append(lrad[haspos])
-            # lefts whose every candidate was inf (max_distance/exclusive)
-            none_left = ~finite
-            if none_left.any():
-                k = int(none_left.sum())
-                haspos = np.nonzero(has)[0][none_left]
-                out_lid.append(lid[haspos])
-                out_rid.append(np.full(k, None, dtype=object))
-                out_d.append(np.full(k, np.nan))
-                out_ok.append(np.zeros(k, dtype=bool))
-                out_tg.append(lgeom[haspos])
-                out_tc.append(lcell[haspos])
-                out_tr.append(lrad[haspos])
+            # Combo-bounded group loop (round-2 scaling fix): one shot over
+            # the whole flush materializes O(flush_rows x cands_per_cell)
+            # int64/float64 temporaries — ~20 MB x half a dozen arrays per
+            # worker.  With 32 workers that stream through a shared
+            # (virtualized, oversubscribed) memory system concurrently, the
+            # pass becomes DRAM-bandwidth-bound and STOPS scaling with
+            # cores (measured: np.repeat at 22M elements is 51 ms on an
+            # idle host but ~2 s under 32-worker contention).  Capping each
+            # vectorized block at COMBO_CAP combos keeps every temporary
+            # ~2 MB — L2/L3-resident, and malloc (trim disabled) reuses the
+            # same warm pages every iteration — so per-worker DRAM traffic
+            # drops ~10x and the stage scales with cores again.  Python
+            # loop overhead is negligible: ~CAP-combo chunks mean a few
+            # dozen iterations per flush.
+            hpos = np.nonzero(has)[0]
+            hcnt = rcnt[hpos]
+            csum = np.cumsum(hcnt)
+            COMBO_CAP = 262_144
+            gb = [0]
+            while gb[-1] < len(hpos):
+                prev = csum[gb[-1] - 1] if gb[-1] else 0
+                j = int(np.searchsorted(csum, prev + COMBO_CAP, side="left")) + 1
+                gb.append(min(max(j, gb[-1] + 1), len(hpos)))
+            for ga, gz in zip(gb[:-1], gb[1:]):
+                grp = hpos[ga:gz]
+                gcnt = rcnt[grp]
+                li = np.repeat(grp, gcnt)
+                ri = _expand_ranges(r0[grp], r1[grp])
+                if puntal:
+                    dx = lc[li, 0] - rc[ri, 0]
+                    dy = lc[li, 1] - rc[ri, 1]
+                    # sqrt(dx^2+dy^2), NOT hypot — bit-parity with the
+                    # pairwise_distance kernel and the SQL oracles
+                    d = np.sqrt(dx * dx + dy * dy)
+                else:
+                    d = pairwise_distance(lb_all.take(li), rb_all.take(ri))
+                if exclusive:
+                    eq = np.array([lgeom[a] == rgeom[b]
+                                   for a, b in zip(li, ri)])
+                    d = np.where(eq, np.inf, d)
+                if max_distance is not None:
+                    d = np.where(d > max_distance, np.inf, d)
+                d = np.where(np.isnan(d), np.inf, d)
+                # per-left best via reduceat (combos contiguous per left)
+                ng = len(grp)
+                starts = np.zeros(ng, dtype=np.int64)
+                np.cumsum(gcnt[:-1], out=starts[1:])
+                dbest = np.minimum.reduceat(d, starts)
+                seg = np.repeat(np.arange(ng), gcnt)
+                certified = (dbest + lrad[grp]) < min_cell
+                finite = np.isfinite(dbest)
+                # certified: emit ALL tie rows; uncertified w/ candidate:
+                # emit one best row (carries dbest to the finalize pass)
+                is_tie = d == dbest[seg]
+                emit_all = certified[seg] & finite[seg] & is_tie
+                out_lid.append(lid[li[emit_all]])
+                out_rid.append(rid[ri[emit_all]])
+                out_d.append(d[emit_all])
+                out_ok.append(np.ones(int(emit_all.sum()), dtype=bool))
+                _null_geo(int(emit_all.sum()))
+                unc = ~certified & finite
+                if unc.any():
+                    # best combo per uncertified left (first index hitting
+                    # the segment minimum): vectorized via the tie mask
+                    tie_idx = np.nonzero(is_tie)[0]
+                    tie_seg = seg[tie_idx]
+                    first_tie = np.zeros(ng, dtype=np.int64)
+                    # reversed fill keeps the FIRST tie index per segment
+                    first_tie[tie_seg[::-1]] = tie_idx[::-1]
+                    bi = first_tie[unc]
+                    out_lid.append(lid[li[bi]])
+                    out_rid.append(rid[ri[bi]])
+                    out_d.append(d[bi])
+                    out_ok.append(np.zeros(len(bi), dtype=bool))
+                    haspos = grp[unc]
+                    out_tg.append(lgeom[haspos])
+                    out_tc.append(lcell[haspos])
+                    out_tr.append(lrad[haspos])
+                # lefts whose every candidate was inf (max_distance/
+                # exclusive)
+                none_left = ~finite
+                if none_left.any():
+                    k = int(none_left.sum())
+                    haspos = grp[none_left]
+                    out_lid.append(lid[haspos])
+                    out_rid.append(np.full(k, None, dtype=object))
+                    out_d.append(np.full(k, np.nan))
+                    out_ok.append(np.zeros(k, dtype=bool))
+                    out_tg.append(lgeom[haspos])
+                    out_tc.append(lcell[haspos])
+                    out_tr.append(lrad[haspos])
         return pd.DataFrame({
             "__xlid": np.concatenate(out_lid) if out_lid else np.array([], dtype=object),
             "__xrid": np.concatenate(out_rid) if out_rid else np.array([], dtype=object),
@@ -278,43 +308,12 @@ def _knn_cell_pass(min_cell: float, max_distance: float | None,
             "__trad": np.concatenate(out_tr) if out_tr else np.array([], dtype=np.float64),
         })
 
-    # Buffer chunks to this many rows before a vectorized _process call:
-    # large enough to keep the numpy kernels batch-efficient (per-call
-    # overhead amortized ~32x vs per-Arrow-chunk processing), small
-    # enough that partition memory stays bounded regardless of partition
-    # size — the round-1 whole-partition concat is never recreated.
-    BUFFER_ROWS = 262_144
-
     def fn(it):
-        buf: list = []
-        buffered = 0
-        for chunk in it:
-            if len(chunk) == 0:
-                continue
-            buf.append(chunk)
-            buffered += len(chunk)
-            if buffered < BUFFER_ROWS:
-                continue
-            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
-            cells = pdf["__cell"].to_numpy(dtype=np.int64)
-            # input is sortWithinPartitions("__cell"): everything before
-            # the last cell value is complete; the last cell may continue
-            # into the next chunk
-            cut = int(np.searchsorted(cells, cells[-1], side="left"))
-            if cut == 0:
-                buf = [pdf]
-                continue
-            buf = [pdf.iloc[cut:]]
-            buffered = len(buf[0])
-            out = _process(pdf.iloc[:cut])
-            if out is not None:
-                yield out
-        if buf:
-            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
-            if len(pdf):
-                out = _process(pdf)
-                if out is not None:
-                    yield out
+        from ._cellstream import stream_groups
+
+        # buffered streaming (shared helper): group-complete blocks of
+        # ~BUFFER_ROWS rows — never whole partitions — reach _process
+        yield from stream_groups(it, ["__cell"], _process)
 
     return fn
 
@@ -508,10 +507,14 @@ def sjoin_nearest(
     # hash-partition by cell, then sort within the partition so the kNN
     # pass can stream chunk-by-chunk (complete cells processed as they
     # arrive) instead of materializing whole partitions in pandas
+    # explicit partition count: a bare repartition(col) is an AQE-
+    # coalescible exchange sized by BYTES, but this stage is compute-
+    # bound — byte-sized coalescing would cap its parallelism
+    n_parts = max(left.sparkSession.sparkContext.defaultParallelism * 2, 16)
     tagged = ltag.unionByName(
         rrep.select(F.col("__rid"), "__geom", "__cell", "__side"),
         allowMissingColumns=True,
-    ).repartition("__cell").sortWithinPartitions("__cell")
+    ).repartition(n_parts, "__cell").sortWithinPartitions("__cell")
     p1 = tagged.mapInPandas(
         _knn_cell_pass(min_cell, max_distance, exclusive),
         schema=(f"__xlid {lid_t}, __xrid {rid_t}, __d double, __ok boolean,"

@@ -224,6 +224,339 @@ def _widen(df: DataFrame) -> DataFrame:
     return widen(df)
 
 
+# worker-process cache of decoded broadcast build sides, keyed by a
+# plan-time UUID (a pyspark Broadcast's .value is re-read per task; the
+# decoded GeometryBatch must survive across tasks of the same worker)
+_BUILD_CACHE: dict = {}
+_BUILD_CACHE_MAX = 4
+
+
+def _broadcast_probe_refined(lcov, rcov, lid: str, rid: str, predicate: str,
+                             distance, lpad: float):
+    """Broadcast spatial join as a single probe-side ``mapInPandas`` pass.
+
+    Round-2 scale fix: the round-1 plan materialized every candidate
+    pair's full payload (probe WKB + build WKB + two bbox structs +
+    cell ≈ 300 B/pair) through Arrow into a refine UDF — O(pairs) wire
+    traffic, tens of GB at 10^8 candidate pairs, and a per-pair build
+    WKB decode.  Here the build side (already small enough to broadcast
+    by this path's precondition) is shipped ONCE per worker as a cell→
+    row CSR index + WKB list, decoded ONCE per worker process, and the
+    probe side streams through a single Arrow pass with NO join, NO
+    explode and NO pair materialization: candidates are generated
+    in-kernel from the CSR, deduped per probe row, and refined against
+    the cached decoded build batch.  Wire traffic is O(|probe| +
+    |build|) + O(|matches|) id pairs out.
+
+    Returns a DataFrame (__xlid, __xrid, __lgeom) of matched pairs.
+    """
+    import uuid
+
+    spark = lcov.sparkSession
+    rows = rcov.select(F.col(rid).alias("i"), F.col("__rgeom").alias("g"),
+                       F.col("__cells").alias("c")).collect()
+    nb = len(rows)
+    rid_vals = np.empty(nb, dtype=object)
+    rwkb: list = []
+    flat_cells: list = []
+    flat_idx: list = []
+    for i, r in enumerate(rows):
+        rid_vals[i] = r["i"]
+        rwkb.append(bytes(r["g"]) if r["g"] is not None else None)
+        cl = r["c"]
+        if cl:
+            flat_cells.append(np.asarray(cl, dtype=np.int64))
+            flat_idx.append(np.full(len(cl), i, dtype=np.int64))
+    if flat_cells:
+        fc = np.concatenate(flat_cells)
+        fi = np.concatenate(flat_idx)
+        o = np.argsort(fc, kind="stable")
+        fc = fc[o]
+        fi = fi[o]
+        ucells, starts = np.unique(fc, return_index=True)
+        off = np.append(starts, len(fc)).astype(np.int64)
+    else:
+        ucells = np.empty(0, np.int64)
+        off = np.zeros(1, np.int64)
+        fi = np.empty(0, np.int64)
+    cache_key = uuid.uuid4().hex
+    bc = spark.sparkContext.broadcast(
+        {"wkb": rwkb, "ucells": ucells, "off": off, "ridx": fi})
+
+    lid_t = dict(lcov.dtypes)[lid]
+    rid_t = dict(rcov.dtypes)[rid]
+    probe = lcov.select(F.col(lid).alias("__xlid"), "__lgeom", "__cells")
+    pad = float(lpad or 0.0)
+
+    def fn(it):
+        from ..geom.kernels import bounds as _bounds
+        from ..geom.predicates import pairwise_predicate
+        from ..geom.ragged import _expand_ranges
+        from ..geom.wkb import from_wkb
+
+        got = _BUILD_CACHE.get(cache_key)
+        if got is None:
+            v = bc.value
+            rb_all = from_wkb(pd.Series(v["wkb"]))
+            rbb = np.nan_to_num(_bounds(rb_all))
+            got = (rb_all, rbb, v["ucells"], v["off"], v["ridx"])
+            if len(_BUILD_CACHE) >= _BUILD_CACHE_MAX:
+                _BUILD_CACHE.pop(next(iter(_BUILD_CACHE)))
+            _BUILD_CACHE[cache_key] = got
+        rb_all, rbb, uc, off_, ridx = got
+        for pdf in it:
+            if len(pdf) == 0 or len(uc) == 0:
+                continue
+            cells = pdf["__cells"].to_numpy(dtype=object)
+            ncell = np.fromiter(
+                (0 if c is None else len(c) for c in cells),
+                count=len(cells), dtype=np.int64)
+            total = int(ncell.sum())
+            if total == 0:
+                continue
+            prow = np.repeat(np.arange(len(pdf)), ncell)
+            cflat = np.concatenate(
+                [np.asarray(c, dtype=np.int64) for c in cells
+                 if c is not None and len(c)])
+            pos = np.minimum(np.searchsorted(uc, cflat), len(uc) - 1)
+            okc = uc[pos] == cflat
+            cnt = np.where(okc, off_[pos + 1] - off_[pos], 0)
+            sel = cnt > 0
+            if not sel.any():
+                continue
+            li = np.repeat(prow[sel], cnt[sel])
+            ri = ridx[_expand_ranges(off_[pos[sel]], off_[pos[sel]] + cnt[sel])]
+            # multi-cell probes can produce the same pair via several
+            # cells: dedup on the (probe, build) key (in-kernel — the
+            # round-1 plan needed a canonical-cell rule for this)
+            if (ncell > 1).any():
+                key = li * np.int64(nb) + ri
+                ukey = np.unique(key)
+                li = (ukey // nb).astype(np.int64)
+                ri = (ukey % nb).astype(np.int64)
+            lb = from_wkb(pdf["__lgeom"])
+            lbb = np.nan_to_num(_bounds(lb))
+            lids = pdf["__xlid"].to_numpy()
+            lws = pdf["__lgeom"].to_numpy(dtype=object)
+            o_lid = []
+            o_rid = []
+            o_lw = []
+            from ._cellstream import BUFFER_ROWS as _CAP
+
+            for lo in range(0, len(li), _CAP):
+                ls = li[lo:lo + _CAP]
+                rs = ri[lo:lo + _CAP]
+                # bbox prefilter (pad = dwithin distance): prunes exact
+                # predicate work; any predicate in VALID_PRED is false
+                # on bbox-disjoint (beyond pad) pairs
+                pre = ((lbb[ls, 0] - pad <= rbb[rs, 2])
+                       & (rbb[rs, 0] <= lbb[ls, 2] + pad)
+                       & (lbb[ls, 1] - pad <= rbb[rs, 3])
+                       & (rbb[rs, 1] <= lbb[ls, 3] + pad))
+                ls = ls[pre]
+                rs = rs[pre]
+                if not len(ls):
+                    continue
+                ok = pairwise_predicate(predicate, lb.take(ls),
+                                        rb_all.take(rs), distance)
+                ls = ls[ok]
+                rs = rs[ok]
+                if not len(ls):
+                    continue
+                o_lid.append(lids[ls])
+                o_rid.append(rid_vals[rs])
+                o_lw.append(lws[ls])
+            if o_lid:
+                yield pd.DataFrame({
+                    "__xlid": np.concatenate(o_lid),
+                    "__xrid": np.concatenate(o_rid),
+                    "__lgeom": np.concatenate(o_lw),
+                })
+
+    return probe.mapInPandas(
+        fn, schema=f"__xlid {lid_t}, __xrid {rid_t}, __lgeom binary")
+
+
+def _cogroup_refined(lcov, rcov, lid: str, rid: str, predicate: str,
+                     distance, lpad: float, resolution: int, domain,
+                     salt_hot_cells: bool, hot_cell_threshold: int,
+                     salt_factor: int):
+    """Shuffle spatial join as a union-cogroup-by-cell streaming pass.
+
+    Round-2 scale fix for the big×big path: instead of a hash join whose
+    OUTPUT carries both geometries per candidate pair into a refine UDF
+    (O(pairs) shuffle+Arrow payload), both sides are union-tagged and
+    hash-partitioned by (cell, salt) — each geometry crosses the wire
+    once per cover cell, pairs are generated in-kernel per cell group,
+    deduped by the canonical-cell rule, refined, and leave the pass as
+    id pairs.  Explicit hot-cell salting (north rule): build rows of hot
+    cells are replicated into ``salt_factor`` buckets, probe rows hash
+    into one bucket; the kernel groups on (cell, salt) so each pair is
+    still generated exactly once.
+
+    Returns a DataFrame (__xlid, __xrid, __lgeom) of matched pairs.
+    """
+    spark = lcov.sparkSession
+    lx = lcov.select(F.col(lid).alias("__lid"),
+                     F.col("__lgeom").alias("__geom"),
+                     F.explode("__cells").alias("__cell"),
+                     ).withColumn("__side", F.lit(1))
+    rx = rcov.select(F.col(rid).alias("__rid"),
+                     F.col("__rgeom").alias("__geom"),
+                     F.explode("__cells").alias("__cell"),
+                     ).withColumn("__side", F.lit(0))
+    salted = False
+    if salt_hot_cells:
+        hot = (
+            rx.groupBy("__cell").count()
+            .filter(F.col("count") >= int(hot_cell_threshold))
+            .select(F.col("__cell").alias("__hc"))
+        )
+        hot_list = [r["__hc"] for r in hot.collect()]
+        if hot_list:
+            S = int(salt_factor)
+            lx = lx.withColumn(
+                "__salt",
+                F.when(F.col("__cell").isin(hot_list),
+                       F.pmod(F.xxhash64(F.col("__lid")), F.lit(S)))
+                .otherwise(F.lit(0)).cast("long"))
+            rx = rx.withColumn(
+                "__salt_arr",
+                F.when(F.col("__cell").isin(hot_list),
+                       F.sequence(F.lit(0), F.lit(S - 1)))
+                .otherwise(F.array(F.lit(0))),
+            ).withColumn("__salt0", F.explode("__salt_arr")
+                         ).withColumn("__salt", F.col("__salt0").cast("long")
+                         ).drop("__salt_arr", "__salt0")
+            salted = True
+    if not salted:
+        lx = lx.withColumn("__salt", F.lit(0).cast("long"))
+        rx = rx.withColumn("__salt", F.lit(0).cast("long"))
+
+    lid_t = dict(lcov.dtypes)[lid]
+    rid_t = dict(rcov.dtypes)[rid]
+    # explicit partition count (AQE would size this exchange by bytes;
+    # the pass is compute-bound — see operators/nearest.py)
+    n_parts = max(spark.sparkContext.defaultParallelism * 2,
+                  int(spark.conf.get("spark.sql.shuffle.partitions")))
+    tagged = (
+        lx.unionByName(rx, allowMissingColumns=True)
+        .repartition(n_parts, "__cell", "__salt")
+        .sortWithinPartitions("__cell", "__salt")
+    )
+
+    pad = float(lpad or 0.0)
+
+    def _process(pdf):
+        from ..geom.kernels import bounds as _bounds
+        from ..geom.predicates import pairwise_predicate
+        from ..geom.ragged import _expand_ranges
+        from ..geom.wkb import from_wkb
+        from ..index import cells as C
+
+        n = len(pdf)
+        cell = pdf["__cell"].to_numpy(dtype=np.int64)
+        salt = pdf["__salt"].to_numpy(dtype=np.int64)
+        side = pdf["__side"].to_numpy()
+        chg = np.empty(n, dtype=bool)
+        chg[0] = True
+        chg[1:] = (cell[1:] != cell[:-1]) | (salt[1:] != salt[:-1])
+        gid = np.cumsum(chg) - 1
+        lmask = side == 1
+        if not lmask.any() or lmask.all():
+            return None
+        lsub = np.nonzero(lmask)[0]
+        rsub = np.nonzero(~lmask)[0]
+        r0 = np.searchsorted(gid[rsub], gid[lsub], side="left")
+        r1 = np.searchsorted(gid[rsub], gid[lsub], side="right")
+        rcnt = r1 - r0
+        has = rcnt > 0
+        if not has.any():
+            return None
+        lw = pdf["__geom"].to_numpy(dtype=object)[lsub]
+        rw = pdf["__geom"].to_numpy(dtype=object)[rsub]
+        lb = from_wkb(pd.Series(lw))
+        rb = from_wkb(pd.Series(rw))
+        lbb = np.nan_to_num(_bounds(lb))
+        rbb = np.nan_to_num(_bounds(rb))
+        if pad:
+            lbb = lbb + np.array([-pad, -pad, pad, pad])
+        lres = C.cover_res(lbb[:, 0], lbb[:, 1], lbb[:, 2], lbb[:, 3],
+                           resolution, domain=domain)
+        rres = C.cover_res(rbb[:, 0], rbb[:, 1], rbb[:, 2], rbb[:, 3],
+                           resolution, domain=domain)
+        lid_arr = pdf["__lid"].to_numpy()[lsub]
+        rid_arr = pdf["__rid"].to_numpy()[rsub]
+        lcell = cell[lsub]
+        o_lid = []
+        o_rid = []
+        o_lw = []
+        # combo-bounded group loop — cache-resident temporaries (see
+        # operators/nearest.py COMBO_CAP rationale)
+        hpos = np.nonzero(has)[0]
+        hcnt = rcnt[hpos]
+        csum = np.cumsum(hcnt)
+        from ._cellstream import BUFFER_ROWS as _CAP
+
+        gb = [0]
+        while gb[-1] < len(hpos):
+            prev = csum[gb[-1] - 1] if gb[-1] else 0
+            j = int(np.searchsorted(csum, prev + _CAP, side="left")) + 1
+            gb.append(min(max(j, gb[-1] + 1), len(hpos)))
+        for ga, gz in zip(gb[:-1], gb[1:]):
+            grp = hpos[ga:gz]
+            gcnt = rcnt[grp]
+            li = np.repeat(grp, gcnt)
+            ri = _expand_ranges(r0[grp], r1[grp])
+            # bbox prefilter (lbb already dwithin-padded)
+            pre = ((lbb[li, 0] <= rbb[ri, 2]) & (rbb[ri, 0] <= lbb[li, 2])
+                   & (lbb[li, 1] <= rbb[ri, 3]) & (rbb[ri, 1] <= lbb[li, 3]))
+            li = li[pre]
+            ri = ri[pre]
+            if not len(li):
+                continue
+            # canonical-cell dedup: a pair sharing k cover cells is kept
+            # only in the cell (at the pair's coarser per-row cover res)
+            # containing (max(minx), max(miny)) of the two bboxes —
+            # exactly the _refine_rp_udf rule, computed in-kernel
+            rc = np.minimum(lres[li], rres[ri])
+            rxm = np.maximum(lbb[li, 0], rbb[ri, 0])
+            rym = np.maximum(lbb[li, 1], rbb[ri, 1])
+            canon = np.empty(len(rc), dtype=np.int64)
+            for r in np.unique(rc):
+                m = rc == r
+                canon[m] = C.point_cell(rxm[m], rym[m], int(r), domain)
+            keep = canon == lcell[li]
+            li = li[keep]
+            ri = ri[keep]
+            if not len(li):
+                continue
+            ok = pairwise_predicate(predicate, lb.take(li), rb.take(ri),
+                                    distance)
+            li = li[ok]
+            ri = ri[ok]
+            if not len(li):
+                continue
+            o_lid.append(lid_arr[li])
+            o_rid.append(rid_arr[ri])
+            o_lw.append(lw[li])
+        if not o_lid:
+            return None
+        return pd.DataFrame({
+            "__xlid": np.concatenate(o_lid),
+            "__xrid": np.concatenate(o_rid),
+            "__lgeom": np.concatenate(o_lw),
+        })
+
+    def fn(it):
+        from ._cellstream import stream_groups
+
+        yield from stream_groups(it, ["__cell", "__salt"], _process)
+
+    return tagged.mapInPandas(
+        fn, schema=f"__xlid {lid_t}, __xrid {rid_t}, __lgeom binary")
+
+
 def _prep_side(df: DataFrame, geom: str, id_col: str | None, tag: str):
     """Attach a row id (if none supplied) and bbox struct.
 
@@ -342,66 +675,30 @@ def sjoin(
     if lmin < resolution:
         rcov = rcov.withColumn("__cells", _ancestors_udf(lmin)(F.col("__cells")))
 
-    lx = lcov.select(F.col(lid).alias("__xlid"), "__lgeom",
-                     F.col("__bb").alias("__lbb"), *on_attribute,
-                     F.explode("__cells").alias("__cell"))
-    rx = rcov.select(F.col(rid).alias("__xrid"), "__rgeom",
-                     F.col("__bb").alias("__rbb"),
-                     *[F.col(c).alias(f"__r_{c}") for c in on_attribute],
-                     F.explode("__cells").alias("__cell"))
-
-    join_keys = [lx["__cell"] == rx["__cell"]] + [
-        lx[c] == rx[f"__r_{c}"] for c in on_attribute
-    ]
-
-    if salt_hot_cells:
-        hot = (
-            rx.groupBy("__cell").count()
-            .filter(F.col("count") >= hot_cell_threshold)
-            .select(F.col("__cell").alias("__hot_cell"))
-        )
-        hot_list = [r["__hot_cell"] for r in hot.collect()]
-        if hot_list:
-            S = int(salt_factor)
-            lx = lx.withColumn(
-                "__salt",
-                F.when(F.col("__cell").isin(hot_list),
-                       F.pmod(F.xxhash64(F.col("__xlid")), F.lit(S)))
-                .otherwise(F.lit(0)),
-            )
-            rx = rx.withColumn(
-                "__salt_arr",
-                F.when(F.col("__cell").isin(hot_list),
-                       F.sequence(F.lit(0), F.lit(S - 1)))
-                .otherwise(F.array(F.lit(0))),
-            ).withColumn("__salt", F.explode("__salt_arr")).drop("__salt_arr")
-            join_keys.append(lx["__salt"] == rx["__salt"].cast("long"))
-
     if broadcast_right is None:
         broadcast_right = (
             0 < stats[1]["n"]
             and _est_exploded(stats[1], resolution, domain) <= BROADCAST_EXPLODED_ROWS
         )
-    rj = F.broadcast(rx) if broadcast_right else rx
 
-    # Refine runs map-side in the same stage as the coarse join; the only
-    # shuffled payload afterwards is (lid, rid) id pairs — geometry bytes
-    # never shuffle twice. Duplicate candidate pairs (a pair can share
-    # several cells) are eliminated WITHOUT a shuffle by the reference-
-    # point rule: the pair only counts in the canonical cell containing
-    # the top-left corner of its bbox intersection, at the pair's coarser
-    # cover res. No dropDuplicates stage exists in this plan.
-    cand = lx.join(rj, on=join_keys, how="inner").select(
-        lx["__xlid"], rx["__xrid"], lx["__lgeom"], rx["__rgeom"],
-        lx["__cell"].alias("__jcell"), lx["__lbb"], rx["__rbb"],
-    )
-    refined = cand.filter(
-        _refine_rp_udf(predicate, resolution, domain, distance, pad)(
-            F.col("__lgeom"), F.col("__rgeom"), F.col("__jcell"),
-            F.col("__lbb.minx"), F.col("__lbb.miny"),
-            F.col("__lbb.maxx"), F.col("__lbb.maxy"),
-            F.col("__rbb.minx"), F.col("__rbb.miny"),
-            F.col("__rbb.maxx"), F.col("__rbb.maxy")))
+    if not on_attribute and broadcast_right and not salt_hot_cells:
+        # small build side: single probe-side pass, no join, no explode
+        # (an explicit salting request signals a shuffle-scale build side
+        # — it always routes to the cogroup pass)
+        refined = _broadcast_probe_refined(lcov, rcov, lid, rid, predicate,
+                                           distance, pad)
+    elif not on_attribute:
+        # big×big: union-cogroup by cell — geometry crosses the wire once
+        # per cover cell, pairs leave as ids
+        refined = _cogroup_refined(lcov, rcov, lid, rid, predicate,
+                                   distance, pad, resolution, domain,
+                                   salt_hot_cells, hot_cell_threshold,
+                                   salt_factor)
+    else:
+        refined = _join_refine_path(
+            lcov, rcov, lid, rid, on_attribute, predicate, distance, pad,
+            resolution, domain, broadcast_right, salt_hot_cells,
+            hot_cell_threshold, salt_factor)
     matched = refined.select("__xlid", "__xrid")
 
     # ---- assemble output -------------------------------------------------
@@ -471,3 +768,65 @@ def sjoin(
             .withColumn("index_left", F.col("__LID"))
         )
     return joined.drop("__LID", "__RID")
+
+
+def _join_refine_path(lcov, rcov, lid, rid, on_attribute, predicate,
+                      distance, pad, resolution, domain, broadcast_right,
+                      salt_hot_cells, hot_cell_threshold, salt_factor):
+    """Legacy coarse-join + per-pair-refine plan, kept for the
+    ``on_attribute`` conjunct (the cogroup/broadcast passes group on
+    cell only).  Returns (__xlid, __xrid, __lgeom, ...) matched pairs."""
+    lx = lcov.select(F.col(lid).alias("__xlid"), "__lgeom",
+                     F.col("__bb").alias("__lbb"), *on_attribute,
+                     F.explode("__cells").alias("__cell"))
+    rx = rcov.select(F.col(rid).alias("__xrid"), "__rgeom",
+                     F.col("__bb").alias("__rbb"),
+                     *[F.col(c).alias(f"__r_{c}") for c in on_attribute],
+                     F.explode("__cells").alias("__cell"))
+
+    join_keys = [lx["__cell"] == rx["__cell"]] + [
+        lx[c] == rx[f"__r_{c}"] for c in on_attribute
+    ]
+
+    if salt_hot_cells:
+        hot = (
+            rx.groupBy("__cell").count()
+            .filter(F.col("count") >= hot_cell_threshold)
+            .select(F.col("__cell").alias("__hot_cell"))
+        )
+        hot_list = [r["__hot_cell"] for r in hot.collect()]
+        if hot_list:
+            S = int(salt_factor)
+            lx = lx.withColumn(
+                "__salt",
+                F.when(F.col("__cell").isin(hot_list),
+                       F.pmod(F.xxhash64(F.col("__xlid")), F.lit(S)))
+                .otherwise(F.lit(0)),
+            )
+            rx = rx.withColumn(
+                "__salt_arr",
+                F.when(F.col("__cell").isin(hot_list),
+                       F.sequence(F.lit(0), F.lit(S - 1)))
+                .otherwise(F.array(F.lit(0))),
+            ).withColumn("__salt", F.explode("__salt_arr")).drop("__salt_arr")
+            join_keys.append(lx["__salt"] == rx["__salt"].cast("long"))
+
+    rj = F.broadcast(rx) if broadcast_right else rx
+
+    # Refine runs map-side in the same stage as the coarse join; the only
+    # shuffled payload afterwards is (lid, rid) id pairs. Duplicate
+    # candidate pairs (a pair can share several cells) are eliminated
+    # WITHOUT a shuffle by the reference-point rule: the pair only counts
+    # in the canonical cell containing the top-left corner of its bbox
+    # intersection, at the pair's coarser cover res.
+    cand = lx.join(rj, on=join_keys, how="inner").select(
+        lx["__xlid"], rx["__xrid"], lx["__lgeom"], rx["__rgeom"],
+        lx["__cell"].alias("__jcell"), lx["__lbb"], rx["__rbb"],
+    )
+    return cand.filter(
+        _refine_rp_udf(predicate, resolution, domain, distance, pad)(
+            F.col("__lgeom"), F.col("__rgeom"), F.col("__jcell"),
+            F.col("__lbb.minx"), F.col("__lbb.miny"),
+            F.col("__lbb.maxx"), F.col("__lbb.maxy"),
+            F.col("__rbb.minx"), F.col("__rbb.miny"),
+            F.col("__rbb.maxx"), F.col("__rbb.maxy")))

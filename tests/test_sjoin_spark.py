@@ -149,3 +149,36 @@ def test_mixed_resolution_giant_polygons(spark):
     assert got == exp
     # exactly one row per matching pair (reference-point dedup)
     assert len(out) == len(exp)
+
+
+def test_cogroup_same_result(data, spark):
+    # broadcast_right=False forces the union-cogroup-by-cell pass
+    pdf, tdf, lb, rb = data
+    out = sjoin(pdf, tdf, left_id="pid", right_id="tid",
+                broadcast_right=False).toPandas()
+    got = set(zip(out.pid.astype(int), out.index_right.astype(int)))
+    assert got == brute(lb, rb, "intersects")
+
+
+def test_cogroup_salted_same_result(data, spark):
+    # hot-cell salting on the cogroup pass: build rows of hot cells are
+    # replicated into salt buckets; result set must be unchanged
+    pdf, tdf, lb, rb = data
+    out = sjoin(pdf, tdf, left_id="pid", right_id="tid",
+                broadcast_right=False, salt_hot_cells=True,
+                hot_cell_threshold=2, salt_factor=4).toPandas()
+    got = set(zip(out.pid.astype(int), out.index_right.astype(int)))
+    assert got == brute(lb, rb, "intersects")
+
+
+def test_cogroup_dwithin_and_left(data, spark):
+    pdf, tdf, lb, rb = data
+    out = sjoin(pdf, tdf, predicate="dwithin", distance=0.05, how="left",
+                left_id="pid", right_id="tid",
+                broadcast_right=False).toPandas()
+    exp = brute(lb, rb, "dwithin", 0.05)
+    matched = {p for p, _ in exp}
+    assert len(out) == len(exp) + (NPTS - len(matched))
+    got = set(zip(out.loc[out.index_right.notna(), "pid"].astype(int),
+                  out.loc[out.index_right.notna(), "index_right"].astype(int)))
+    assert got == exp
