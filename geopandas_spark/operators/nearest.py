@@ -78,10 +78,16 @@ def _cover_disk_udf():
         single = lens == 1
         if single.any():
             flat = np.array([v[0] for v in vals[single]], dtype=np.int64)
-            disk = C.grid_disk(flat, 1)  # (n, 9)
+            # row-sorted dedup instead of per-row np.unique (~5x cheaper:
+            # one vectorized sort + mask, the loop only slices views)
+            disk = np.sort(C.grid_disk(flat, 1), axis=1)  # (n, 9)
+            keep = np.ones(disk.shape, dtype=bool)
+            keep[:, 1:] = disk[:, 1:] != disk[:, :-1]
+            counts = keep.sum(axis=1)
+            flatv = disk[keep]
             pos = np.nonzero(single)[0]
-            for i, row in zip(pos, disk):
-                out[i] = np.unique(row).tolist()
+            for i, row in zip(pos, np.split(flatv, np.cumsum(counts)[:-1])):
+                out[i] = row.tolist()
         for i in np.nonzero(~single)[0]:
             v = vals[i]
             if v is None or lens[i] < 0:
@@ -116,7 +122,7 @@ def _disk_cells_var_udf():
 
 
 def _knn_cell_pass(min_cell: float, max_distance: float | None,
-                   exclusive: bool):
+                   exclusive: bool, carry_geom: bool = False):
     """mapInPandas fn: union-tagged (cell, side, ids, geoms, lrad) rows ->
     per-left best-distance rows with a certified flag.
 
@@ -266,7 +272,14 @@ def _knn_cell_pass(min_cell: float, max_distance: float | None,
                 out_rid.append(rid[ri[emit_all]])
                 out_d.append(d[emit_all])
                 out_ok.append(np.ones(int(emit_all.sum()), dtype=bool))
-                _null_geo(int(emit_all.sum()))
+                if carry_geom:
+                    # narrow fast path: certified rows carry the left WKB
+                    # so the caller can emit output with NO assembly join
+                    out_tg.append(lgeom[li[emit_all]])
+                    out_tc.append(np.zeros(int(emit_all.sum()), dtype=np.int64))
+                    out_tr.append(np.zeros(int(emit_all.sum()), dtype=np.float64))
+                else:
+                    _null_geo(int(emit_all.sum()))
                 unc = ~certified & finite
                 if unc.any():
                     # best combo per uncertified left (first index hitting
@@ -465,11 +478,15 @@ def sjoin_nearest(
 
     rcells = st_cells_from_bbox("__bb.minx", "__bb.miny", "__bb.maxx",
                                 "__bb.maxy", resolution, domain=domain)
-    rx = (
-        right.select(F.col(rid).alias("__xrid"),
-                     F.col(right_geom).alias("__rgeom"),
-                     F.explode(rcells).alias("__cell"))
-    )
+    # ONE cover computation (WKB decode + bbox_cover), lazily checkpointed:
+    # both phase 1 (disk-replicated build side) and the tail (exact cell
+    # join) derive from it — round-2 profile showed the decode->cover UDF
+    # chain running twice, once per consumer, ~20% of the whole join
+    rcov = right.select(
+        F.col(rid).alias("__xrid"), F.col(right_geom).alias("__rgeom"),
+        rcells.alias("__rcells"),
+    ).localCheckpoint(eager=False)
+    rx = rcov.select("__xrid", "__rgeom", F.explode("__rcells").alias("__cell"))
 
     # midpoint cell via a tiny UDF on the bbox struct
     @pandas_udf("long")
@@ -492,10 +509,23 @@ def sjoin_nearest(
                     F.col("__bb.maxy") - F.col("__bb.miny")) / 2).alias("__lrad"),
     ).filter(F.col("__cell0").isNotNull())
 
+    # narrow fast path (mirrors sjoin): when both sides carry nothing
+    # beyond (id, geometry) and how='inner', the pass output IS the join
+    # output — certified rows carry the left WKB so BOTH assembly joins
+    # (two |result|-row shuffles) are skipped
+    auto_l = left_id is None
+    auto_r = right_id is None
+    _ldata = [c for c in left.columns
+              if c != "__bb" and not (auto_l and c == lid)]
+    _rdata = [c for c in right.columns
+              if c != "__bb" and c != right_geom and not (auto_r and c == rid)]
+    narrow = (how == "inner" and set(_ldata) <= {lid, left_geom}
+              and set(_rdata) <= {rid})
+
     # ---- phase 1: single-shuffle cell kNN pass ---------------------------
-    rrep = right.select(
-        F.col(rid).alias("__rid"), F.col(right_geom).alias("__geom"),
-        F.explode(_cover_disk_udf()(rcells)).alias("__cell"),
+    rrep = rcov.select(
+        F.col("__xrid").alias("__rid"), F.col("__rgeom").alias("__geom"),
+        F.explode(_cover_disk_udf()(F.col("__rcells"))).alias("__cell"),
     ).withColumn("__side", F.lit(0))
     ltag = lbase.select(
         F.col("__xlid").alias("__lid"), F.col("__lgeom").alias("__geom"),
@@ -516,21 +546,24 @@ def sjoin_nearest(
         allowMissingColumns=True,
     ).repartition(n_parts, "__cell").sortWithinPartitions("__cell")
     p1 = tagged.mapInPandas(
-        _knn_cell_pass(min_cell, max_distance, exclusive),
+        _knn_cell_pass(min_cell, max_distance, exclusive, carry_geom=narrow),
         schema=(f"__xlid {lid_t}, __xrid {rid_t}, __d double, __ok boolean,"
                 " __tgeom binary, __tcell long, __trad double"),
     ).localCheckpoint(eager=False)
 
-    done = p1.filter(F.col("__ok")).select("__xlid", "__xrid", "__d")
+    if narrow:
+        done = p1.filter(F.col("__ok")).select(
+            "__xlid", "__xrid", "__d", F.col("__tgeom").alias("__lgeom"))
+    else:
+        done = p1.filter(F.col("__ok")).select("__xlid", "__xrid", "__d")
 
     grid_n = 1 << resolution
     k_cap = grid_n  # full-grid disk == brute force
     if max_distance is not None:
         k_cap = min(k_cap, int(np.ceil(max_distance / min_cell)) + 1)
 
-    # lazily checkpointed (not persist): blocks free on GC, no CacheManager
-    # leak per call — see _prep_side for the rationale
-    rxp = rx.localCheckpoint(eager=False)
+    # rx reads from the rcov checkpoint — no second cover computation
+    rxp = rx
 
     # ---- tail: one directory-driven probe for every uncertified row ------
     # A directory of the right side's non-empty cells (one small distinct
@@ -584,7 +617,10 @@ def sjoin_nearest(
             cand_ = cand_.withColumn("__d", st_distance("__lgeom", "__rgeom"))
             if max_distance is not None:
                 cand_ = cand_.filter(F.col("__d") <= float(max_distance))
-            return cand_.select("__xlid", "__xrid", "__d")
+            out_cols = ["__xlid", "__xrid", "__d"]
+            if narrow:
+                out_cols.append("__lgeom")
+            return cand_.select(*out_cols)
 
         bcol = F.col("__dbest")
         if max_distance is not None:
@@ -601,20 +637,37 @@ def sjoin_nearest(
             tail_pairs = tail_pairs.unionByName(pdf_)
         tail_pairs = tail_pairs.dropDuplicates(["__xlid", "__xrid"])
         w = Window.partitionBy("__xlid")
+        tcols = ["__xlid", "__xrid", "__d"] + (["__lgeom"] if narrow else [])
         tail_matched = (
             tail_pairs.withColumn("__dmin", F.min("__d").over(w))
             .filter(F.col("__d") == F.col("__dmin"))
-            .select("__xlid", "__xrid", "__d")
+            .select(*tcols)
         )
         matched = done.unionByName(tail_matched)
     else:
         matched = done
 
+    if narrow:
+        # zero-join output: ids + left geometry + distance straight from
+        # the pass (collision naming mirrors _suffix_columns)
+        collide = (not auto_l) and (not auto_r) and lid == rid
+        cols = []
+        if not auto_l:
+            cols.append(F.col("__xlid").alias(
+                f"{lid}_{lsuffix}" if collide else lid))
+        if left_geom in _ldata:
+            cols.append(F.col("__lgeom").alias(left_geom))
+        if not auto_r:
+            cols.append(F.col("__xrid").alias(
+                f"{rid}_{rsuffix}" if collide else rid))
+        cols.append(F.col("__xrid").alias("index_right"))
+        if distance_col is not None:
+            cols.append(F.col("__d").alias(distance_col))
+        return matched.select(*cols)
+
     # ---- assemble (same rules as sjoin) ---------------------------------
     lclean = left.drop("__bb")
     rclean = right.drop("__bb")
-    auto_l = left_id is None
-    auto_r = right_id is None
     ldata = [c for c in lclean.columns if not (auto_l and c == lid)]
     rdata = [c for c in rclean.columns if not (auto_r and c == rid) and c != right_geom]
     lmap, rmap = _suffix_columns(
