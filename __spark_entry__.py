@@ -499,6 +499,19 @@ def q_lsh_topk_embeddings(spark, sf_dir) -> DataFrame:
     return out.select("query_id", "corpus_id", F.col("rank").alias("rnk"))
 
 
+def q_ivf_topk_embeddings(spark, sf_dir) -> DataFrame:
+    """ANN top-k via an IVF index (spherical k-means quantizer + probe
+    join + exact rerank). Probing ALL cells makes the result exact, so
+    the full machinery (train -> assign -> probe -> rerank) gets a real
+    SQL oracle; the pruned-probe recall bar is pinned in pytest."""
+    from geopandas_spark.operators.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+    out = ivf_topk(emb, queries, k=3, n_centroids=16, n_probe=16, iters=2)
+    return out.select("query_id", "corpus_id", F.col("rank").alias("rnk"))
+
+
 def _star_polys(spark, sf_dir):
     """Irregular 12-gon stars centered on the part-rect centers — the
     general (non-rectilinear, non-convex) polygon fixture that drives the
@@ -602,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "make_valid_bowtie_area": q_make_valid_bowtie_area,
         "skew_transform_points": q_skew_transform_points,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "overlay_star_intersection": q_overlay_star_intersection,
         "boolean_ops_area": q_boolean_ops_area,
     }
@@ -742,6 +756,19 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 5),
+            s AS (SELECT q.query_id, e.vec_id AS corpus_id,
+                         list_cosine_similarity(e.embedding, q.qv) AS score
+                  FROM embeddings e, q),
+            r AS (SELECT query_id, corpus_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY score DESC, corpus_id)
+                           AS rnk
+                  FROM s)
+            SELECT query_id, corpus_id, rnk FROM r WHERE rnk <= 3
+        """,
+        "ivf_topk_embeddings": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id >= 5 AND vec_id < 10),
             s AS (SELECT q.query_id, e.vec_id AS corpus_id,
                          list_cosine_similarity(e.embedding, q.qv) AS score
                   FROM embeddings e, q),

@@ -10,6 +10,13 @@
                           bucket-colliding pairs are scored.
 * ``embedding_near_dups`` — cosine >= threshold near-duplicate pairs via
                           the same LSH bucketing (dedup use case).
+* ``ivf_topk``          — IVF (inverted-file) ANN: spherical k-means
+                          coarse quantizer trained in one-scan map-side
+                          partial aggregations, corpus partitioned by
+                          nearest centroid, queries probe only their
+                          ``n_probe`` closest cells + exact rerank. The
+                          clustered-data scale path (LSH's complement:
+                          IVF adapts to the data distribution).
 """
 
 from __future__ import annotations
@@ -39,6 +46,8 @@ def _collect_queries(queries: DataFrame, qid_col: str, qvec_col: str,
             f"query side has more than {cap} rows — the top-k operators "
             "broadcast the query matrix, so the query side must be small; "
             "swap the sides or pre-aggregate the queries")
+    if not qrows:
+        raise ValueError("query side is empty — top-k over zero queries")
     return qrows
 
 
@@ -256,6 +265,154 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 _score1(F.col("query_id"), F.col("__v")).alias("score"))
         .groupBy("query_id", "corpus_id")
         .agg(F.max("score").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+    )
+
+
+def train_ivf_centroids(corpus: DataFrame, n_centroids: int = 64,
+                        iters: int = 3, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        seed: int = 11) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained distributed.
+
+    Deterministic init: the ``n_centroids`` rows with the smallest
+    ``xxhash64(id, seed)`` (a seeded uniform sample with no RNG state on
+    executors). Each Lloyd iteration is ONE corpus scan: ``mapInPandas``
+    emits per-partition (cluster, count, vec_sum) partials — a classic
+    map-side combine, so only ``partitions x k`` rows reach the driver
+    regardless of corpus size — and the driver finishes the reduce.
+    Centroids live on the unit sphere (cosine geometry); empty clusters
+    keep their previous centroid.
+    """
+    init = (
+        corpus.select(F.col(vec_col),
+                      F.xxhash64(F.col(id_col), F.lit(int(seed))).alias("__h"))
+        .orderBy("__h")
+        .limit(int(n_centroids))
+        .collect()
+    )
+    C = np.array([np.asarray(r[vec_col], dtype=np.float32) for r in init])
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    kc = C.shape[0]
+
+    for _ in range(int(iters)):
+        Cb = C  # rebound per iteration; closure captures by reference
+
+        def _partials(batches, Cb=Cb):
+            sums = np.zeros_like(Cb, dtype=np.float64)
+            counts = np.zeros(kc, dtype=np.int64)
+            for pdf in batches:
+                m = _to_matrix(pdf[vec_col])
+                if not len(m):
+                    continue
+                mn = m / np.maximum(
+                    np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+                a = np.argmax(mn @ Cb.T, axis=1)
+                np.add.at(sums, a, mn)
+                counts += np.bincount(a, minlength=kc)
+            yield pd.DataFrame({
+                "cid": np.arange(kc, dtype=np.int64),
+                "cnt": counts,
+                "vsum": list(sums.astype(np.float64)),
+            })
+
+        parts = corpus.select(vec_col).mapInPandas(
+            _partials, schema="cid long, cnt long, vsum array<double>"
+        ).collect()
+        sums = np.zeros_like(C, dtype=np.float64)
+        counts = np.zeros(kc, dtype=np.int64)
+        for r in parts:
+            sums[r["cid"]] += np.asarray(r["vsum"], dtype=np.float64)
+            counts[r["cid"]] += r["cnt"]
+        nz = counts > 0
+        newC = C.astype(np.float64).copy()
+        newC[nz] = sums[nz] / counts[nz, None]
+        newC = newC / np.maximum(
+            np.linalg.norm(newC, axis=1, keepdims=True), 1e-30)
+        C = newC.astype(np.float32)
+    return C
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding",
+               out_col: str = "ivf_cluster") -> DataFrame:
+    """Tag each row with its nearest-centroid id (one broadcast matmul
+    scan). The column is a natural partition/bucket key for a 100 TB
+    corpus: writing the corpus bucketed by it makes every later probe a
+    partition-pruned scan."""
+    Cb = centroids
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = _to_matrix(vecs)
+        if not len(m):
+            return pd.Series(np.array([], dtype=np.int32))
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        return pd.Series(np.argmax(mn @ Cb.T, axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "vec_id", qvec_col: str = "embedding",
+             n_centroids: int = 64, n_probe: int = 8, iters: int = 3,
+             seed: int = 11, centroids: np.ndarray | None = None) -> DataFrame:
+    """Approximate top-k cosine neighbors via an IVF index (the
+    data-adaptive complement to ``lsh_topk``; cf. FAISS IVF-Flat).
+
+    Plan (after training, ONE corpus scan and no corpus-vector shuffle):
+
+    1. Train/accept a spherical k-means quantizer (``train_ivf_centroids``).
+    2. Driver-side: each query picks its ``n_probe`` nearest centroids ->
+       a tiny (query_id, cluster) probe table, broadcast.
+    3. The corpus is scanned once: assign cluster -> broadcast hash join
+       against the probe table -> exact cosine against the broadcast
+       query matrix computed in the SAME map stage. Only (query_id,
+       corpus_id, score) triples shuffle into the final top-k rank.
+
+    Candidate fraction ~= n_probe / n_centroids on balanced clusters,
+    with recall concentrated by the quantizer (clustered corpora prune
+    far better than the LSH S-curve on the same budget).
+    """
+    qrows = _collect_queries(queries, qid_col, qvec_col, cap=4096)
+    qids = np.array([r[qid_col] for r in qrows])
+    qm = np.array([np.asarray(r[qvec_col], dtype=np.float32) for r in qrows])
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids=n_centroids, iters=iters,
+            id_col=id_col, vec_col=vec_col, seed=seed)
+    n_probe = min(int(n_probe), centroids.shape[0])
+
+    spark = corpus.sparkSession
+    qsims = qn @ centroids.T  # (q, k_c)
+    top = np.argsort(-qsims, axis=1)[:, :n_probe]
+    probe_rows = [(int(qids[qi]), int(c))
+                  for qi in range(len(qids)) for c in top[qi]]
+    probes = spark.createDataFrame(probe_rows, "query_id long, ivf_cluster int")
+
+    @pandas_udf("double")
+    def _score1(qid: pd.Series, vecs: pd.Series) -> pd.Series:
+        qidx = {int(q): i for i, q in enumerate(qids)}
+        rows = np.array([qidx[int(q)] for q in qid], dtype=np.int64)
+        m = _to_matrix(vecs)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        return pd.Series((mn * qn[rows]).sum(axis=1).astype(np.float64))
+
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col).alias("corpus_id"), vec_col),
+        centroids, vec_col=vec_col)
+    scored = (
+        assigned.join(F.broadcast(probes), on="ivf_cluster")
+        .select("query_id", "corpus_id",
+                _score1(F.col("query_id"), F.col(vec_col)).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                F.asc("corpus_id"))
