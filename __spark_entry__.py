@@ -576,6 +576,166 @@ def q_boolean_ops_area(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_delaunay_quad(spark, sf_dir) -> DataFrame:
+    """st_delaunay_triangles (base.py:908) of the rect's 4 corners: the
+    quad splits into exactly 2 triangles whose areas sum to the rect."""
+    from geopandas_spark.functions.st import (
+        st_area, st_delaunay_triangles, st_num_geometries)
+
+    r = _part_rects(spark, sf_dir)
+    tri = st_delaunay_triangles("geometry")
+    return r.select(
+        "p_partkey",
+        st_num_geometries(tri).alias("n_tris"),
+        F.round(st_area(tri), 9).alias("tri_area"))
+
+
+def q_voronoi_rect_cells(spark, sf_dir) -> DataFrame:
+    """st_voronoi_polygons (base.py:999) of the rect's 4 corners: 4 cells
+    partitioning the GEOS-style extended envelope (2w x 2h = 4*side^2)."""
+    from geopandas_spark.functions.st import (
+        st_area, st_num_geometries, st_voronoi_polygons)
+
+    r = _part_rects(spark, sf_dir)
+    vor = st_voronoi_polygons("geometry")
+    return r.select(
+        "p_partkey",
+        st_num_geometries(vor).alias("n_cells"),
+        F.round(st_area(vor), 9).alias("cell_area"))
+
+
+def q_polygonize_rect(spark, sf_dir) -> DataFrame:
+    """st_polygonize (base.py:5763): the rect's 4 edge linestrings
+    reassemble into exactly one polygon of area side^2."""
+    from geopandas_spark.functions.st import (
+        st_area, st_geomfromtext, st_num_geometries, st_polygonize)
+
+    r = _part_rects(spark, sf_dir)
+
+    def edge(x1, y1, x2, y2):
+        return st_geomfromtext(F.concat(
+            F.lit("LINESTRING ("), x1, F.lit(" "), y1, F.lit(", "),
+            x2, F.lit(" "), y2, F.lit(")")))
+
+    mnx, mny = F.col("minx"), F.col("miny")
+    mxx, mxy = F.col("maxx"), F.col("maxy")
+    edges = F.array(
+        edge(mnx, mny, mxx, mny), edge(mxx, mny, mxx, mxy),
+        edge(mxx, mxy, mnx, mxy), edge(mnx, mxy, mnx, mny))
+    poly = st_polygonize(edges)
+    return r.select(
+        "p_partkey",
+        st_num_geometries(poly).alias("n_polys"),
+        F.round(st_area(poly), 9).alias("poly_area"))
+
+
+def q_min_rotated_rect(spark, sf_dir) -> DataFrame:
+    """st_minimum_rotated_rectangle (base.py:1475) of each rect rotated by
+    a fixed angle — the MRR of a rotated rectangle is itself, so its
+    area is exactly side^2 regardless of the rotation."""
+    from geopandas_spark.functions.st import (
+        st_area, st_minimum_rotated_rectangle, st_rotate)
+
+    r = _part_rects(spark, sf_dir)
+    rot = r.withColumn("rot", st_rotate("geometry", 33.0, origin="center"))
+    return rot.select(
+        "p_partkey",
+        F.round(st_area(st_minimum_rotated_rectangle("rot")), 9)
+        .alias("mrr_area"))
+
+
+def q_relate_point_rect(spark, sf_dir) -> DataFrame:
+    """st_relate / st_relate_pattern (base.py:4924/:5029): DE-9IM of a
+    probe point vs its rect — inside / outside by key mod 3."""
+    from geopandas_spark.functions.st import (
+        st_point, st_relate, st_relate_pattern)
+
+    r = _part_rects(spark, sf_dir)
+    fr = F.lit(0.5) + (F.col("p_partkey") % 3 - 1) * F.lit(0.9)
+    probe = st_point(F.col("minx") + F.col("side") * fr,
+                     F.col("miny") + F.col("side") * 0.5)
+    return r.select(
+        "p_partkey",
+        st_relate(probe, "geometry").alias("de9im"),
+        st_relate_pattern(probe, "geometry", "T*F**F***").alias("within_p"))
+
+
+def q_line_interpolate_project(spark, sf_dir) -> DataFrame:
+    """st_interpolate / st_project (base.py:5240/:4460) on the rect
+    diagonal: normalized interpolation at t=0.25 and the projection
+    distance of the rect center (= half the diagonal length)."""
+    from geopandas_spark.functions.st import (
+        st_geomfromtext, st_interpolate, st_point, st_project, st_x, st_y)
+
+    r = _part_rects(spark, sf_dir)
+    diag = st_geomfromtext(F.concat(
+        F.lit("LINESTRING ("), F.col("minx"), F.lit(" "), F.col("miny"),
+        F.lit(", "), F.col("maxx"), F.lit(" "), F.col("maxy"), F.lit(")")))
+    d = r.withColumn("diag", diag)
+    ip = st_interpolate("diag", 0.25, normalized=True)
+    ctr = st_point((F.col("minx") + F.col("maxx")) / 2,
+                   (F.col("miny") + F.col("maxy")) / 2)
+    return d.select(
+        "p_partkey",
+        F.round(st_x(ip), 9).alias("ipx"),
+        F.round(st_y(ip), 9).alias("ipy"),
+        F.round(st_project("diag", ctr), 9).alias("proj_d"))
+
+
+def q_line_offset_frechet(spark, sf_dir) -> DataFrame:
+    """st_offset_curve / st_frechet_distance / st_shortest_line
+    (base.py:1265/:3729/:4262): offsetting the diagonal preserves its
+    length, the Frechet distance to the offset is the offset magnitude,
+    and the shortest line from the rect to an outside probe point has a
+    closed-form gap length."""
+    from geopandas_spark.functions.st import (
+        st_frechet_distance, st_geomfromtext, st_length, st_offset_curve,
+        st_point, st_shortest_line)
+
+    r = _part_rects(spark, sf_dir)
+    diag = st_geomfromtext(F.concat(
+        F.lit("LINESTRING ("), F.col("minx"), F.lit(" "), F.col("miny"),
+        F.lit(", "), F.col("maxx"), F.lit(" "), F.col("maxy"), F.lit(")")))
+    d = r.withColumn("diag", diag)
+    off = st_offset_curve("diag", 0.01)
+    gap = F.lit(0.003) + (F.col("p_partkey") % 5) * F.lit(0.002)
+    probe = st_point(F.col("maxx") + gap,
+                     (F.col("miny") + F.col("maxy")) / 2)
+    return d.withColumn("off", off).select(
+        "p_partkey",
+        F.round(st_length("off"), 9).alias("off_len"),
+        F.round(st_frechet_distance("diag", "off"), 9).alias("fre_d"),
+        F.round(st_length(st_shortest_line("geometry", probe)), 9)
+        .alias("gap_len"))
+
+
+def q_hull_points_area(spark, sf_dir) -> DataFrame:
+    """st_convex_hull / st_concave_hull (base.py:677/:754) of the rect's
+    4 corners plus its center: both hulls (ratio=1) are the rect itself
+    — area side^2, ring of 5 coordinates."""
+    from geopandas_spark.functions.st import (
+        st_area, st_concave_hull, st_convex_hull, st_geomfromtext,
+        st_num_coordinates)
+
+    r = _part_rects(spark, sf_dir)
+    mp = st_geomfromtext(F.concat(
+        F.lit("MULTIPOINT ("),
+        F.col("minx"), F.lit(" "), F.col("miny"), F.lit(", "),
+        F.col("maxx"), F.lit(" "), F.col("miny"), F.lit(", "),
+        F.col("maxx"), F.lit(" "), F.col("maxy"), F.lit(", "),
+        F.col("minx"), F.lit(" "), F.col("maxy"), F.lit(", "),
+        (F.col("minx") + F.col("maxx")) / 2, F.lit(" "),
+        (F.col("miny") + F.col("maxy")) / 2, F.lit(")")))
+    d = r.withColumn("mp", mp)
+    hull = st_convex_hull("mp")
+    chull = st_concave_hull("mp", ratio=1.0)
+    return d.select(
+        "p_partkey",
+        F.round(st_area(hull), 9).alias("hull_area"),
+        st_num_coordinates(hull).alias("hull_npts"),
+        F.round(st_area(chull), 9).alias("chull_area"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_sjoin_points_in_rects(spark, "/root/testdata/sf0.001")
@@ -618,6 +778,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "overlay_star_intersection": q_overlay_star_intersection,
         "boolean_ops_area": q_boolean_ops_area,
+        "delaunay_quad": q_delaunay_quad,
+        "voronoi_rect_cells": q_voronoi_rect_cells,
+        "polygonize_rect": q_polygonize_rect,
+        "min_rotated_rect": q_min_rotated_rect,
+        "relate_point_rect": q_relate_point_rect,
+        "line_interpolate_project": q_line_interpolate_project,
+        "line_offset_frechet": q_line_offset_frechet,
+        "hull_points_area": q_hull_points_area,
     }
 
 
@@ -910,4 +1078,62 @@ def oracle_sql() -> dict[str, str]:
                    round(ra + 0.25 - 2 * ia, 9) AS x_area
             FROM i
         """.format(rects=rects),
+        "delaunay_quad": f"""
+            WITH r AS ({rects})
+            SELECT p_partkey, CAST(2 AS INT) AS n_tris,
+                   round((maxx - minx) * (maxy - miny), 9) AS tri_area
+            FROM r
+        """,
+        "voronoi_rect_cells": f"""
+            WITH r AS ({rects})
+            SELECT p_partkey, CAST(4 AS INT) AS n_cells,
+                   round(4 * (maxx - minx) * (maxy - miny), 9) AS cell_area
+            FROM r
+        """,
+        "polygonize_rect": f"""
+            WITH r AS ({rects})
+            SELECT p_partkey, CAST(1 AS INT) AS n_polys,
+                   round((maxx - minx) * (maxy - miny), 9) AS poly_area
+            FROM r
+        """,
+        "min_rotated_rect": f"""
+            WITH r AS ({rects})
+            SELECT p_partkey,
+                   round((maxx - minx) * (maxy - miny), 9) AS mrr_area
+            FROM r
+        """,
+        "relate_point_rect": f"""
+            WITH r AS ({rects})
+            SELECT p_partkey,
+                   CASE WHEN p_partkey % 3 = 1 THEN '0FFFFF212'
+                        ELSE 'FF0FFF212' END AS de9im,
+                   (p_partkey % 3 = 1) AS within_p
+            FROM r
+        """,
+        "line_interpolate_project": f"""
+            WITH r AS ({rects})
+            SELECT p_partkey,
+                   round(minx + 0.25 * (maxx - minx), 9) AS ipx,
+                   round(miny + 0.25 * (maxy - miny), 9) AS ipy,
+                   round(sqrt((maxx-minx)*(maxx-minx)
+                            + (maxy-miny)*(maxy-miny)) / 2, 9) AS proj_d
+            FROM r
+        """,
+        "line_offset_frechet": f"""
+            WITH r AS ({rects})
+            SELECT p_partkey,
+                   round(sqrt((maxx-minx)*(maxx-minx)
+                            + (maxy-miny)*(maxy-miny)), 9) AS off_len,
+                   round(0.01, 9) AS fre_d,
+                   round(0.003 + (p_partkey % 5) * 0.002, 9) AS gap_len
+            FROM r
+        """,
+        "hull_points_area": f"""
+            WITH r AS ({rects})
+            SELECT p_partkey,
+                   round((maxx - minx) * (maxy - miny), 9) AS hull_area,
+                   CAST(5 AS BIGINT) AS hull_npts,
+                   round((maxx - minx) * (maxy - miny), 9) AS chull_area
+            FROM r
+        """,
     }
