@@ -736,6 +736,48 @@ def q_hull_points_area(spark, sf_dir) -> DataFrame:
         F.round(st_area(chull), 9).alias("chull_area"))
 
 
+def q_stream_tile_counts(spark, sf_dir) -> DataFrame:
+    """Structured Streaming end-to-end (streaming/agg.py): the events
+    table read via readStream + Trigger.AvailableNow, watermarked 1-hour
+    event-time windows counted per zoom-4 tile into a memory sink; the
+    drained batch result carries a full SQL oracle (hour bucket + morton
+    tile + count)."""
+    import tempfile
+    import uuid
+
+    from geopandas_spark.functions.st import st_point
+    from geopandas_spark.streaming import tile_counts_stream
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file stream source wants a directory; expose the read-only
+    # table file through a symlink in a temp dir
+    src_dir = tempfile.mkdtemp(prefix="gs_stream_src_")
+    os.symlink(os.path.abspath(path),
+               os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    pts = (
+        stream
+        # parquet stores ts as TIMESTAMP_NTZ; watermarks need TIMESTAMP
+        # (UTC session, so the wall-clock reading is unchanged)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("geometry",
+                    st_point(_x_expr("event_id"), _y_expr("event_id"))))
+    out = tile_counts_stream(pts, zoom=4, ts_col="ts",
+                             window_duration="1 hour", watermark="2 hours")
+    name = "stream_tc_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="gs_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.unix_timestamp("win_start").alias("win_s"), "tile", "n")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_sjoin_points_in_rects(spark, "/root/testdata/sf0.001")
@@ -786,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_interpolate_project": q_line_interpolate_project,
         "line_offset_frechet": q_line_offset_frechet,
         "hull_points_area": q_hull_points_area,
+        "stream_tile_counts": q_stream_tile_counts,
     }
 
 
@@ -1135,5 +1178,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(5 AS BIGINT) AS hull_npts,
                    round((maxx - minx) * (maxy - miny), 9) AS chull_area
             FROM r
+        """,
+        "stream_tile_counts": f"""
+            WITH pts AS (
+                SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_s,
+                       (event_id * {_HA} % {_M32}) / {_M32}.0 AS x,
+                       (event_id * {_HB} % {_M32}) / {_M32}.0 AS y
+                FROM events)
+            SELECT win_s, {_morton_sql('x', 'y', 4)} AS tile,
+                   count(*) AS n
+            FROM pts GROUP BY win_s, tile
         """,
     }

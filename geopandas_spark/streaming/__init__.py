@@ -1,10 +1,21 @@
-"""Structured Streaming surface — intentionally empty.
+"""Structured Streaming surface.
 
-The reference (GeoPandas) is a batch-only library with no streaming
-semantics to reproduce (SURVEY.md §1.3), so this engine exposes none.
-The operators remain streaming-compatible where Spark allows it: every
-st_* function is a stateless projection usable on a streaming DataFrame
-as-is; the joins/aggregations would need watermark policies that the
-reference does not define. This module exists to document that decision
-rather than leave an ambiguous gap.
+The reference (GeoPandas) is batch-only, so nothing here mirrors a
+reference API. These are the graft-native stream jobs a continuous
+ingest pipeline needs, built so batch and stream share semantics:
+
+* ``sjoin_stream``      — stream-static spatial join (broadcast cell
+                          cover + stateless reference-point dedup).
+* ``tile_counts_stream``— watermarked event-time windowed counts per
+                          quadtree tile.
+* ``dedup_stream``      — exact dedup within a watermark, same
+                          normalize->xxhash64 key as the batch operator.
+
+Every ``st_*`` function is a stateless projection and is usable on a
+streaming DataFrame as-is.
 """
+
+from .agg import dedup_stream, tile_counts_stream
+from .join import sjoin_stream
+
+__all__ = ["sjoin_stream", "tile_counts_stream", "dedup_stream"]

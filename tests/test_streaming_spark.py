@@ -1,0 +1,157 @@
+"""Structured Streaming operators vs their batch equivalents.
+
+Each test feeds the SAME rows through (a) a file-source stream with
+Trigger.AvailableNow into a memory sink and (b) the batch plan, then
+compares row sets — the streaming analogue of the DuckDB oracle gate.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import make_points_df, make_triangles_df
+
+
+def _stream_rows(spark, batch_df, tmpdir, name, n_files=3):
+    """Write batch_df as n_files parquet files and reopen as a stream."""
+    src = os.path.join(str(tmpdir), f"src_{name}")
+    batch_df.repartition(n_files).write.parquet(src)
+    return spark.readStream.schema(batch_df.schema).parquet(src)
+
+
+def _run_to_memory(stream_df, spark, name, tmpdir):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmpdir), f"ck_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _run_complete_to_memory(stream_df, spark, name, tmpdir):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(str(tmpdir), f"ck_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_sjoin_stream_matches_batch(spark, tmpdir):
+    from geopandas_spark.streaming import sjoin_stream
+
+    pts, _, _ = make_points_df(spark, 400)
+    tris, _ = make_triangles_df(spark, 60)
+    tris = tris.select(F.col("tid").alias("index_right"), "geometry")
+
+    batch = sjoin_stream(pts.select("pid", "geometry"), tris,
+                         predicate="intersects", resolution=5)
+    expected = sorted(
+        (r.pid, r.index_right)
+        for r in batch.select("pid", "index_right").collect())
+    assert len(expected) > 0
+
+    stream = _stream_rows(spark, pts.select("pid", "geometry"),
+                          tmpdir, "sj_pts")
+    out = sjoin_stream(stream, tris, predicate="intersects", resolution=5)
+    assert out.isStreaming
+    got = _run_to_memory(out.select("pid", "index_right"),
+                         spark, "sj_mem", tmpdir)
+    assert sorted((r.pid, r.index_right) for r in got.collect()) == expected
+
+
+def test_sjoin_stream_polygon_left_dedups_pairs(spark, tmpdir):
+    """A polygon covered by many cells still emits each pair once
+    (reference-point rule, no dropDuplicates state)."""
+    from geopandas_spark.streaming import sjoin_stream
+
+    tris_l, _ = make_triangles_df(spark, 40, seed=3, scale=0.4)
+    tris_r, _ = make_triangles_df(spark, 40, seed=9, scale=0.4)
+    left = tris_l.select(F.col("tid").alias("lid"), "geometry")
+    right = tris_r.select(F.col("tid").alias("index_right"), "geometry")
+
+    batch_pairs = sjoin_stream(left, right, predicate="intersects",
+                               resolution=6)
+    rows = [(r.lid, r.index_right)
+            for r in batch_pairs.select("lid", "index_right").collect()]
+    assert len(rows) == len(set(rows)), "duplicate pairs leaked"
+
+    # cross-check against the full batch sjoin operator
+    from geopandas_spark.operators.sjoin import sjoin
+
+    ref = sjoin(left.withColumnRenamed("lid", "l"), tris_r, how="inner",
+                predicate="intersects", left_id="l", right_id="tid")
+    expected = sorted((r.l, r.index_right)
+                      for r in ref.select("l", "index_right").collect())
+    assert sorted(rows) == expected
+
+
+def test_sjoin_stream_rejects_dwithin(spark):
+    from geopandas_spark.streaming import sjoin_stream
+
+    pts, _, _ = make_points_df(spark, 4)
+    with pytest.raises(ValueError, match="dwithin"):
+        sjoin_stream(pts, pts, predicate="dwithin")
+
+
+def test_tile_counts_stream_matches_batch(spark, tmpdir):
+    from geopandas_spark.geom.ragged import points_batch
+    from geopandas_spark.geom.wkb import to_wkb
+    from geopandas_spark.streaming import tile_counts_stream
+
+    r = np.random.default_rng(5)
+    n = 500
+    x, y = r.random(n), r.random(n)
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        r.integers(0, 6 * 3600, n), unit="s")
+    pdf = pd.DataFrame({
+        "eid": np.arange(n), "ts": ts,
+        "geometry": list(to_wkb(points_batch(x, y))),
+    })
+    batch_df = spark.createDataFrame(pdf)
+
+    batch = tile_counts_stream(batch_df, zoom=3, window_duration="1 hour")
+    expected = sorted((r.win_start, r.tile, r.n) for r in batch.collect())
+
+    stream = _stream_rows(spark, batch_df, tmpdir, "tc_pts")
+    out = tile_counts_stream(stream, zoom=3, window_duration="1 hour",
+                             watermark="10 minutes")
+    got = _run_complete_to_memory(out, spark, "tc_mem", tmpdir)
+    assert sorted((r.win_start, r.tile, r.n) for r in got.collect()) == expected
+
+
+def test_dedup_stream_matches_batch(spark, tmpdir):
+    from geopandas_spark.streaming import dedup_stream
+
+    rows = []
+    for i in range(300):
+        # 100 distinct texts, 3 copies each, whitespace/case variants
+        base = f"doc {i % 100} body"
+        text = (base.upper() if i % 3 == 1
+                else base.replace(" ", "  ") if i % 3 == 2 else base)
+        rows.append((i, text, pd.Timestamp("2024-01-01")
+                     + pd.Timedelta(seconds=i)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    batch_df = spark.createDataFrame(pdf)
+
+    assert dedup_stream(batch_df).count() == 100
+
+    stream = _stream_rows(spark, batch_df, tmpdir, "dd_docs", n_files=1)
+    out = dedup_stream(stream, watermark="1 hour")
+    got = _run_to_memory(out, spark, "dd_mem", tmpdir)
+    # one representative per normalized text
+    assert got.count() == 100
+    norm = got.select(
+        F.lower(F.regexp_replace("text", r"\s+", " ")).alias("t")).distinct()
+    assert norm.count() == 100
