@@ -79,10 +79,35 @@ def _segments(b: GeometryBatch, g: int):
     return np.empty((0, 2)), np.empty((0, 2))
 
 
+def _point_line_status(points: np.ndarray, b: GeometryBatch,
+                       g: int) -> np.ndarray:
+    """INSIDE (line interior) / BOUNDARY (mod-2 endpoint) / OUTSIDE for
+    each point vs a lineal geometry."""
+    from .kernels import point_segment_dist2
+
+    st = np.full(len(points), OUTSIDE, dtype=np.int8)
+    if len(points) == 0:
+        return st
+    s0, s1 = _segments(b, g)
+    if len(s0):
+        d2 = point_segment_dist2(points[:, 0], points[:, 1], s0, s1)
+        on = d2.min(axis=1) <= 0.0
+        st[on] = INSIDE
+        bp = _boundary_points(b, g)
+        if len(bp):
+            eq = ((points[:, None, 0] == bp[None, :, 0])
+                  & (points[:, None, 1] == bp[None, :, 1])).any(axis=1)
+            st[on & eq] = BOUNDARY
+    return st
+
+
 def _lines_cross_dim(a: GeometryBatch, ga: int, bb: GeometryBatch, gb: int):
-    """(interior-interior dim, any touch at points) for two lineal geoms:
-    '1' when collinear overlap exists, '0' when proper/improper crossing
-    points exist, 'F' otherwise."""
+    """Interior-interior dim for two lineal geoms: '1' when collinear
+    overlap exists, '0' when an intersection point lies in BOTH lines'
+    interiors (a proper crossing, or a touch at a non-boundary vertex),
+    'F' otherwise. A touch at a line's mod-2 endpoint is boundary, not
+    interior — it must NOT set II (GEOS: two lines meeting end-to-end
+    relate FF1F00102, not 0F1F00102)."""
     from .binary import shared_paths
 
     import pandas as pd
@@ -94,7 +119,9 @@ def _lines_cross_dim(a: GeometryBatch, ga: int, bb: GeometryBatch, gb: int):
     sp = shared_paths(sa, sb)
     if len(sp.coords) > 0:
         return "1"
-    # point crossings
+    # proper crossings: strict sign change on both supports — the
+    # crossing point is strictly inside both segments, hence interior to
+    # both lines (it cannot coincide with any vertex)
     a0, a1 = _segments(a, ga)
     b0, b1 = _segments(bb, gb)
     if len(a0) and len(b0):
@@ -102,15 +129,16 @@ def _lines_cross_dim(a: GeometryBatch, ga: int, bb: GeometryBatch, gb: int):
         d2 = np.cross((a1 - a0)[:, None, :], (b1[None, :, :] - a0[:, None, :]))
         d3 = np.cross((b1 - b0)[None, :, :], (a0[:, None, :] - b0[None, :, :]))
         d4 = np.cross((b1 - b0)[None, :, :], (a1[:, None, :] - b0[None, :, :]))
-        bbx = (
-            (np.minimum(a0[:, None, 0], a1[:, None, 0]) <= np.maximum(b0[None, :, 0], b1[None, :, 0]))
-            & (np.minimum(b0[None, :, 0], b1[None, :, 0]) <= np.maximum(a0[:, None, 0], a1[:, None, 0]))
-            & (np.minimum(a0[:, None, 1], a1[:, None, 1]) <= np.maximum(b0[None, :, 1], b1[None, :, 1]))
-            & (np.minimum(b0[None, :, 1], b1[None, :, 1]) <= np.maximum(a0[:, None, 1], a1[:, None, 1]))
-        )
-        proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
-        touch = (d1 == 0) | (d2 == 0) | (d3 == 0) | (d4 == 0)
-        if (bbx & (proper | touch)).any():
+        if ((d1 * d2 < 0) & (d3 * d4 < 0)).any():
+            return "0"
+    # vertex touches: every remaining intersection point is a vertex of
+    # one of the lines; it is interior-interior iff it is interior
+    # (on-linework, non-boundary) for BOTH
+    pts = np.vstack([_vertices(a, ga), _vertices(bb, gb)])
+    if len(pts):
+        sta = _point_line_status(pts, a, ga)
+        stb = _point_line_status(pts, bb, gb)
+        if ((sta == INSIDE) & (stb == INSIDE)).any():
             return "0"
     return "F"
 
@@ -181,20 +209,7 @@ def relate_pair(lb: GeometryBatch, ga: int, rb: GeometryBatch, gb: int) -> str:
         if tdim == 2:
             return _status_multi(points, target_b, target_g)
         if tdim == 1:
-            from .kernels import point_segment_dist2
-
-            s0, s1 = _segments(target_b, target_g)
-            st = np.full(len(points), OUTSIDE, dtype=np.int8)
-            if len(s0):
-                d2 = point_segment_dist2(points[:, 0], points[:, 1], s0, s1)
-                on = d2.min(axis=1) <= 0.0
-                st[on] = INSIDE  # provisional: interior of the line
-                bp = _boundary_points(target_b, target_g)
-                if len(bp):
-                    eq = ((points[:, None, 0] == bp[None, :, 0])
-                          & (points[:, None, 1] == bp[None, :, 1])).any(axis=1)
-                    st[on & eq] = BOUNDARY
-            return st
+            return _point_line_status(points, target_b, target_g)
         v = _vertices(target_b, target_g)
         st = np.full(len(points), OUTSIDE, dtype=np.int8)
         if len(v):

@@ -431,6 +431,30 @@ def test_relate_lineal_ie_ei():
     assert relate(h, G(("line", [(1, -1), (1, 1)])))[0] == "0F1FF0102"
 
 
+def test_relate_lineal_endpoint_touches():
+    """Line touches at endpoints/vertices (session-2 fix): II is '0' only
+    when an intersection point is interior to BOTH lines; an endpoint
+    touch is boundary, not interior (GEOS truth matrices)."""
+    from geopandas_spark.geom.relate import relate
+
+    cases = [
+        (("line", [(0, 0), (1, 0)]), ("line", [(1, 0), (2, 0)]), "FF1F00102"),
+        (("line", [(0, 0), (2, 0)]), ("line", [(1, 0), (1, 1)]), "F01FF0102"),
+        (("line", [(0, 0), (1, 0)]), ("line", [(1, 0), (1, 1)]), "FF1F00102"),
+        (("line", [(0.5, 0), (0.5, 1)]), ("line", [(0, 0), (1, 0)]),
+         "FF10F0102"),
+        # interior VERTEX of a touching an endpoint of b is still a's
+        # interior -> IB
+        (("line", [(0, 0), (1, 0), (1, 1)]), ("line", [(1, 0), (2, 0)]),
+         "F01FF0102"),
+        # interior-vertex x interior-vertex -> II=0
+        (("line", [(0, 0), (1, 0), (2, 0)]),
+         ("line", [(1, 1), (1, 0), (1, -1)]), "0F1FF0102"),
+    ]
+    for wa, wb, exp in cases:
+        assert relate(G(wa), G(wb))[0] == exp, (wa, wb, exp)
+
+
 def test_type_matrix_intersection():
     """Round-2 full binary-op type matrix (base.py:4192): line x line,
     point x line, point x point, GeometryCollection."""
