@@ -475,9 +475,19 @@ def _relate_group(pred: str, lb: GeometryBatch, lrows: np.ndarray,
             if pred in ("intersects", "covered_by"):
                 return on_lines
             if pred == "within":
-                # point on line interior: on line but not equal to an endpoint?
-                # GEOS: point within line unless at a boundary endpoint.
-                return on_lines  # refined below for exact endpoint semantics
+                # GEOS: point within line unless at a mod-2 boundary
+                # endpoint (interior of the line excludes its boundary)
+                from .relate import _boundary_points
+
+                bp = _boundary_points(rb, g)
+                if len(bp):
+                    off = lb.geom_coord_off
+                    px = lb.coords[off[lrows], 0]
+                    py = lb.coords[off[lrows], 1]
+                    at_bnd = ((px[:, None] == bp[None, :, 0])
+                              & (py[:, None] == bp[None, :, 1])).any(axis=1)
+                    return on_lines & ~at_bnd
+                return on_lines
             if pred == "touches":
                 return _points_touch_line(lb, lrows, rb, g, on_lines)
             return res
@@ -527,8 +537,11 @@ def _relate_group(pred: str, lb: GeometryBatch, lrows: np.ndarray,
                 same_dim & any_int & r_in_l & ~cov_lr & ~cov_rl
             )
         if pred == "crosses":
-            # line crosses polygon: interior on both sides
-            return (ldim == 1) & any_int & any_out
+            # lower-dim left crosses polygon: interior on both sides.
+            # Exact via DE-9IM (vertex tests alone miss a line passing
+            # straight through with all vertices outside)
+            return _matrix_rows(res, pred, sub, np.nonzero(ldim <= 1)[0],
+                                rb, g, ldim)
         return res
 
     if rdim == 1:
@@ -554,14 +567,28 @@ def _relate_group(pred: str, lb: GeometryBatch, lrows: np.ndarray,
         inter = edge_x | r_in_l | r_any_bnd | l_on_r
         if pred == "intersects":
             return inter
+        # lineal-left rows need the exact DE-9IM path: the vectorized
+        # vertex/edge tests don't model line-interior vs line-boundary
+        # (session-2 fix — line x line crosses/overlaps/containment)
+        lin = np.nonzero(ldim <= 1)[0]
         if pred in ("contains", "covers"):
-            return (ldim == 2) & r_all_in_l & (r_in_l if pred == "contains" else True)
+            out = (ldim == 2) & r_all_in_l & (r_in_l if pred == "contains" else True)
+            return _matrix_rows(out, pred, sub, lin, rb, g, ldim)
         if pred == "crosses":
-            return (ldim == 2) & r_in_l & _line_exits(sub, rb, g)
+            out = (ldim == 2) & r_in_l & _line_exits(sub, rb, g)
+            return _matrix_rows(out, pred, sub, lin, rb, g, ldim)
         if pred == "touches":
-            # boundary contact without interior entry (approximation: no
-            # right vertex strictly inside a polygonal left)
-            return inter & ~r_in_l
+            # polygon-left: boundary contact without interior entry
+            # (approximation: no right vertex strictly inside)
+            out = inter & ~r_in_l
+            return _matrix_rows(out, pred, sub, lin, rb, g, ldim)
+        if pred == "contains_properly":
+            # polygon-left rows included: the branch never handled them
+            return _matrix_rows(res, pred, sub, np.arange(n), rb, g, ldim)
+        if pred in ("within", "covered_by", "overlaps"):
+            # dim rules make these impossible for polygon-left; lineal
+            # rows via the matrix
+            return _matrix_rows(res, pred, sub, lin, rb, g, ldim)
         return res
 
     # right is puntal
@@ -587,7 +614,19 @@ def _relate_group(pred: str, lb: GeometryBatch, lrows: np.ndarray,
                 on = np.min(d2, axis=1) <= 0
                 st_per_row[i] = bool(on.any())
                 all_cov[i] = bool(on.all())
-                any_int_r[i] = st_per_row[i]
+                # points at a mod-2 endpoint are boundary contact, not
+                # interior (contains/touches semantics)
+                from .relate import _boundary_points
+
+                bp = _boundary_points(sub, i)
+                if len(bp):
+                    at_bnd = ((rpts[:, None, 0] == bp[None, :, 0])
+                              & (rpts[:, None, 1] == bp[None, :, 1])
+                              ).any(axis=1)
+                else:
+                    at_bnd = np.zeros(len(rpts), dtype=bool)
+                any_int_r[i] = bool((on & ~at_bnd).any())
+                any_bnd_r[i] = bool((on & at_bnd).any())
         else:
             lpts = geom_points(sub, i)
             if len(lpts):
@@ -605,6 +644,55 @@ def _relate_group(pred: str, lb: GeometryBatch, lrows: np.ndarray,
         return all_cov & any_int_r & ~any_bnd_r
     if pred == "touches":
         return any_bnd_r & ~any_int_r
+    return res
+
+
+def _pred_from_matrix(m: str, pred: str, da: int, db: int) -> bool:
+    """Evaluate a named predicate from a DE-9IM string (exact slow path
+    for the lineal type combos the vectorized branches don't model —
+    session-2 fix: line x line crosses/overlaps/containment and
+    line-through-polygon crosses were wrong before)."""
+    inter = any(m[k] != "F" for k in (0, 1, 3, 4))
+    if pred == "intersects":
+        return inter
+    if pred == "touches":
+        return inter and m[0] == "F"
+    if pred == "within":
+        return m[0] != "F" and m[2] == "F" and m[5] == "F"
+    if pred == "contains":
+        return m[0] != "F" and m[6] == "F" and m[7] == "F"
+    if pred == "contains_properly":
+        return (m[0] != "F" and m[6] == "F" and m[7] == "F"
+                and m[3] == "F" and m[4] == "F")
+    if pred == "covers":
+        return inter and m[6] == "F" and m[7] == "F"
+    if pred == "covered_by":
+        return inter and m[2] == "F" and m[5] == "F"
+    if pred == "equals":
+        return (inter and m[2] == "F" and m[5] == "F"
+                and m[6] == "F" and m[7] == "F")
+    if pred == "crosses":
+        if da < db:
+            return m[0] != "F" and m[2] != "F"
+        if da > db:
+            return m[0] != "F" and m[6] != "F"
+        return m[0] == "0"
+    if pred == "overlaps":
+        if da != db:
+            return False
+        ii_ok = m[0] == "1" if da == 1 else m[0] != "F"
+        return ii_ok and m[2] != "F" and m[6] != "F"
+    raise ValueError(pred)
+
+
+def _matrix_rows(res, pred, sub, rows, rb, g, ldim):
+    """Per-row DE-9IM evaluation for the given left rows."""
+    from .relate import relate_pair
+
+    rdim = int(TYPE_DIM[rb.types[g]])
+    for i in rows:
+        m = relate_pair(sub, i, rb, g)
+        res[i] = _pred_from_matrix(m, pred, int(ldim[i]), rdim)
     return res
 
 

@@ -102,3 +102,46 @@ def test_grouping_correctness_with_mixed_right():
     exp = [pairwise_predicate("intersects", P(p), P(r))[0]
            for p, r in zip(pts, rights)]
     assert list(got) == exp
+
+
+def test_lineal_predicate_matrix_path():
+    """Session-2 fix: line x line and line-through-polygon predicates via
+    the exact DE-9IM slow path (GEOS truth values)."""
+    import pandas as pd
+
+    from geopandas_spark.geom import wkt as W
+    from geopandas_spark.geom.predicates import pairwise_predicate
+
+    def b(*w):
+        return W.from_wkt(pd.Series(list(w)))
+
+    P = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    cases = [
+        ("crosses", "LINESTRING (1 -1, 1 3)", P, True),
+        ("crosses", "LINESTRING (0 0, 2 0)", P, False),
+        ("crosses", "MULTIPOINT (1 1, 5 5)", P, True),
+        ("crosses", "MULTIPOINT (1 1, 0.5 0.5)", P, False),
+        ("crosses", "LINESTRING (0 0, 2 2)", "LINESTRING (2 0, 0 2)", True),
+        ("crosses", "LINESTRING (0 0, 2 0)", "LINESTRING (1 0, 3 0)", False),
+        ("overlaps", "LINESTRING (0 0, 2 0)", "LINESTRING (1 0, 3 0)", True),
+        ("overlaps", "LINESTRING (0 0, 2 0)", "LINESTRING (0 0, 2 0)", False),
+        ("overlaps", "LINESTRING (0 0, 2 0)", "LINESTRING (1 0, 2 0)", False),
+        ("touches", "LINESTRING (0 0, 2 0)", "LINESTRING (1 0, 3 0)", False),
+        ("within", "LINESTRING (1 0, 2 0)", "LINESTRING (0 0, 3 0)", True),
+        ("within", "LINESTRING (0 0, 2 0)", "LINESTRING (0 0, 3 0)", True),
+        ("contains", "LINESTRING (0 0, 3 0)", "LINESTRING (1 0, 2 0)", True),
+        ("covers", "LINESTRING (0 0, 3 0)", "LINESTRING (0 0, 2 0)", True),
+        ("equals", "LINESTRING (0 0, 2 0)", "LINESTRING (2 0, 0 0)", True),
+        ("equals", "LINESTRING (0 0, 2 0)", "LINESTRING (0 0, 1 0)", False),
+        ("contains", "LINESTRING (0 0, 2 0)", "POINT (1 0)", True),
+        ("contains", "LINESTRING (0 0, 2 0)", "POINT (0 0)", False),
+        ("touches", "LINESTRING (0 0, 2 0)", "POINT (0 0)", True),
+        ("covers", "LINESTRING (0 0, 2 0)", "POINT (0 0)", True),
+        ("within", "POINT (1 0)", "LINESTRING (0 0, 2 0)", True),
+        ("within", "POINT (0 0)", "LINESTRING (0 0, 2 0)", False),
+        ("contains_properly", P, "LINESTRING (0.5 0.5, 1 1)", True),
+        ("contains_properly", P, "LINESTRING (0 0, 1 1)", False),
+    ]
+    for pred, wa, wb, exp in cases:
+        got = bool(pairwise_predicate(pred, b(wa), b(wb))[0])
+        assert got == exp, (pred, wa, wb, exp, got)
