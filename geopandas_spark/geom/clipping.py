@@ -526,7 +526,132 @@ def pairwise_intersection(lb: GeometryBatch, rb: GeometryBatch) -> GeometryBatch
             M.emit_mixed(out, pieces, pts)
         else:
             M.emit_lines(out, pieces)
-    return out.finish()
+    return _boundary_contact_pass(lb, rb, out.finish())
+
+
+def _poly_touch_geom(lb: GeometryBatch, ga: int, rb: GeometryBatch, gb: int):
+    """Lower-dimensional intersection of two polygons whose interiors do
+    not overlap: collinear boundary overlaps as (Multi)LineString, else
+    boundary touch points. None when boundaries don't actually meet."""
+    from .ragged import LINESTRING, MULTILINESTRING, MULTIPOINT, POINT
+
+    def segs(batch, g):
+        s0, s1 = [], []
+        for rings in (_all_poly_rings(batch, g)[0],):
+            for r in rings:
+                if len(r) >= 2:
+                    s0.append(r[:-1])
+                    s1.append(r[1:])
+        if s0:
+            return np.vstack(s0), np.vstack(s1)
+        return np.empty((0, 2)), np.empty((0, 2))
+
+    a0, a1 = segs(lb, ga)
+    b0, b1 = segs(rb, gb)
+    if not len(a0) or not len(b0):
+        return None
+    pieces = []
+    for i in range(len(a0)):
+        da = a1[i] - a0[i]
+        La = float(np.hypot(da[0], da[1]))
+        if La == 0.0:
+            continue
+        u = da / La
+        db = b1 - b0
+        cross = da[0] * db[:, 1] - da[1] * db[:, 0]
+        w = b0 - a0[i]
+        off = np.abs(da[0] * w[:, 1] - da[1] * w[:, 0])
+        col = (cross == 0) & (off <= 1e-12 * max(La, 1.0))
+        if not col.any():
+            continue
+        tb0 = (b0[col] - a0[i]) @ u
+        tb1 = (b1[col] - a0[i]) @ u
+        lo = np.maximum(0.0, np.minimum(tb0, tb1))
+        hi = np.minimum(La, np.maximum(tb0, tb1))
+        ivals = sorted((float(l), float(h)) for l, h in zip(lo, hi) if h > l)
+        if not ivals:
+            continue
+        cur_lo, cur_hi = ivals[0]
+        merged = []
+        for l, h in ivals[1:]:
+            if l > cur_hi:
+                merged.append((cur_lo, cur_hi))
+                cur_lo, cur_hi = l, h
+            else:
+                cur_hi = max(cur_hi, h)
+        merged.append((cur_lo, cur_hi))
+        for l, h in merged:
+            pieces.append(np.vstack([a0[i] + l * u, a0[i] + h * u]))
+    bld = GeometryBatchBuilder()
+    if pieces:
+        if len(pieces) == 1:
+            bld.add(LINESTRING, [(LINESTRING, pieces)])
+        else:
+            bld.add(MULTILINESTRING, [(LINESTRING, [p]) for p in pieces])
+        return bld.finish()
+    # no collinear overlap: isolated touch points (a vertex of one on the
+    # other's boundary — for valid non-overlapping polygons every touch
+    # point is a vertex of at least one side)
+    from .kernels import point_segment_dist2
+
+    pts = []
+    va = np.vstack([a0, a1[-1:]])
+    vb = np.vstack([b0, b1[-1:]])
+    if len(va):
+        d2 = point_segment_dist2(va[:, 0], va[:, 1], b0, b1)
+        pts.append(va[d2.min(axis=1) <= 0.0])
+    if len(vb):
+        d2 = point_segment_dist2(vb[:, 0], vb[:, 1], a0, a1)
+        pts.append(vb[d2.min(axis=1) <= 0.0])
+    P = np.unique(np.vstack(pts), axis=0) if pts else np.empty((0, 2))
+    if not len(P):
+        return None
+    if len(P) == 1:
+        bld.add(POINT, [(POINT, [P])])
+    else:
+        bld.add(MULTIPOINT, [(POINT, [P[i:i + 1]]) for i in range(len(P))])
+    return bld.finish()
+
+
+def _boundary_contact_pass(lb: GeometryBatch, rb: GeometryBatch,
+                           res: GeometryBatch) -> GeometryBatch:
+    """GEOS parity: polygon x polygon pairs whose area intersection is
+    empty but whose boundaries touch intersect to the shared boundary
+    (LINESTRING for shared edges, POINT for corner contact) instead of
+    POLYGON EMPTY. Only rows with empty area results and overlapping
+    bboxes are inspected, so the overlay hot path pays nothing."""
+    from .kernels import bounds
+    from .ragged import MULTIPOLYGON, POLYGON
+
+    polyA = np.isin(lb.types, (POLYGON, MULTIPOLYGON))
+    polyB = np.isin(rb.types, (POLYGON, MULTIPOLYGON))
+    cand = polyA & polyB & (res.n_coords_per_geom() == 0)
+    if not cand.any():
+        return res
+    ab = bounds(lb)
+    bb_ = bounds(rb)
+    with np.errstate(invalid="ignore"):
+        touch = ((np.maximum(ab[:, 0], bb_[:, 0])
+                  <= np.minimum(ab[:, 2], bb_[:, 2]))
+                 & (np.maximum(ab[:, 1], bb_[:, 1])
+                    <= np.minimum(ab[:, 3], bb_[:, 3])))
+    cand &= touch & ~np.isnan(ab[:, 0]) & ~np.isnan(bb_[:, 0])
+    if not cand.any():
+        return res
+    import pandas as pd
+
+    from . import wkb as W
+
+    wkbs = list(W.to_wkb(res))
+    changed = False
+    for g in np.nonzero(cand)[0]:
+        repl = _poly_touch_geom(lb, int(g), rb, int(g))
+        if repl is not None:
+            wkbs[g] = W.to_wkb(repl)[0]
+            changed = True
+    if not changed:
+        return res
+    return W.from_wkb(pd.Series(wkbs))
 
 
 def pairwise_boolean(lb: GeometryBatch, rb: GeometryBatch, op: str) -> GeometryBatch:

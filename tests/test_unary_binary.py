@@ -578,3 +578,30 @@ def test_gh_batch_matches_sweep():
     tri2 = np.array([[2, 0], [4, 0], [3, 1], [2, 0]], float)
     _, fb2 = batch_intersection([tri1], [tri2])
     assert fb2[0]
+
+
+def test_intersection_boundary_contact():
+    """GEOS parity (session-2): polygon x polygon with touching boundaries
+    intersect to the shared edge / corner point, not POLYGON EMPTY."""
+    import pandas as pd
+
+    from geopandas_spark.geom import wkt as W
+    from geopandas_spark.geom.clipping import pairwise_intersection
+    from geopandas_spark.geom.kernels import area, length
+
+    def b(*w):
+        return W.from_wkt(pd.Series(list(w)))
+
+    P = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    cases = [
+        ("POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))", "LINESTRING (2 0, 2 2)"),
+        ("POLYGON ((2 2, 3 3, 2 3, 2 2))", "POINT (2 2)"),
+        ("POLYGON ((2 1, 3 0, 3 2, 2 1))", "POINT (2 1)"),
+        ("POLYGON ((2 0.5, 2 1.5, 3 1, 2 0.5))",
+         "LINESTRING (2 0.5, 2 1.5)"),
+        ("POLYGON ((3 3, 4 3, 4 4, 3 4, 3 3))", "POLYGON EMPTY"),
+    ]
+    for wb, exp in cases:
+        res = pairwise_intersection(b(P), b(wb))
+        assert W.to_wkt(res)[0] == exp, (wb, exp, W.to_wkt(res)[0])
+        assert area(res)[0] == 0.0
