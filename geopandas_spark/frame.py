@@ -220,7 +220,34 @@ class GeoFrame:
     def get_coordinates(self, id_cols=None) -> DataFrame:
         return st.st_get_coordinates_exploded(self.df, self.geometry, id_cols)
 
+    def representative_point(self) -> "GeoFrame":
+        return self._with_geom(st.st_representative_point(self.geometry))
+
+    def union_all(self, method: str = "unary"):
+        """geoseries.py:684 — one WKB scalar: the union of every row."""
+        from .operators.dissolve import union_all as _ua
+
+        return _ua(self.df, geom=self.geometry, method=method)
+
+    def distance(self, other) -> DataFrame:
+        """base.py:2920 — row-wise distance to a column/expression."""
+        return self._scalar("distance",
+                            st.st_distance(self.geometry, other))
+
+    @property
+    def to_wkt(self) -> DataFrame:
+        """geoseries.py:1161 — non-geometry columns + WKT text column."""
+        rest = [c for c in self.df.columns if c != self.geometry]
+        return self.df.select(
+            *rest, st.st_astext(self.geometry).alias(self.geometry))
+
     # -- I/O -----------------------------------------------------------------
+    def to_feather(self, path: str, **kw) -> dict:
+        from .sources.feather import write_feather
+
+        return write_feather(self.df, path, geom=self.geometry,
+                             crs=self.crs, **kw)
+
     def to_geoparquet(self, path: str, **kw) -> dict:
         from .sources.geoparquet import write_geoparquet
 

@@ -149,3 +149,21 @@ def test_list_layers(spark, tmp_path, gf):
     plain = str(tmp_path / "plain")
     gf.df.write.parquet(plain)
     assert list_layers(plain) == [("geometry", "Unknown")]
+
+
+def test_convenience_wrappers(gf, spark):
+    """to_wkt / representative_point / distance / union_all wrappers."""
+    from geopandas_spark.geom import wkb as B
+
+    w = {r["name"]: r["geometry"] for r in gf.to_wkt.collect()}
+    assert w["a"] == "POINT (0.5 0.5)"
+
+    rp = gf.representative_point()
+    assert rp.count() == 3
+
+    d = gf.distance(st.st_geomfromtext(F.lit("POINT (0.5 0.5)")))
+    vals = {r["name"]: r["distance"] for r in d.collect()}
+    assert vals["a"] == 0.0 and vals["b"] == 0.0
+
+    u = gf.filter(F.col("grp") == 1).union_all()
+    assert u is not None and len(bytes(u)) > 0
