@@ -75,3 +75,45 @@ def test_nearest_exclusive_self(spark):
     out2 = sjoin_nearest(df, df2, exclusive=False,
                          left_id="pid", right_id="tid").toPandas()
     assert (out2.pid == out2.index_right).all()
+
+
+def test_nearest_lines_empty_corner_cells(spark):
+    """ADVICE scenario: right-side diagonal lines cover bbox-corner cells
+    that contain no geometry; the tail's distance bound must stay a valid
+    upper bound (d* re-probe). Brute-force point-to-segment oracle."""
+    from geopandas_spark.geom import wkt as W
+
+    r = np.random.default_rng(11)
+    nl, nr = 200, 30
+    lx, ly = r.random(nl), r.random(nl)
+    # long diagonals: bbox is large, geometry only on the diagonal
+    x0, y0 = r.random(nr), r.random(nr)
+    dx, dy = r.random(nr) * 0.4 + 0.1, r.random(nr) * 0.4 + 0.1
+    wkts = [f"LINESTRING ({a} {b}, {min(a + c, 1.0)} {min(b + d, 1.0)})"
+            for a, b, c, d in zip(x0, y0, dx, dy)]
+    ldf = spark.createDataFrame(pd.DataFrame(
+        {"pid": np.arange(nl),
+         "geometry": list(B.to_wkb(points_batch(lx, ly)))}))
+    rdf = spark.createDataFrame(pd.DataFrame(
+        {"tid": np.arange(nr), "geometry": list(B.to_wkb(W.from_wkt(wkts)))}))
+
+    # brute force point->segment distances
+    ax, ay = x0, y0
+    bx, by = np.minimum(x0 + dx, 1.0), np.minimum(y0 + dy, 1.0)
+    vx, vy = bx - ax, by - ay
+    L2 = vx * vx + vy * vy
+    t = ((lx[:, None] - ax[None, :]) * vx[None, :]
+         + (ly[:, None] - ay[None, :]) * vy[None, :]) / L2[None, :]
+    t = np.clip(t, 0.0, 1.0)
+    cx = ax[None, :] + t * vx[None, :]
+    cy = ay[None, :] + t * vy[None, :]
+    d = np.sqrt((lx[:, None] - cx) ** 2 + (ly[:, None] - cy) ** 2)
+    dmin = d.min(axis=1)
+    exp = {(i, j) for i in range(nl) for j in np.nonzero(d[i] == dmin[i])[0]}
+
+    out = sjoin_nearest(ldf, rdf, distance_col="dist",
+                        left_id="pid", right_id="tid").toPandas()
+    got = set(zip(out.pid.astype(int), out.index_right.astype(int)))
+    assert got == exp
+    m = out.set_index("pid").dist.to_dict()
+    assert all(abs(m[i] - dmin[i]) < 1e-12 for i in range(nl))
