@@ -736,6 +736,28 @@ def q_hull_points_area(spark, sf_dir) -> DataFrame:
         F.round(st_area(chull), 9).alias("chull_area"))
 
 
+def q_nearest_line(spark, sf_dir) -> DataFrame:
+    """kNN (k=1, ties kept) from customer points to part-rect DIAGONAL
+    LINES — exercises the non-puntal kNN path (segment-vectorized exact
+    distance + tail re-probe) with a closed-form point-to-segment SQL
+    oracle."""
+    from geopandas_spark.functions.st import st_geomfromtext
+    from geopandas_spark.operators.nearest import sjoin_nearest
+
+    pts = _customer_points(spark, sf_dir).select("c_custkey", "geometry")
+    diags = _part_rects(spark, sf_dir).select(
+        "p_partkey",
+        st_geomfromtext(F.concat(
+            F.lit("LINESTRING ("), F.col("minx"), F.lit(" "), F.col("miny"),
+            F.lit(", "), F.col("maxx"), F.lit(" "), F.col("maxy"),
+            F.lit(")"))).alias("geometry"))
+    out = sjoin_nearest(pts, diags, how="inner", distance_col="dist",
+                        left_id="c_custkey", right_id="p_partkey")
+    return out.select(
+        "c_custkey", F.col("index_right").alias("p_partkey"),
+        F.round("dist", 9).alias("dist_r"))
+
+
 def q_stream_tile_counts(spark, sf_dir) -> DataFrame:
     """Structured Streaming end-to-end (streaming/agg.py): the events
     table read via readStream + Trigger.AvailableNow, watermarked 1-hour
@@ -828,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_interpolate_project": q_line_interpolate_project,
         "line_offset_frechet": q_line_offset_frechet,
         "hull_points_area": q_hull_points_area,
+        "nearest_line": q_nearest_line,
         "stream_tile_counts": q_stream_tile_counts,
     }
 
@@ -1178,6 +1201,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(5 AS BIGINT) AS hull_npts,
                    round((maxx - minx) * (maxy - miny), 9) AS chull_area
             FROM r
+        """,
+        "nearest_line": f"""
+            WITH pts AS ({pts}), r AS ({rects}),
+            d AS (SELECT c_custkey, p_partkey,
+                         greatest(0.0, least(1.0,
+                             ((x - minx) * (maxx - minx)
+                            + (y - miny) * (maxy - miny))
+                           / ((maxx - minx) * (maxx - minx)
+                            + (maxy - miny) * (maxy - miny)))) AS t,
+                         x, y, minx, miny, maxx, maxy
+                  FROM pts, r),
+            dd AS (SELECT c_custkey, p_partkey,
+                          sqrt((x - (minx + t * (maxx - minx)))
+                             * (x - (minx + t * (maxx - minx)))
+                             + (y - (miny + t * (maxy - miny)))
+                             * (y - (miny + t * (maxy - miny)))) AS dist
+                   FROM d),
+            rk AS (SELECT c_custkey, p_partkey, dist,
+                          rank() OVER (PARTITION BY c_custkey
+                                       ORDER BY dist) AS rnk
+                   FROM dd)
+            SELECT c_custkey, p_partkey, round(dist, 9) AS dist_r
+            FROM rk WHERE rnk = 1
         """,
         "stream_tile_counts": f"""
             WITH pts AS (
