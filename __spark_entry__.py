@@ -736,6 +736,29 @@ def q_hull_points_area(spark, sf_dir) -> DataFrame:
         F.round(st_area(chull), 9).alias("chull_area"))
 
 
+def q_intersection_all_groups(spark, sf_dir) -> DataFrame:
+    """st_intersection_all (base.py:2017): n-ary intersection per group of
+    overlapping rects (every rect contains [0.2,0.8]^2 so the result is a
+    non-trivial rect with closed-form bounds in SQL)."""
+    from geopandas_spark.functions.st import (
+        st_area, st_geomfromtext, st_intersection_all)
+
+    r = _part_rects(spark, sf_dir)
+    x1 = F.col("minx") * 0.2
+    y1 = F.col("miny") * 0.2
+    x2 = F.col("maxx") * 0.2 + 0.78
+    y2 = F.col("maxy") * 0.2 + 0.78
+    wkt = F.concat(
+        F.lit("POLYGON (("), x1, F.lit(" "), y1, F.lit(", "),
+        x2, F.lit(" "), y1, F.lit(", "), x2, F.lit(" "), y2, F.lit(", "),
+        x1, F.lit(" "), y2, F.lit(", "), x1, F.lit(" "), y1, F.lit("))"))
+    g = r.withColumn("wide", st_geomfromtext(wkt)).withColumn(
+        "grp", (F.col("p_partkey") % 10).cast("int"))
+    agg = g.groupBy("grp").agg(
+        st_intersection_all(F.collect_list("wide")).alias("ig"))
+    return agg.select("grp", F.round(st_area("ig"), 9).alias("ia"))
+
+
 def q_nearest_line(spark, sf_dir) -> DataFrame:
     """kNN (k=1, ties kept) from customer points to part-rect DIAGONAL
     LINES — exercises the non-puntal kNN path (segment-vectorized exact
@@ -850,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_interpolate_project": q_line_interpolate_project,
         "line_offset_frechet": q_line_offset_frechet,
         "hull_points_area": q_hull_points_area,
+        "intersection_all_groups": q_intersection_all_groups,
         "nearest_line": q_nearest_line,
         "stream_tile_counts": q_stream_tile_counts,
     }
@@ -1201,6 +1225,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(5 AS BIGINT) AS hull_npts,
                    round((maxx - minx) * (maxy - miny), 9) AS chull_area
             FROM r
+        """,
+        "intersection_all_groups": f"""
+            WITH r AS ({rects}),
+            w AS (SELECT CAST(p_partkey % 10 AS INT) AS grp,
+                         0.2 * minx AS x1, 0.2 * miny AS y1,
+                         0.2 * maxx + 0.78 AS x2, 0.2 * maxy + 0.78 AS y2
+                  FROM r)
+            SELECT grp,
+                   round((min(x2) - max(x1)) * (min(y2) - max(y1)), 9) AS ia
+            FROM w GROUP BY grp
         """,
         "nearest_line": f"""
             WITH pts AS ({pts}), r AS ({rects}),
