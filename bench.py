@@ -64,6 +64,8 @@ def main():
         "ngram_jaccard_pairs",
         "make_valid_bowtie_area",
         "lsh_topk_embeddings",
+        "ivf_topk_embeddings",
+        "nearest_line",
     ]
     # Warmup pass (not timed, disclosed in the output JSON): this sandbox
     # runs on lazily-provisioned VM memory where the first touch of every

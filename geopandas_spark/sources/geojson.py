@@ -164,3 +164,44 @@ def from_features(df: DataFrame, feature_col: str = "feature",
         st_geomfromgeojson(g).alias(geom),
         p.alias("properties"),
     )
+
+
+def write_geojsonseq(df: DataFrame, path: str, geom: str = "geometry",
+                     mode: str = "overwrite") -> None:
+    """Distributed newline-delimited GeoJSON (to_file driver='GeoJSONSeq',
+    io/file.py:583): one Feature per line, written by the executors as a
+    text dataset — the only OGR format that needs no GDAL and scales to
+    any size (each partition streams its own lines)."""
+    to_features(df, geom).write.mode(mode).text(path)
+
+
+def read_geojsonseq(spark, path: str, geom: str = "geometry") -> DataFrame:
+    """GeoJSONSeq dataset/file -> DataFrame (WKB geometry + properties
+    JSON string)."""
+    lines = spark.read.text(path)
+    return from_features(
+        lines.filter(F.length(F.trim("value")) > 0)
+        .withColumnRenamed("value", "feature"), "feature", geom)
+
+
+def write_geojson_file(df: DataFrame, path: str,
+                       geom: str = "geometry") -> None:
+    """Single FeatureCollection .geojson file (to_file driver='GeoJSON').
+    Collects to the driver like the reference's fiona writer — dev-scale;
+    use write_geojsonseq for datasets."""
+    feats = [r["feature"] for r in to_features(df, geom).collect()]
+    with open(path, "w") as f:
+        f.write('{"type": "FeatureCollection", "features": [\n')
+        f.write(",\n".join(feats))
+        f.write("\n]}\n")
+
+
+def read_geojson_file(spark, path: str, geom: str = "geometry") -> DataFrame:
+    """FeatureCollection .geojson file -> DataFrame."""
+    import pandas as _pd
+
+    with open(path) as f:
+        fc = json.load(f)
+    feats = [json.dumps(ft) for ft in fc.get("features", [])]
+    df = spark.createDataFrame(_pd.DataFrame({"feature": feats}))
+    return from_features(df, "feature", geom)

@@ -167,3 +167,28 @@ def test_convenience_wrappers(gf, spark):
 
     u = gf.filter(F.col("grp") == 1).union_all()
     assert u is not None and len(bytes(u)) > 0
+
+
+def test_geojson_file_io(gf, spark, tmp_path):
+    """GeoJSONSeq (distributed) and FeatureCollection (single file)
+    round-trips (to_file drivers, io/file.py:583)."""
+    from geopandas_spark.sources.geojson import (
+        read_geojson_file, read_geojsonseq, write_geojson_file,
+        write_geojsonseq)
+
+    seq = str(tmp_path / "seq")
+    write_geojsonseq(gf.df, seq)
+    back = read_geojsonseq(spark, seq)
+    assert back.count() == 3
+    xs = sorted(r[0] for r in back.select(st.st_x(
+        st.st_centroid("geometry"))).collect())
+    assert abs(xs[0] - 0.5) < 1e-9 and abs(xs[1] - 1.0) < 1e-9
+
+    fc = str(tmp_path / "t.geojson")
+    write_geojson_file(gf.df, fc)
+    back2 = read_geojson_file(spark, fc)
+    assert back2.count() == 3
+    import json as _json
+    with open(fc) as f:
+        blob = _json.load(f)
+    assert blob["type"] == "FeatureCollection" and len(blob["features"]) == 3
