@@ -736,6 +736,28 @@ def q_hull_points_area(spark, sf_dir) -> DataFrame:
         F.round(st_area(chull), 9).alias("chull_area"))
 
 
+def q_explode_corners(spark, sf_dir) -> DataFrame:
+    """operators/explode (geodataframe.py:2164): MULTIPOINT of the rect's
+    4 corners explodes into one row per part, with part index and the
+    part's coordinates — closed-form SQL oracle via a 4-row cross join."""
+    from geopandas_spark.functions.st import st_geomfromtext, st_x, st_y
+    from geopandas_spark.operators.explode import explode
+
+    r = _part_rects(spark, sf_dir)
+    mp = st_geomfromtext(F.concat(
+        F.lit("MULTIPOINT ("),
+        F.col("minx"), F.lit(" "), F.col("miny"), F.lit(", "),
+        F.col("maxx"), F.lit(" "), F.col("miny"), F.lit(", "),
+        F.col("maxx"), F.lit(" "), F.col("maxy"), F.lit(", "),
+        F.col("minx"), F.lit(" "), F.col("maxy"), F.lit(")")))
+    d = r.select("p_partkey", mp.alias("geometry"))
+    out = explode(d, index_parts=True)
+    return out.select(
+        "p_partkey", F.col("part_index").cast("int").alias("pidx"),
+        F.round(st_x("geometry"), 9).alias("px"),
+        F.round(st_y("geometry"), 9).alias("py"))
+
+
 def q_intersection_all_groups(spark, sf_dir) -> DataFrame:
     """st_intersection_all (base.py:2017): n-ary intersection per group of
     overlapping rects (every rect contains [0.2,0.8]^2 so the result is a
@@ -873,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_interpolate_project": q_line_interpolate_project,
         "line_offset_frechet": q_line_offset_frechet,
         "hull_points_area": q_hull_points_area,
+        "explode_corners": q_explode_corners,
         "intersection_all_groups": q_intersection_all_groups,
         "nearest_line": q_nearest_line,
         "stream_tile_counts": q_stream_tile_counts,
@@ -1225,6 +1248,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(5 AS BIGINT) AS hull_npts,
                    round((maxx - minx) * (maxy - miny), 9) AS chull_area
             FROM r
+        """,
+        "explode_corners": f"""
+            WITH r AS ({rects}),
+            k AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(pidx))
+            SELECT p_partkey, CAST(pidx AS INT) AS pidx,
+                   round(CASE WHEN pidx IN (1, 2) THEN maxx ELSE minx END,
+                         9) AS px,
+                   round(CASE WHEN pidx IN (2, 3) THEN maxy ELSE miny END,
+                         9) AS py
+            FROM r, k
         """,
         "intersection_all_groups": f"""
             WITH r AS ({rects}),
