@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 GEO_VERSION = "1.1.0"
 
@@ -127,3 +128,68 @@ def bbox_filter(df: DataFrame, minx: float, miny: float, maxx: float,
         (F.col("bbox.minx") <= maxx) & (F.col("bbox.maxx") >= minx)
         & (F.col("bbox.miny") <= maxy) & (F.col("bbox.maxy") >= miny)
     )
+
+
+def write_geoparquet_partitioned(df: DataFrame, path: str,
+                                 geom: str = "geometry",
+                                 crs: str | None = None,
+                                 cell_res: int = 4,
+                                 mode: str = "overwrite") -> dict:
+    """Spatially-bucketed GeoParquet: rows land in one directory per
+    coarse quadtree cell (partition column ``cell`` = the point cell of
+    the bbox center at ``cell_res``), plus the covering bbox struct.
+
+    The 100 TB read path this buys: a bbox query prunes whole
+    DIRECTORIES via Catalyst partition pruning (``cell IN (...cover...)``
+    is a partition-column predicate — no file listing, no footer reads
+    for pruned cells), then row groups via the bbox column stats, then
+    rows via the bbox predicate. ``cell_res`` 4-8 gives 256-65k buckets;
+    pick so each bucket holds >= a few parquet files at target scale."""
+    from ..functions.st import st_bounds
+
+    out = df.withColumn("bbox", st_bounds(geom))
+
+    @pandas_udf("long")
+    def _cell(mnx: pd.Series, mny: pd.Series, mxx: pd.Series,
+              mxy: pd.Series) -> pd.Series:
+        from ..index import cells as C
+
+        cx = (mnx.to_numpy(np.float64) + mxx.to_numpy(np.float64)) / 2
+        cy = (mny.to_numpy(np.float64) + mxy.to_numpy(np.float64)) / 2
+        miss = np.isnan(cx)
+        ids = C.point_cell(np.nan_to_num(cx), np.nan_to_num(cy), cell_res)
+        return pd.Series(np.where(miss, None, ids))
+
+    out = out.withColumn("cell", _cell("bbox.minx", "bbox.miny",
+                                       "bbox.maxx", "bbox.maxy"))
+    meta = geo_metadata(df, geom, crs)
+    meta["columns"][geom]["covering"] = {
+        "bbox": {"xmin": ["bbox", "minx"], "ymin": ["bbox", "miny"],
+                 "xmax": ["bbox", "maxx"], "ymax": ["bbox", "maxy"]}}
+    meta["partitioning"] = {"column": "cell", "scheme": "quadtree-point",
+                            "resolution": cell_res}
+    out.write.mode(mode).partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_geo_metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
+def read_geoparquet_bbox(spark: SparkSession, path: str,
+                         minx: float, miny: float,
+                         maxx: float, maxy: float):
+    """Partition-pruned bbox read of a write_geoparquet_partitioned
+    dataset: cell IN (cover cells of the query bbox at the stored
+    resolution) -> Catalyst prunes directories; the bbox-column
+    predicate then prunes row groups and rows. Falls back to a plain
+    bbox_filter when the dataset is not cell-partitioned."""
+    df, meta = read_geoparquet(spark, path)
+    part = (meta or {}).get("partitioning")
+    if part and part.get("column") == "cell":
+        from ..index import cells as C
+
+        res = int(part["resolution"])
+        flat, off = C.bbox_cover(np.array([minx]), np.array([miny]),
+                                 np.array([maxx]), np.array([maxy]), res)
+        cover = [int(v) for v in flat[off[0]:off[1]]]
+        df = df.filter(F.col("cell").isin(cover))
+    return bbox_filter(df, minx, miny, maxx, maxy)

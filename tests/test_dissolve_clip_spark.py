@@ -139,3 +139,44 @@ def test_geoframe_cx_indexer(squares, spark):
     assert gf.cx[:, 7.0:].count() == 1
     with pytest.raises(TypeError):
         gf.cx[1:2:1, 0:1]
+
+
+def test_partitioned_geoparquet_prunes_directories(spark, tmp_path_factory):
+    """write_geoparquet_partitioned + read_geoparquet_bbox: a bbox query
+    must touch only the parquet files under the cover cells' directories
+    (Catalyst partition pruning on the cell column), and return exactly
+    the rows a plain bbox filter returns."""
+    import numpy as np
+    import pandas as pd
+
+    from geopandas_spark.geom import wkb as B
+    from geopandas_spark.geom.ragged import points_batch
+    from geopandas_spark.sources.geoparquet import (
+        read_geoparquet, read_geoparquet_bbox, write_geoparquet_partitioned)
+
+    r = np.random.default_rng(19)
+    n = 2000
+    x, y = r.random(n), r.random(n)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"pid": np.arange(n), "geometry": list(B.to_wkb(points_batch(x, y)))}))
+    path = str(tmp_path_factory.mktemp("gpqp") / "pts")
+    meta = write_geoparquet_partitioned(df, path, cell_res=3)
+    assert meta["partitioning"]["resolution"] == 3
+
+    q = (0.1, 0.1, 0.3, 0.3)
+    out = read_geoparquet_bbox(spark, path, *q)
+    exp = int(((x >= q[0]) & (x <= q[2]) & (y >= q[1]) & (y <= q[3])).sum())
+    assert out.count() == exp
+
+    # directory pruning: the physical scan carries a PartitionFilter on
+    # the cell column (pruning happens at planning, before file listing)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+    # and at runtime, only files under cover-cell directories are read
+    from pyspark.sql import functions as F
+    all_files = set(read_geoparquet(spark, path)[0].inputFiles())
+    used = {r[0] for r in
+            out.select(F.input_file_name()).distinct().collect()}
+    assert used and used < all_files
+    assert all("/cell=" in f for f in used)
