@@ -736,6 +736,28 @@ def q_hull_points_area(spark, sf_dir) -> DataFrame:
         F.round(st_area(chull), 9).alias("chull_area"))
 
 
+def q_bbox_partition_pruned(spark, sf_dir) -> DataFrame:
+    """Cell-partitioned GeoParquet read path (§4 pruning backbone): write
+    the customer points bucketed by coarse quadtree cell, read back with
+    a bbox query that prunes whole directories (Catalyst PartitionFilters
+    on the cell column), then row groups, then rows. Oracle = the plain
+    window predicate on the raw table."""
+    import tempfile
+
+    from geopandas_spark.functions.st import st_x, st_y
+    from geopandas_spark.sources.geoparquet import (
+        read_geoparquet_bbox, write_geoparquet_partitioned)
+
+    pts = _customer_points(spark, sf_dir).select("c_custkey", "geometry")
+    path = tempfile.mkdtemp(prefix="gs_gpqp_") + "/pts"
+    write_geoparquet_partitioned(pts, path, cell_res=3)
+    out = read_geoparquet_bbox(spark, path, 0.25, 0.3, 0.65, 0.8)
+    return out.select(
+        "c_custkey",
+        F.round(st_x("geometry"), 9).alias("x"),
+        F.round(st_y("geometry"), 9).alias("y"))
+
+
 def q_explode_corners(spark, sf_dir) -> DataFrame:
     """operators/explode (geodataframe.py:2164): MULTIPOINT of the rect's
     4 corners explodes into one row per part, with part index and the
@@ -895,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_interpolate_project": q_line_interpolate_project,
         "line_offset_frechet": q_line_offset_frechet,
         "hull_points_area": q_hull_points_area,
+        "bbox_partition_pruned": q_bbox_partition_pruned,
         "explode_corners": q_explode_corners,
         "intersection_all_groups": q_intersection_all_groups,
         "nearest_line": q_nearest_line,
@@ -1248,6 +1271,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(5 AS BIGINT) AS hull_npts,
                    round((maxx - minx) * (maxy - miny), 9) AS chull_area
             FROM r
+        """,
+        "bbox_partition_pruned": f"""
+            WITH pts AS ({_PTS_SQL})
+            SELECT c_custkey, round(x, 9) AS x, round(y, 9) AS y FROM pts
+            WHERE x BETWEEN 0.25 AND 0.65 AND y BETWEEN 0.3 AND 0.8
         """,
         "explode_corners": f"""
             WITH r AS ({rects}),

@@ -254,6 +254,14 @@ class GeoFrame:
         return write_geoparquet(self.df, path, geom=self.geometry,
                                 crs=self.crs, **kw)
 
+    def to_geoparquet_partitioned(self, path: str, cell_res: int = 4,
+                                  **kw) -> dict:
+        from .sources.geoparquet import write_geoparquet_partitioned
+
+        return write_geoparquet_partitioned(
+            self.df, path, geom=self.geometry, crs=self.crs,
+            cell_res=cell_res, **kw)
+
     def to_arrow(self, geometry_encoding: str = "WKB"):
         """geodataframe.py:786 — pyarrow Table with GeoArrow metadata."""
         from .sources.geoarrow import to_arrow as _to_arrow
