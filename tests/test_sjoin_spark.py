@@ -182,3 +182,37 @@ def test_cogroup_dwithin_and_left(data, spark):
     got = set(zip(out.loc[out.index_right.notna(), "pid"].astype(int),
                   out.loc[out.index_right.notna(), "index_right"].astype(int)))
     assert got == exp
+
+
+def test_bucketed_join_no_exchange(data, spark, tmp_path_factory):
+    """write_bucketed_cells + sjoin_bucketed: identical pairs to the
+    regular sjoin, and the cell equi-join plans WITHOUT a shuffle
+    (bucketing satisfies the join distribution — brief: 'bucketing for
+    co-located joins')."""
+    from geopandas_spark.sources.bucketed import (
+        sjoin_bucketed, write_bucketed_cells)
+
+    pdf, tdf = data[0], data[1]
+    base = str(tmp_path_factory.mktemp("bkt"))
+    write_bucketed_cells(pdf.select("pid", "geometry"), "bkt_pts",
+                         base + "/pts", resolution=5, buckets=8)
+    write_bucketed_cells(tdf.select("tid", "geometry"), "bkt_tris",
+                         base + "/tris", resolution=5, buckets=8)
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = sjoin_bucketed(spark, "bkt_pts", "bkt_tris")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+
+        got = sorted((r.pid, r.tid)
+                     for r in out.select("pid", "tid").collect())
+        ref = sjoin(pdf, tdf, how="inner", predicate="intersects",
+                    left_id="pid", right_id="tid")
+        exp = sorted((r.pid, r.index_right)
+                     for r in ref.select("pid", "index_right").collect())
+        assert got == exp and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_pts")
+        spark.sql("DROP TABLE IF EXISTS bkt_tris")
