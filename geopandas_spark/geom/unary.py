@@ -717,6 +717,9 @@ def interpolate(b: GeometryBatch, distance, normalized: bool = False) -> Geometr
         lens = np.sqrt((seg ** 2).sum(axis=1))
         total = lens.sum()
         d = dist[g] * total if normalized else dist[g]
+        if d < 0:
+            # GEOS: negative distances measure backward from the END
+            d = total + d
         d = min(max(d, 0.0), total)
         cum = np.concatenate([[0.0], np.cumsum(lens)])
         i = int(np.searchsorted(cum, d, side="right") - 1)

@@ -605,3 +605,18 @@ def test_intersection_boundary_contact():
         res = pairwise_intersection(b(P), b(wb))
         assert W.to_wkt(res)[0] == exp, (wb, exp, W.to_wkt(res)[0])
         assert area(res)[0] == 0.0
+
+
+def test_interpolate_negative_from_end():
+    """GEOS parity: negative interpolate distances measure backward from
+    the line's end (base.py:5240)."""
+    import numpy as np
+
+    from geopandas_spark.geom.unary import interpolate
+    from geopandas_spark.geom.wkt import to_wkt
+
+    line = G(("line", [(0, 0), (1, 0)]))
+    assert to_wkt(interpolate(line, np.array([-0.25])))[0] == "POINT (0.75 0)"
+    assert to_wkt(interpolate(line, np.array([-5.0])))[0] == "POINT (0 0)"
+    assert to_wkt(interpolate(line, np.array([-0.25]),
+                              normalized=True))[0] == "POINT (0.75 0)"
