@@ -230,10 +230,12 @@ def snap(lb: GeometryBatch, rb: GeometryBatch, tolerance: float) -> GeometryBatc
 
 def shared_paths(lb: GeometryBatch, rb: GeometryBatch) -> GeometryBatch:
     """Collinear overlapping segments of two lineal geometries
-    (base.py:4574): returns a MultiLineString of the shared pieces
-    (forward and backward directions merged; GEOS wraps them in a
-    GeometryCollection — callers needing the split can inspect
-    orientation)."""
+    (base.py:4574): MultiLineString of the shared pieces. GEOS wraps the
+    same-direction and opposite-direction groups in a nested
+    GeometryCollection, which this engine's flat ragged model cannot
+    represent — instead, same-direction pieces come first oriented WITH
+    the first line, then opposite-direction pieces oriented AGAINST it,
+    so callers can recover the split from piece orientation."""
     bld = GeometryBatchBuilder()
     for g in range(len(lb)):
         if lb.types[g] not in (LINESTRING, MULTILINESTRING) or \
@@ -242,7 +244,8 @@ def shared_paths(lb: GeometryBatch, rb: GeometryBatch) -> GeometryBatch:
             continue
         a0, a1 = _geom_segs(lb, g)
         b0, b1 = _geom_segs(rb, g)
-        pieces = []
+        fwd: list = []
+        bwd: list = []
         for i in range(len(a0)):
             da = a1[i] - a0[i]
             La = np.hypot(*da)
@@ -265,9 +268,11 @@ def shared_paths(lb: GeometryBatch, rb: GeometryBatch) -> GeometryBatch:
                 lo = max(ta0, min(tb0, tb1))
                 hi = min(ta1, max(tb0, tb1))
                 if hi > lo:
-                    pieces.append(np.vstack([a0[i] + lo * u, a0[i] + hi * u]))
-        if pieces:
-            bld.add(MULTILINESTRING, [(LINESTRING, [p]) for p in pieces])
-        else:
-            bld.add(MULTILINESTRING, [])
+                    piece = np.vstack([a0[i] + lo * u, a0[i] + hi * u])
+                    if float(np.dot(db, u)) > 0:
+                        fwd.append(piece)
+                    else:
+                        bwd.append(piece[::-1])
+        bld.add(MULTILINESTRING,
+                [(LINESTRING, [p]) for p in fwd + bwd])
     return bld.finish()
