@@ -369,8 +369,15 @@ def remove_repeated_points(b: GeometryBatch, tolerance: float = 0.0) -> Geometry
 def normalize(b: GeometryBatch) -> GeometryBatch:
     """GEOS-style normal form (base.py:1608): polygon exterior rings CW,
     holes CCW (GEOS convention), every ring starts at its minimum vertex,
-    multi-part elements sorted descending (GEOS order)."""
+    linestrings oriented so the lesser endpoint comes first, multi-part
+    elements sorted descending (GEOS order)."""
     bld = GeometryBatchBuilder()
+
+    def canon_line(c: np.ndarray) -> np.ndarray:
+        if len(c) < 2 or (c[0] == c[-1]).all():
+            return c
+        a, z = tuple(c[0]), tuple(c[-1])
+        return c[::-1] if z < a else c
 
     def canon_ring(c: np.ndarray, want_ccw: bool) -> np.ndarray:
         if len(c) < 4:
@@ -396,6 +403,8 @@ def normalize(b: GeometryBatch) -> GeometryBatch:
             if pt == POLYGON:
                 rings = [canon_ring(r, want_ccw=(i != 0))
                          for i, r in enumerate(rings)]
+            elif pt == LINESTRING:
+                rings = [canon_line(r) for r in rings]
             parts.append((pt, rings))
         if len(parts) > 1:
             def _key(pr):

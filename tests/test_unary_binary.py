@@ -620,3 +620,15 @@ def test_interpolate_negative_from_end():
     assert to_wkt(interpolate(line, np.array([-5.0])))[0] == "POINT (0 0)"
     assert to_wkt(interpolate(line, np.array([-0.25]),
                               normalized=True))[0] == "POINT (0.75 0)"
+
+
+def test_normalize_linestring_direction():
+    """GEOS parity: normalize orients a linestring so the lesser endpoint
+    comes first (closed lines unchanged)."""
+    from geopandas_spark.geom.unary import normalize
+    from geopandas_spark.geom.wkt import to_wkt
+
+    assert to_wkt(normalize(G(("line", [(1, 1), (0, 0)]))))[0] == \
+        "LINESTRING (0 0, 1 1)"
+    assert to_wkt(normalize(G(("line", [(0, 0), (1, 1), (0, 0)]))))[0] == \
+        "LINESTRING (0 0, 1 1, 0 0)"
