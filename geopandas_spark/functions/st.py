@@ -1187,7 +1187,7 @@ def st_polygonize(geom_list) -> Column:
             res = polygonize_segments(segs)
             bld = GeometryBatchBuilder()
             bld.add(GEOMETRYCOLLECTION,
-                    [(POLYGON, [r]) for r in res["polygons"]])
+                    [(POLYGON, f["rings"]) for f in res["faces"]])
             out.append(B.to_wkb(bld.finish())[0])
         return pd.Series(out)
 
@@ -1211,13 +1211,15 @@ def st_build_area(geom) -> Column:
                 bld.add_missing()
                 continue
             res = polygonize_segments(batch_segments(b, g))
-            polys = res["polygons"]
+            # build_area (GEOS): odd-nesting-depth faces are holes, not
+            # polygons — keep even-depth faces with their holes attached
+            polys = [f["rings"] for f in res["faces"] if f["depth"] % 2 == 0]
             if not polys:
                 bld.add(POLYGON, [(POLYGON, [])])
             elif len(polys) == 1:
-                bld.add(POLYGON, [(POLYGON, [polys[0]])])
+                bld.add(POLYGON, [(POLYGON, polys[0])])
             else:
-                bld.add(MULTIPOLYGON, [(POLYGON, [r]) for r in polys])
+                bld.add(MULTIPOLYGON, [(POLYGON, rr) for rr in polys])
         return pd.Series(list(B.to_wkb(bld.finish())))
 
     return _f(_col(geom))

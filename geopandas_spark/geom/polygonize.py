@@ -105,11 +105,62 @@ def polygonize_segments(segments: list[tuple]) -> dict:
         area2 = float(np.cross(f[:-1], f[1:]).sum())
         if area2 > 0:
             polygons.append(f)
+
+    # hole assignment (JTS Polygonizer parity): a face of a DISCONNECTED
+    # component strictly inside another face is an island — its boundary
+    # is a hole of the smallest containing face. The island face itself
+    # is still a face (polygonize outputs it; build_area drops odd-depth
+    # faces).
+    n = len(polygons)
+    areas = [0.5 * abs(float(np.cross(p[:-1], p[1:]).sum()))
+             for p in polygons]
+    depth = [0] * n
+    parent: list = [None] * n
+    for i in range(n):
+        conts = []
+        for j in range(n):
+            if j == i or areas[j] <= areas[i]:
+                continue
+            r = None
+            for v in polygons[i][:-1]:
+                r = _point_in_ring(float(v[0]), float(v[1]), polygons[j])
+                if r is not None:
+                    break
+            if r:
+                conts.append(j)
+        depth[i] = len(conts)
+        if conts:
+            parent[i] = min(conts, key=lambda j: areas[j])
+    face_rings = []
+    for i in range(n):
+        holes = [polygons[k][::-1] for k in range(n)
+                 if parent[k] == i and depth[k] == depth[i] + 1]
+        face_rings.append({"rings": [polygons[i]] + holes,
+                           "depth": depth[i]})
     return {
         "polygons": polygons,
+        "faces": face_rings,
         "dangles": [np.array(e, dtype=np.float64) for e in all_dangles],
         "cuts": cuts,
     }
+
+
+def _point_in_ring(px: float, py: float, ring: np.ndarray):
+    """Ray-crossing point-in-ring: True inside, False outside, None when
+    the point lies on the boundary (caller tries another vertex)."""
+    inside = False
+    for k in range(len(ring) - 1):
+        x1, y1 = float(ring[k][0]), float(ring[k][1])
+        x2, y2 = float(ring[k + 1][0]), float(ring[k + 1][1])
+        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        if (cross == 0 and min(x1, x2) <= px <= max(x1, x2)
+                and min(y1, y2) <= py <= max(y1, y2)):
+            return None
+        if (y1 > py) != (y2 > py):
+            xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            if px < xint:
+                inside = not inside
+    return inside
 
 
 def batch_segments(b, g: int) -> list[tuple]:

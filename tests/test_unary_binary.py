@@ -632,3 +632,33 @@ def test_normalize_linestring_direction():
         "LINESTRING (0 0, 1 1)"
     assert to_wkt(normalize(G(("line", [(0, 0), (1, 1), (0, 0)]))))[0] == \
         "LINESTRING (0 0, 1 1, 0 0)"
+
+
+def test_polygonize_hole_assignment():
+    """GEOS parity (session-2): disconnected nested rings — the island
+    boundary becomes a hole of its containing face (polygonize keeps the
+    island as its own polygon; build_area drops odd-depth faces)."""
+    import pandas as pd
+
+    from geopandas_spark.geom import wkt as W
+    from geopandas_spark.geom.polygonize import (
+        batch_segments, polygonize_segments)
+
+    def segs(*wkts):
+        batch = W.from_wkt(pd.Series(list(wkts)))
+        out = []
+        for g in range(len(batch)):
+            out.extend(batch_segments(batch, g))
+        return out
+
+    res = polygonize_segments(segs(
+        "LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)",
+        "LINESTRING (1 1, 3 1, 3 3, 1 3, 1 1)"))
+    got = sorted((f["depth"], len(f["rings"])) for f in res["faces"])
+    assert got == [(0, 2), (1, 1)]
+
+    res3 = polygonize_segments(segs(
+        "LINESTRING (0 0, 8 0, 8 8, 0 8, 0 0)",
+        "LINESTRING (1 1, 7 1, 7 7, 1 7, 1 1)",
+        "LINESTRING (2 2, 3 2, 3 3, 2 3, 2 2)"))
+    assert sorted(f["depth"] for f in res3["faces"]) == [0, 1, 2]
