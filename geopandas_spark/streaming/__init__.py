@@ -6,6 +6,8 @@ ingest pipeline needs, built so batch and stream share semantics:
 
 * ``sjoin_stream``      — stream-static spatial join (broadcast cell
                           cover + stateless reference-point dedup).
+* ``sjoin_nearest_stream`` — stream-static nearest join (broadcast cell
+                          directory + certified expanding-disk probe).
 * ``tile_counts_stream``— watermarked event-time windowed counts per
                           quadtree tile.
 * ``dedup_stream``      — exact dedup within a watermark, same
@@ -17,5 +19,7 @@ streaming DataFrame as-is.
 
 from .agg import dedup_stream, tile_counts_stream
 from .join import sjoin_stream
+from .nearest import sjoin_nearest_stream
 
-__all__ = ["sjoin_stream", "tile_counts_stream", "dedup_stream"]
+__all__ = ["sjoin_stream", "sjoin_nearest_stream", "tile_counts_stream",
+           "dedup_stream"]

@@ -155,3 +155,36 @@ def test_dedup_stream_matches_batch(spark, tmpdir):
     norm = got.select(
         F.lower(F.regexp_replace("text", r"\s+", " ")).alias("t")).distinct()
     assert norm.count() == 100
+
+
+def test_sjoin_nearest_stream_matches_batch(spark, tmpdir):
+    """Stream-static nearest join == batch sjoin_nearest row set."""
+    from geopandas_spark.operators.nearest import sjoin_nearest
+    from geopandas_spark.streaming import sjoin_nearest_stream
+
+    pts, _, _ = make_points_df(spark, 300)
+    centers, _, _ = make_points_df(spark, 40, seed=9)
+    right = centers.select(F.col("pid").alias("tid"), "geometry")
+    left = pts.select("pid", "geometry")
+
+    ref = sjoin_nearest(left, right, distance_col="dist",
+                        left_id="pid", right_id="tid")
+    expected = sorted((r.pid, r.index_right, round(r.dist, 12))
+                      for r in ref.select("pid", "index_right",
+                                          "dist").collect())
+
+    # batch path of the streaming operator
+    batch = sjoin_nearest_stream(left, right, resolution=5,
+                                 left_id="pid", right_id="tid")
+    got_b = sorted((r.pid, r.tid, round(r.dist, 12))
+                   for r in batch.collect())
+    assert got_b == expected
+
+    # streaming path
+    stream = _stream_rows(spark, left, tmpdir, "nn_pts")
+    out = sjoin_nearest_stream(stream, right, resolution=5,
+                               left_id="pid", right_id="tid")
+    assert out.isStreaming
+    got = _run_to_memory(out, spark, "nn_mem", tmpdir)
+    assert sorted((r.pid, r.tid, round(r.dist, 12))
+                  for r in got.collect()) == expected
