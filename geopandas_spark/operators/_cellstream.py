@@ -16,10 +16,14 @@ across many workers, multi-MB temporaries stop scaling with cores).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
-BUFFER_ROWS = 262_144
+# env-tunable so the scaling harness can probe the buffer-size vs
+# lane-count tradeoff without code edits (default unchanged)
+BUFFER_ROWS = int(os.environ.get("SPARK_GRAFT_BUFFER_ROWS", "262144"))
 
 
 def stream_groups(it, key_cols: list[str], process, buffer_rows: int = BUFFER_ROWS):
