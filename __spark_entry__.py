@@ -736,6 +736,58 @@ def q_hull_points_area(spark, sf_dir) -> DataFrame:
         F.round(st_area(chull), 9).alias("chull_area"))
 
 
+def q_rasterize_coverage(spark, sf_dir) -> DataFrame:
+    """operators/tiles.rasterize (§2.8): per-rect covered-pixel count at
+    zoom 4 x 16 px tiles (global 256-px grid) — pixel centers inside the
+    rect have a closed-form count."""
+    from geopandas_spark.operators.tiles import rasterize
+
+    r = _part_rects(spark, sf_dir).select("p_partkey", "geometry")
+    ras = rasterize(r, zoom=4, pixels=16)
+    return (ras.groupBy("p_partkey")
+            .agg(F.sum(F.size("covered_pixels")).alias("n_pix")))
+
+
+def q_line_merge_chain(spark, sf_dir) -> DataFrame:
+    """st_line_merge (base.py:1390): two chained edges merge into one
+    3-point linestring of length 2*side."""
+    from geopandas_spark.functions.st import (
+        st_geomfromtext, st_length, st_line_merge, st_num_coordinates)
+
+    r = _part_rects(spark, sf_dir)
+    ml = st_geomfromtext(F.concat(
+        F.lit("MULTILINESTRING (("),
+        F.col("minx"), F.lit(" "), F.col("miny"), F.lit(", "),
+        F.col("maxx"), F.lit(" "), F.col("miny"), F.lit("), ("),
+        F.col("maxx"), F.lit(" "), F.col("miny"), F.lit(", "),
+        F.col("maxx"), F.lit(" "), F.col("maxy"), F.lit("))")))
+    m = r.withColumn("mg", st_line_merge(ml))
+    return m.select(
+        "p_partkey",
+        st_num_coordinates("mg").alias("n_pts"),
+        F.round(st_length("mg"), 9).alias("mlen"))
+
+
+def q_constructive_scalars(spark, sf_dir) -> DataFrame:
+    """st_boundary / st_envelope / st_reverse closed forms on the rect
+    and its diagonal (base.py:576/:730/:1827)."""
+    from geopandas_spark.functions.st import (
+        st_area, st_boundary, st_envelope, st_geomfromtext, st_interpolate,
+        st_length, st_reverse, st_x)
+
+    r = _part_rects(spark, sf_dir)
+    diag = st_geomfromtext(F.concat(
+        F.lit("LINESTRING ("), F.col("minx"), F.lit(" "), F.col("miny"),
+        F.lit(", "), F.col("maxx"), F.lit(" "), F.col("maxy"), F.lit(")")))
+    d = r.withColumn("diag", diag)
+    return d.select(
+        "p_partkey",
+        F.round(st_length(st_boundary("geometry")), 9).alias("blen"),
+        F.round(st_area(st_envelope("diag")), 9).alias("earea"),
+        F.round(st_x(st_interpolate(st_reverse("diag"), 0.0)), 9)
+        .alias("rx"))
+
+
 def q_bbox_partition_pruned(spark, sf_dir) -> DataFrame:
     """Cell-partitioned GeoParquet read path (§4 pruning backbone): write
     the customer points bucketed by coarse quadtree cell, read back with
@@ -918,6 +970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_offset_frechet": q_line_offset_frechet,
         "hull_points_area": q_hull_points_area,
         "bbox_partition_pruned": q_bbox_partition_pruned,
+        "rasterize_coverage": q_rasterize_coverage,
+        "line_merge_chain": q_line_merge_chain,
+        "constructive_scalars": q_constructive_scalars,
         "explode_corners": q_explode_corners,
         "intersection_all_groups": q_intersection_all_groups,
         "nearest_line": q_nearest_line,
@@ -1276,6 +1331,28 @@ def oracle_sql() -> dict[str, str]:
             WITH pts AS ({_PTS_SQL})
             SELECT c_custkey, round(x, 9) AS x, round(y, 9) AS y FROM pts
             WHERE x BETWEEN 0.25 AND 0.65 AND y BETWEEN 0.3 AND 0.8
+        """,
+        "rasterize_coverage": f"""
+            WITH r AS ({rects})
+            SELECT p_partkey,
+                   CAST((floor(maxx * 256 - 0.5) - ceil(minx * 256 - 0.5) + 1)
+                      * (floor(maxy * 256 - 0.5) - ceil(miny * 256 - 0.5) + 1)
+                      AS BIGINT) AS n_pix
+            FROM r
+        """,
+        "line_merge_chain": f"""
+            WITH r AS ({rects})
+            SELECT p_partkey, CAST(3 AS BIGINT) AS n_pts,
+                   round(2 * (maxx - minx), 9) AS mlen
+            FROM r
+        """,
+        "constructive_scalars": f"""
+            WITH r AS ({rects})
+            SELECT p_partkey,
+                   round(4 * (maxx - minx), 9) AS blen,
+                   round((maxx - minx) * (maxy - miny), 9) AS earea,
+                   round(maxx, 9) AS rx
+            FROM r
         """,
         "explode_corners": f"""
             WITH r AS ({rects}),
