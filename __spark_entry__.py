@@ -30,6 +30,8 @@ os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
 
 from collections.abc import Callable
 
+import pandas  # noqa: F401 — pandas_udf type hints resolve in module scope
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -919,6 +921,79 @@ def q_stream_tile_counts(spark, sf_dir) -> DataFrame:
         F.unix_timestamp("win_start").alias("win_s"), "tile", "n")
 
 
+def q_dwithin_join(spark, sf_dir) -> DataFrame:
+    """sjoin predicate='dwithin' (base.py:2280 / sjoin.py distance arg):
+    customer points within 0.025 of part rect centers. Exercises the
+    padded-cover coarse path (probe bbox expanded by the distance);
+    oracle = plain euclidean distance join."""
+    from geopandas_spark.functions.st import st_point
+    from geopandas_spark.operators.sjoin import sjoin
+
+    pts = _customer_points(spark, sf_dir).select("c_custkey", "geometry")
+    p = _load(spark, sf_dir, "part")
+    half = (F.lit(0.02) + (F.col("p_partkey") % 10) * F.lit(0.005)) / 2
+    centers = (
+        p.withColumn("cx", _x_expr("p_partkey") * 0.9 + half)
+        .withColumn("cy", _y_expr("p_partkey") * 0.9 + half)
+        .withColumn("geometry", st_point("cx", "cy"))
+        .select("p_partkey", "geometry")
+    )
+    out = sjoin(pts, centers, how="inner", predicate="dwithin",
+                distance=0.025, left_id="c_custkey", right_id="p_partkey")
+    return out.select("c_custkey", F.col("index_right").alias("p_partkey"))
+
+
+def q_laea_transform(spark, sf_dir) -> DataFrame:
+    """to_crs 4326 -> EPSG:3035 (ETRS89 LAEA Europe, EPSG method 9820;
+    geoseries.py:878). Points mapped into the European window; oracle =
+    the closed-form LAEA forward formulas in SQL (iteration-free)."""
+    from geopandas_spark.functions.st import st_point, st_transform, st_x, st_y
+
+    c = _load(spark, sf_dir, "customer")
+    pts = (
+        c.withColumn("lon", _x_expr("c_custkey") * 40 - 10)
+        .withColumn("lat", _y_expr("c_custkey") * 25 + 35)
+        .withColumn("geometry", st_point("lon", "lat"))
+    )
+    t = pts.withColumn("g", st_transform("geometry", 4326, 3035))
+    return t.select(
+        "c_custkey",
+        (F.round(st_x("g"), 3) + F.lit(0.0)).alias("ex"),
+        (F.round(st_y("g"), 3) + F.lit(0.0)).alias("ny"),
+    )
+
+
+def q_utm_zone_estimate(spark, sf_dir) -> DataFrame:
+    """estimate_utm_crs (array.py:456) per nation: world-spread customer
+    points grouped by nation, bounds aggregated, UTM EPSG picked from the
+    bounds center; oracle = the zone arithmetic in SQL."""
+    from pyspark.sql.functions import pandas_udf
+
+    from geopandas_spark.geom.crs import estimate_utm_crs
+
+    c = _load(spark, sf_dir, "customer")
+    pts = (
+        c.withColumn("lon", _x_expr("c_custkey") * 360 - 180)
+        .withColumn("lat", _y_expr("c_custkey") * 160 - 80)
+    )
+    b = pts.groupBy("c_nationkey").agg(
+        F.min("lon").alias("minx"), F.min("lat").alias("miny"),
+        F.max("lon").alias("maxx"), F.max("lat").alias("maxy"))
+
+    @pandas_udf("long")
+    def _epsg(minx: pandas.Series, miny: pandas.Series, maxx: pandas.Series,
+              maxy: pandas.Series) -> pandas.Series:
+        # one call per GROUP (<= nation count), not per input row
+        return pandas.Series([
+            estimate_utm_crs(a, b_, c_, d_)
+            for a, b_, c_, d_ in zip(minx, miny, maxx, maxy)
+        ], dtype="int64")
+
+    return b.select(
+        F.col("c_nationkey").cast("long").alias("nk"),
+        _epsg("minx", "miny", "maxx", "maxy").alias("epsg"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_sjoin_points_in_rects(spark, "/root/testdata/sf0.001")
@@ -977,6 +1052,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersection_all_groups": q_intersection_all_groups,
         "nearest_line": q_nearest_line,
         "stream_tile_counts": q_stream_tile_counts,
+        "dwithin_join": q_dwithin_join,
+        "laea_transform": q_laea_transform,
+        "utm_zone_estimate": q_utm_zone_estimate,
     }
 
 
@@ -1011,6 +1089,57 @@ def _lang_sql() -> str:
             SELECT doc_id, {case} AS lang_pred FROM scored
         )
         SELECT lang_pred, count(*) AS n FROM pred GROUP BY lang_pred
+    """
+
+
+def _laea_sql() -> str:
+    """LAEA (EPSG method 9820, EPSG:3035 parameters) forward formulas in
+    SQL — EPSG Guidance Note 7-2, iteration-free. Projection constants are
+    inlined as IEEE-double literals computed with the same formulas."""
+    import math
+
+    f = 1.0 / 298.257223563
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    a = 6378137.0
+    qp = (1 - e2) * (1 / (1 - e2) - (1 / (2 * e)) * math.log((1 - e) / (1 + e)))
+    phi0 = math.radians(52.0)
+    s0 = math.sin(phi0)
+    q0 = (1 - e2) * (s0 / (1 - e2 * s0 * s0)
+                     - (1 / (2 * e)) * math.log((1 - e * s0) / (1 + e * s0)))
+    beta0 = math.asin(q0 / qp)
+    rq = a * math.sqrt(qp / 2)
+    d = a * (math.cos(phi0) / math.sqrt(1 - e2 * s0 * s0)) / (rq * math.cos(beta0))
+    sb0, cb0 = math.sin(beta0), math.cos(beta0)
+    lon0 = math.radians(10.0)
+    return f"""
+        WITH pts AS (
+            SELECT c_custkey,
+                   (c_custkey * {_HA} % {_M32}) / {_M32}.0 * 40 - 10 AS lon,
+                   (c_custkey * {_HB} % {_M32}) / {_M32}.0 * 25 + 35 AS lat
+            FROM customer),
+        t AS (
+            SELECT c_custkey,
+                   radians(lon) - {lon0!r} AS lam,
+                   sin(radians(lat)) AS s
+            FROM pts),
+        q AS (
+            SELECT c_custkey, lam,
+                   asin({1 - e2!r} * (s / (1 - {e2!r} * s * s)
+                        - {1 / (2 * e)!r} * ln((1 - {e!r} * s) / (1 + {e!r} * s)))
+                        / {qp!r}) AS beta
+            FROM t),
+        bb AS (
+            SELECT c_custkey, lam, beta,
+                   {rq!r} * sqrt(2 / (1 + {sb0!r} * sin(beta)
+                        + {cb0!r} * cos(beta) * cos(lam))) AS b
+            FROM q)
+        SELECT c_custkey,
+               round(4321000.0 + (b * {d!r}) * cos(beta) * sin(lam), 3)
+                 + 0.0 AS ex,
+               round(3210000.0 + (b / {d!r}) * ({cb0!r} * sin(beta)
+                     - {sb0!r} * cos(beta) * cos(lam)), 3) + 0.0 AS ny
+        FROM bb
     """
 
 
@@ -1406,5 +1535,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT win_s, {_morton_sql('x', 'y', 4)} AS tile,
                    count(*) AS n
             FROM pts GROUP BY win_s, tile
+        """,
+        "dwithin_join": f"""
+            WITH pts AS ({pts}),
+            ctr AS (
+                SELECT p_partkey,
+                       0.9 * ((p_partkey * {_HA} % {_M32}) / {_M32}.0)
+                         + (0.02 + (p_partkey % 10) * 0.005) / 2 AS cx,
+                       0.9 * ((p_partkey * {_HB} % {_M32}) / {_M32}.0)
+                         + (0.02 + (p_partkey % 10) * 0.005) / 2 AS cy
+                FROM part)
+            SELECT c_custkey, p_partkey
+            FROM pts, ctr
+            WHERE sqrt((x - cx) * (x - cx) + (y - cy) * (y - cy)) <= 0.025
+        """,
+        "laea_transform": _laea_sql(),
+        "utm_zone_estimate": f"""
+            WITH pts AS (
+                SELECT c_nationkey,
+                       (c_custkey * {_HA} % {_M32}) / {_M32}.0 * 360 - 180 AS lon,
+                       (c_custkey * {_HB} % {_M32}) / {_M32}.0 * 160 - 80 AS lat
+                FROM customer),
+            b AS (SELECT c_nationkey,
+                         (min(lon) + max(lon)) / 2 AS clon,
+                         (min(lat) + max(lat)) / 2 AS clat
+                  FROM pts GROUP BY c_nationkey)
+            SELECT CAST(c_nationkey AS BIGINT) AS nk,
+                   CAST(CASE WHEN clat >= 0 THEN 32600 ELSE 32700 END
+                        + (CAST(floor((clon + 180) / 6) AS BIGINT) % 60) + 1
+                        AS BIGINT) AS epsg
+            FROM b
         """,
     }

@@ -231,8 +231,33 @@ _BUILD_CACHE: dict = {}
 _BUILD_CACHE_MAX = 4
 
 
-def _broadcast_probe_refined(lcov, rcov, lid: str, rid: str, predicate: str,
-                             distance, lpad: float):
+def _flat_ancestors(cflat: np.ndarray, prow: np.ndarray, down_to: int):
+    """Vectorized ancestor chain over a flat (cell, row) cover: append each
+    cell's parents from its res down to ``down_to``. Same cells as
+    _ancestors_udf (without the per-row unique — duplicate lookup cells are
+    deduped later at the pair level)."""
+    from ..index import cells as C
+
+    if not len(cflat):
+        return cflat, prow
+    rs = C.cell_res(cflat)
+    top = int(rs.max())
+    outs_c = [cflat]
+    outs_p = [prow]
+    for s in range(1, top - down_to + 1):
+        m = rs - s >= down_to
+        if not m.any():
+            break
+        outs_c.append(C.parent(cflat[m], s))
+        outs_p.append(prow[m])
+    if len(outs_c) == 1:
+        return cflat, prow
+    return np.concatenate(outs_c), np.concatenate(outs_p)
+
+
+def _broadcast_probe_refined(lraw, rcov, lid: str, rid: str, predicate: str,
+                             distance, lpad: float, resolution: int, domain,
+                             anc_down_to: int | None):
     """Broadcast spatial join as a single probe-side ``mapInPandas`` pass.
 
     Round-2 scale fix: the round-1 plan materialized every candidate
@@ -248,11 +273,18 @@ def _broadcast_probe_refined(lcov, rcov, lid: str, rid: str, predicate: str,
     the cached decoded build batch.  Wire traffic is O(|probe| +
     |build|) + O(|matches|) id pairs out.
 
+    ``lraw`` carries ONLY (lid, __lgeom): bounds, cell cover and the
+    ancestor chain are computed in-kernel from the decoded geometry
+    (vectorized bbox_cover over flat offsets), so the probe side pays a
+    single Arrow stage — the earlier plan ran st_bounds +
+    st_cells_from_bbox + a per-row-Python _ancestors_udf upstream and
+    shipped the cell arrays through Arrow.
+
     Returns a DataFrame (__xlid, __xrid, __lgeom) of matched pairs.
     """
     import uuid
 
-    spark = lcov.sparkSession
+    spark = lraw.sparkSession
     # Arrow collect + vectorized CSR build: the row-wise collect() plus a
     # per-row Python loop here was the dominant SERIAL cost of the whole
     # join (Amdahl fit on the 1M x 100k scaling input put ~18 s of the
@@ -294,9 +326,9 @@ def _broadcast_probe_refined(lcov, rcov, lid: str, rid: str, predicate: str,
     bc = spark.sparkContext.broadcast(
         {"wkb": rwkb, "ucells": ucells, "off": off, "ridx": fi})
 
-    lid_t = dict(lcov.dtypes)[lid]
+    lid_t = dict(lraw.dtypes)[lid]
     rid_t = dict(rcov.dtypes)[rid]
-    probe = lcov.select(F.col(lid).alias("__xlid"), "__lgeom", "__cells")
+    probe = lraw.select(F.col(lid).alias("__xlid"), "__lgeom")
     pad = float(lpad or 0.0)
 
     def fn(it):
@@ -304,6 +336,7 @@ def _broadcast_probe_refined(lcov, rcov, lid: str, rid: str, predicate: str,
         from ..geom.predicates import pairwise_predicate
         from ..geom.ragged import _expand_ranges
         from ..geom.wkb import from_wkb
+        from ..index import cells as C
 
         got = _BUILD_CACHE.get(cache_key)
         if got is None:
@@ -318,17 +351,30 @@ def _broadcast_probe_refined(lcov, rcov, lid: str, rid: str, predicate: str,
         for pdf in it:
             if len(pdf) == 0 or len(uc) == 0:
                 continue
-            cells = pdf["__cells"].to_numpy(dtype=object)
-            ncell = np.fromiter(
-                (0 if c is None else len(c) for c in cells),
-                count=len(cells), dtype=np.int64)
-            total = int(ncell.sum())
-            if total == 0:
-                continue
+            lb = from_wkb(pdf["__lgeom"])
+            lbb = _bounds(lb)
+            miss = np.isnan(lbb[:, 0])
+            lbb = np.nan_to_num(lbb)
+            if pad:
+                lbb = lbb + np.array([-pad, -pad, pad, pad])
+            # in-kernel cover: flat (cell, row) pairs straight from the
+            # padded bounds — no object lists, no per-row Python
+            cflat, coff = C.bbox_cover(lbb[:, 0], lbb[:, 1],
+                                       lbb[:, 2], lbb[:, 3],
+                                       resolution, domain=domain)
+            ncell = np.diff(coff)
             prow = np.repeat(np.arange(len(pdf)), ncell)
-            cflat = np.concatenate(
-                [np.asarray(c, dtype=np.int64) for c in cells
-                 if c is not None and len(c)])
+            if miss.any():
+                keep = ~miss[prow]
+                cflat = cflat[keep]
+                prow = prow[keep]
+            multi = bool((ncell > 1).any())
+            if anc_down_to is not None:
+                n0 = len(cflat)
+                cflat, prow = _flat_ancestors(cflat, prow, anc_down_to)
+                multi = multi or len(cflat) > n0
+            if not len(cflat):
+                continue
             pos = np.minimum(np.searchsorted(uc, cflat), len(uc) - 1)
             okc = uc[pos] == cflat
             cnt = np.where(okc, off_[pos + 1] - off_[pos], 0)
@@ -340,13 +386,11 @@ def _broadcast_probe_refined(lcov, rcov, lid: str, rid: str, predicate: str,
             # multi-cell probes can produce the same pair via several
             # cells: dedup on the (probe, build) key (in-kernel — the
             # round-1 plan needed a canonical-cell rule for this)
-            if (ncell > 1).any():
+            if multi:
                 key = li * np.int64(nb) + ri
                 ukey = np.unique(key)
                 li = (ukey // nb).astype(np.int64)
                 ri = (ukey % nb).astype(np.int64)
-            lb = from_wkb(pdf["__lgeom"])
-            lbb = np.nan_to_num(_bounds(lb))
             lids = pdf["__xlid"].to_numpy()
             lws = pdf["__lgeom"].to_numpy(dtype=object)
             o_lid = []
@@ -357,13 +401,13 @@ def _broadcast_probe_refined(lcov, rcov, lid: str, rid: str, predicate: str,
             for lo in range(0, len(li), _CAP):
                 ls = li[lo:lo + _CAP]
                 rs = ri[lo:lo + _CAP]
-                # bbox prefilter (pad = dwithin distance): prunes exact
-                # predicate work; any predicate in VALID_PRED is false
-                # on bbox-disjoint (beyond pad) pairs
-                pre = ((lbb[ls, 0] - pad <= rbb[rs, 2])
-                       & (rbb[rs, 0] <= lbb[ls, 2] + pad)
-                       & (lbb[ls, 1] - pad <= rbb[rs, 3])
-                       & (rbb[rs, 1] <= lbb[ls, 3] + pad))
+                # bbox prefilter (lbb already dwithin-padded): prunes
+                # exact predicate work; any predicate in VALID_PRED is
+                # false on bbox-disjoint (beyond pad) pairs
+                pre = ((lbb[ls, 0] <= rbb[rs, 2])
+                       & (rbb[rs, 0] <= lbb[ls, 2])
+                       & (lbb[ls, 1] <= rbb[rs, 3])
+                       & (rbb[rs, 1] <= lbb[ls, 3]))
                 ls = ls[pre]
                 rs = rs[pre]
                 if not len(ls):
@@ -695,9 +739,12 @@ def sjoin(
     if not on_attribute and broadcast_right and not salt_hot_cells:
         # small build side: single probe-side pass, no join, no explode
         # (an explicit salting request signals a shuffle-scale build side
-        # — it always routes to the cogroup pass)
-        refined = _broadcast_probe_refined(lcov, rcov, lid, rid, predicate,
-                                           distance, pad)
+        # — it always routes to the cogroup pass). The probe ships ONLY
+        # (id, wkb); bounds/cover/ancestors happen in-kernel.
+        lraw = left.select(lid, F.col(left_geom).alias("__lgeom"))
+        refined = _broadcast_probe_refined(
+            lraw, rcov, lid, rid, predicate, distance, pad, resolution,
+            domain, rmin if rmin < resolution else None)
     elif not on_attribute:
         # big×big: union-cogroup by cell — geometry crosses the wire once
         # per cover cell, pairs leave as ids
