@@ -658,9 +658,13 @@ def st_minimum_clearance(geom) -> Column:
     return _unary_scalar_udf("minimum_clearance", "double")(_col(geom))
 
 
-def st_set_precision(geom, grid_size: float) -> Column:
-    """base.py:1389 (pointwise mode)."""
-    return _unary_geom_udf("set_precision", grid_size)(_col(geom))
+def st_set_precision(geom, grid_size: float,
+                     mode: str = "valid_output") -> Column:
+    """base.py:1389 — mode in {'valid_output' (default), 'pointwise',
+    'keep_collapsed'}: the default dedupes vertices, drops collapsed
+    elements and repairs snap-induced invalidity; keep_collapsed retains
+    collapsed lines as 2-equal-point linestrings."""
+    return _unary_geom_udf("set_precision", grid_size, mode)(_col(geom))
 
 
 def st_make_valid(geom) -> Column:

@@ -691,12 +691,30 @@ def minimum_clearance(b: GeometryBatch) -> np.ndarray:
     return out
 
 
-def set_precision(b: GeometryBatch, grid_size: float) -> GeometryBatch:
-    """Snap coordinates to a grid (base.py:1389, pointwise mode)."""
+def set_precision(b: GeometryBatch, grid_size: float,
+                  mode: str = "valid_output") -> GeometryBatch:
+    """Snap coordinates to a grid (base.py:1389). Three reference modes:
+
+    * ``pointwise`` — naive per-coordinate rounding; duplicates kept,
+      output may be invalid.
+    * ``valid_output`` (default) — duplicates removed; collapsed line AND
+      polygon elements dropped (empty when nothing remains); polygonal
+      rows repaired via make_valid (snap-induced self-intersections and
+      zero-width spikes cover no area, so parity rebuilding removes them).
+    * ``keep_collapsed`` — like valid_output, but a collapsed LINE element
+      is kept as a 2-equal-point LINESTRING; collapsed polygons are still
+      dropped.
+
+    Z values pass through unmodified (pointwise/per-vertex dedupe keeps
+    the matching z entries); make_valid output for repaired polygons is
+    2-D (snapped 3-D polygons are an undefined-Z corner in GEOS too).
+    """
     if grid_size <= 0:
         raise ValueError("grid_size must be positive")
+    if mode not in ("valid_output", "pointwise", "keep_collapsed"):
+        raise ValueError(f"unknown set_precision mode {mode!r}")
     c = np.round(b.coords / grid_size) * grid_size
-    return GeometryBatch(
+    snapped = GeometryBatch(
         types=b.types.copy(), coords=c,
         ring_coord_off=b.ring_coord_off.copy(),
         part_ring_off=b.part_ring_off.copy(),
@@ -704,6 +722,81 @@ def set_precision(b: GeometryBatch, grid_size: float) -> GeometryBatch:
         part_types=b.part_types.copy(), zs=b.zs,
         geom_has_z=b.geom_has_z,
     )
+    if mode == "pointwise":
+        return snapped
+    bld = GeometryBatchBuilder()
+    any_poly = False
+    for g in range(len(snapped)):
+        t = int(snapped.types[g])
+        if t == MISSING:
+            bld.add_missing()
+            continue
+        has_z = (snapped.zs is not None and snapped.geom_has_z is not None
+                 and bool(snapped.geom_has_z[g]))
+        parts: list = []
+        zparts: list = []
+        for p in range(snapped.geom_part_off[g], snapped.geom_part_off[g + 1]):
+            pt = int(snapped.part_types[p])
+            rings: list = []
+            zrings: list = []
+            for r in range(snapped.part_ring_off[p],
+                           snapped.part_ring_off[p + 1]):
+                lo, hi = snapped.ring_coord_off[r], snapped.ring_coord_off[r + 1]
+                cc = snapped.coords[lo:hi]
+                zz = snapped.zs[lo:hi] if has_z else None
+                if pt == POINT or len(cc) <= 1:
+                    rings.append(cc)
+                    zrings.append(zz if zz is not None else np.full(len(cc), np.nan))
+                    continue
+                keep = np.concatenate(
+                    [[True], (np.diff(cc, axis=0) != 0).any(axis=1)])
+                dd = cc[keep]
+                dz = zz[keep] if zz is not None else None
+                # ring closure is rebuilt for POLYGON rings only — a closed
+                # LINE that collapses must stay collapsed, not re-close
+                if pt == POLYGON and len(dd) > 1 and not (dd[0] == dd[-1]).all():
+                    dd = np.vstack([dd, dd[:1]])
+                    if dz is not None:
+                        dz = np.concatenate([dz, dz[:1]])
+                rings.append(dd)
+                zrings.append(dz if dz is not None else np.full(len(dd), np.nan))
+            if pt == POINT:
+                parts.append((pt, rings))
+                zparts.append(zrings)
+            elif pt == LINESTRING:
+                ln = rings[0]
+                if len(ln) >= 2:
+                    parts.append((pt, rings))
+                    zparts.append(zrings)
+                elif mode == "keep_collapsed" and len(ln) == 1:
+                    parts.append((pt, [np.vstack([ln, ln])]))
+                    zparts.append([np.concatenate([zrings[0], zrings[0]])])
+                # else: collapsed line dropped (valid_output)
+            else:  # POLYGON part: shell needs >= 3 distinct vertices
+                if rings and len(rings[0]) >= 4:
+                    good = [(rings[i], zrings[i]) for i in range(len(rings))
+                            if i == 0 or len(rings[i]) >= 4]
+                    parts.append((pt, [x[0] for x in good]))
+                    zparts.append([x[1] for x in good])
+                    any_poly = True
+                # else: collapsed polygon dropped in BOTH non-pointwise modes
+        if not parts:
+            # empty geometry of the input type: one part with zero rings
+            # (the codec's EMPTY encoding), collections go fully empty
+            base = {MULTIPOINT: POINT, MULTILINESTRING: LINESTRING,
+                    MULTIPOLYGON: POLYGON}.get(t, t)
+            if t in (POINT, LINESTRING, POLYGON):
+                bld.add(t, [(base, [])])
+            else:
+                bld.add(t, [])
+            continue
+        bld.add(t, parts, zparts if has_z else None)
+    out = bld.finish()
+    if any_poly:
+        from .validity import make_valid
+
+        out = make_valid(out)
+    return out
 
 
 def interpolate(b: GeometryBatch, distance, normalized: bool = False) -> GeometryBatch:

@@ -216,3 +216,72 @@ def test_bucketed_join_no_exchange(data, spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_pts")
         spark.sql("DROP TABLE IF EXISTS bkt_tris")
+
+
+def _mixed_geoms(seed: int, n: int):
+    """Seeded random mixed-type WKB list (points / segments / triangles /
+    rects) with ~5% missing rows — adversarial input for the fuzz test."""
+    import pandas as pd
+
+    from geopandas_spark.geom import wkt as W
+    from geopandas_spark.geom.ragged import points_batch
+
+    r = np.random.default_rng(seed)
+    kinds = r.integers(0, 4, n)
+    out: list = []
+    for k in kinds:
+        if r.random() < 0.05:
+            out.append(None)
+            continue
+        if k == 0:
+            x, y = r.random(2)
+            out.append(B.to_wkb(points_batch(np.array([x]), np.array([y])))[0])
+        elif k == 1:
+            x0, y0 = r.random(2)
+            dx, dy = (r.random(2) - 0.5) * 0.3
+            out.append(B.to_wkb(W.from_wkt(
+                [f"LINESTRING ({x0} {y0}, {x0 + dx} {y0 + dy})"]))[0])
+        elif k == 2:
+            v = r.random((3, 2)) * 0.25 + r.random((1, 2)) * 0.75
+            out.append(B.to_wkb(W.from_wkt(
+                ["POLYGON ((%f %f, %f %f, %f %f, %f %f))"
+                 % (v[0, 0], v[0, 1], v[1, 0], v[1, 1],
+                    v[2, 0], v[2, 1], v[0, 0], v[0, 1])]))[0])
+        else:
+            x0, y0 = r.random(2) * 0.8
+            w, h = r.random(2) * 0.2 + 1e-4
+            out.append(B.to_wkb(W.from_wkt(
+                ["POLYGON ((%f %f, %f %f, %f %f, %f %f, %f %f))"
+                 % (x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0 + h, x0, y0)]))[0])
+    return out
+
+
+@pytest.mark.parametrize("seed", [11, 23, 57])
+def test_fuzz_mixed_types_vs_brute(seed, spark):
+    """Adversarial fuzz: both plan paths (broadcast probe / cogroup) must
+    reproduce the brute-force pair set on random mixed-type inputs with
+    missing rows (points x segments x triangles x rects)."""
+    import pandas as pd
+
+    nl, nr = 70, 50
+    lw = _mixed_geoms(seed, nl)
+    rw = _mixed_geoms(seed + 1000, nr)
+    ldf = spark.createDataFrame(
+        pd.DataFrame({"lid": np.arange(nl), "geometry": lw}))
+    rdf = spark.createDataFrame(
+        pd.DataFrame({"rid": np.arange(nr), "geometry": rw}))
+
+    lv = [i for i, w in enumerate(lw) if w is not None]
+    rv = [i for i, w in enumerate(rw) if w is not None]
+    lb = B.from_wkb(np.repeat(np.array([lw[i] for i in lv], dtype=object), len(rv)))
+    rb = B.from_wkb(np.tile(np.array([rw[i] for i in rv], dtype=object), len(lv)))
+    truth = pairwise_predicate("intersects", lb, rb, None)
+    truth = truth.reshape(len(lv), len(rv))
+    exp = sorted((lv[a], rv[b]) for a, b in zip(*np.nonzero(truth)))
+
+    for bcast in (True, False):
+        out = sjoin(ldf, rdf, how="inner", predicate="intersects",
+                    left_id="lid", right_id="rid", broadcast_right=bcast)
+        got = sorted((r.lid, r.index_right)
+                     for r in out.select("lid", "index_right").collect())
+        assert got == exp, (seed, bcast, len(got), len(exp))

@@ -662,3 +662,35 @@ def test_polygonize_hole_assignment():
         "LINESTRING (1 1, 7 1, 7 7, 1 7, 1 1)",
         "LINESTRING (2 2, 3 2, 3 3, 2 3, 2 2)"))
     assert sorted(f["depth"] for f in res3["faces"]) == [0, 1, 2]
+
+
+def test_set_precision_modes():
+    """Reference docstring examples (base.py:1389): valid_output dedupes +
+    drops collapsed elements; pointwise keeps duplicates; keep_collapsed
+    retains collapsed lines as 2-equal-point linestrings."""
+    from geopandas_spark.geom import wkt as W
+
+    b = W.from_wkt([
+        "POINT (0.9 0.9)",
+        "LINESTRING (0 0, 0 0.1, 0 1, 1 1)",
+        "LINESTRING (0 0, 0 0.1, 0.1 0.1)",
+    ])
+    v = W.to_wkt(U.set_precision(b, 1.0), rounding=0)
+    assert list(v) == ["POINT (1 1)", "LINESTRING (0 0, 0 1, 1 1)",
+                       "LINESTRING EMPTY"]
+    p = W.to_wkt(U.set_precision(b, 1.0, mode="pointwise"), rounding=0)
+    assert list(p) == ["POINT (1 1)", "LINESTRING (0 0, 0 0, 0 1, 1 1)",
+                       "LINESTRING (0 0, 0 0, 0 0)"]
+    k = W.to_wkt(U.set_precision(b, 1.0, mode="keep_collapsed"), rounding=0)
+    assert list(k) == ["POINT (1 1)", "LINESTRING (0 0, 0 1, 1 1)",
+                       "LINESTRING (0 0, 0 0)"]
+    # collapsed polygon drops in BOTH non-pointwise modes
+    poly = W.from_wkt(["POLYGON ((0 0, 0.2 0, 0.2 0.2, 0 0.2, 0 0))",
+                       "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))"])
+    for m in ("valid_output", "keep_collapsed"):
+        out = U.set_precision(poly, 1.0, mode=m)
+        assert out.is_empty()[0] and not out.is_empty()[1]
+    # bowtie created by snapping is repaired (valid output)
+    tie = W.from_wkt(["POLYGON ((0 0, 4 0.4, 4 3.6, 0 4, 0 0))"])
+    snapped = U.set_precision(tie, 4.0)
+    assert U.is_valid(snapped)[0]

@@ -90,8 +90,11 @@ def main():
         tbl = (rcov.select(F.col("rid").alias("i"), F.col("__rgeom").alias("g"),
                            F.col("__cells").alias("c")).toArrow().combine_chunks())
         t3 = time.time()
-        refined = SJ._broadcast_probe_refined(lcov, rcov, "pid", "rid",
-                                              "intersects", None, 0.0)
+        lraw = left.select("pid", F.col("geometry").alias("__lgeom"))
+        refined = SJ._broadcast_probe_refined(
+            lraw, rcov, "pid", "rid", "intersects", None, 0.0,
+            resolution, DOMAIN_UNIT,
+            rmin if rmin < resolution else None)
         t4 = time.time()
         n = refined.select("__xlid", "__xrid").count()
         t5 = time.time()
