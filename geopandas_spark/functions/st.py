@@ -971,13 +971,18 @@ def st_sample_points(geom, size: int, seed: int = 0, row_key=None,
     * ``uniform`` — polygons by area rejection, lines by length,
       multiparts pooled.
     * ``normal`` — Gaussian around the centroid (sigma = 1/4 of the
-    bbox half-extent), rejection-clipped to the geometry; the
-    pointpats-style clustered sampler.
+      bbox half-extent), rejection-clipped to the geometry.
+    * ``cluster_poisson`` — pointpats-style Matérn cluster process:
+      uniform parent points inside the polygon, Gaussian offspring
+      around a random parent, rejection-clipped. Polygons only — other
+      geometry types return an empty MultiPoint, exactly the reference
+      contract for pointpats methods (base.py:5676-5683).
     """
-    if method not in ("uniform", "normal"):
+    if method not in ("uniform", "normal", "cluster_poisson"):
         raise ValueError(
-            f"method {method!r} not supported (uniform, normal); other "
-            "pointpats samplers are out of scope without pointpats")
+            f"method {method!r} not supported (uniform, normal, "
+            "cluster_poisson); other pointpats samplers are out of scope "
+            "without pointpats")
 
     key = _col(row_key) if row_key is not None else F.lit(0)
 
@@ -1008,12 +1013,34 @@ def st_sample_points(geom, size: int, seed: int = 0, row_key=None,
                 cx, cy = (minx + maxx) / 2, (miny + maxy) / 2
                 sx = max((maxx - minx) / 8, 1e-12)
                 sy = max((maxy - miny) / 8, 1e-12)
+                par = None
+                if method == "cluster_poisson":
+                    # parent points: uniform inside the polygon (rejection)
+                    n_par = max(1, int(np.ceil(size / 10)))
+                    px: list = []
+                    py: list = []
+                    tr = 0
+                    while len(px) < n_par and tr < 200 * n_par + 1000:
+                        m = max(n_par * 2, 64)
+                        xs = rng.uniform(minx, maxx, m)
+                        ys = rng.uniform(miny, maxy, m)
+                        stp = points_in_geom(xs, ys, b, g)
+                        for x, y in zip(xs[stp != 0], ys[stp != 0]):
+                            if len(px) < n_par:
+                                px.append(x)
+                                py.append(y)
+                        tr += m
+                    par = (np.array(px or [cx]), np.array(py or [cy]))
                 tries = 0
                 while len(pts) < size and tries < 200 * size + 1000:
                     m = max(size * 2, 64)
                     if method == "normal":
                         xs = rng.normal(cx, sx, m)
                         ys = rng.normal(cy, sy, m)
+                    elif method == "cluster_poisson":
+                        idx = rng.integers(0, len(par[0]), m)
+                        xs = rng.normal(par[0][idx], sx / 2, m)
+                        ys = rng.normal(par[1][idx], sy / 2, m)
                     else:
                         xs = rng.uniform(minx, maxx, m)
                         ys = rng.uniform(miny, maxy, m)
@@ -1022,7 +1049,7 @@ def st_sample_points(geom, size: int, seed: int = 0, row_key=None,
                         if len(pts) < size:
                             pts.append((x, y))
                     tries += m
-            elif dim == 1:
+            elif dim == 1 and method != "cluster_poisson":
                 segs = []
                 for _, r in _geom_rings(b, g):
                     for i in range(len(r) - 1):
@@ -1035,7 +1062,7 @@ def st_sample_points(geom, size: int, seed: int = 0, row_key=None,
                     for i, t_ in zip(pick, ts):
                         p0, p1 = segs[i]
                         pts.append(tuple(p0 + t_ * (p1 - p0)))
-            else:
+            elif method != "cluster_poisson":  # pointpats: polygons only
                 off = b.geom_coord_off
                 c = b.coords[off[g]:off[g + 1]]
                 if len(c):

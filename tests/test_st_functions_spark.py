@@ -191,5 +191,21 @@ def test_sample_points_methods(gdf):
     # clustered: mean near centroid, spread well below uniform's
     assert abs(coords[:, 0].mean() - 2.0) < 0.4
     assert coords[:, 0].std() < 0.9  # uniform std would be ~1.15
+
+    # cluster_poisson: Matérn cluster process — all points inside the
+    # polygon, and clumped (mean nearest-parent spread below uniform).
+    cp = poly.select("id", st.st_sample_points(
+        "geometry", 40, seed=11, row_key="id",
+        method="cluster_poisson").alias("s"))
+    rows = st.st_get_coordinates_exploded(cp, "s", ["id"]).collect()
+    c2 = np.array([[r["x"], r["y"]] for r in rows])
+    assert len(c2) == 40
+    assert (c2 >= 0.0).all() and (c2 <= 4.0).all()  # inside the 4x4 square
+    # pointpats methods are polygon-only: lines yield an empty MultiPoint
+    line = gdf.filter(F.col("id") == 1)
+    n = line.select(st.st_num_geometries(st.st_sample_points(
+        "geometry", 5, seed=1, row_key="id",
+        method="cluster_poisson")).alias("n")).collect()[0]["n"]
+    assert n == 0
     with pytest.raises(ValueError):
-        st.st_sample_points("geometry", 5, method="cluster_poisson")
+        st.st_sample_points("geometry", 5, method="ripley_nope")
