@@ -819,32 +819,45 @@ def st_shared_paths(a, b) -> Column:
 
 
 def st_get_coordinates_exploded(df, geom: str = "geometry",
-                                id_cols: list[str] | None = None):
+                                id_cols: list[str] | None = None,
+                                include_z: bool = False):
     """get_coordinates (base.py:5550) as a DataFrame op: one row per
-    coordinate with x, y and coord_index."""
+    coordinate with x, y (and z when ``include_z`` — NaN for 2-D rows,
+    base.py:5550-5622) and coord_index."""
     from pyspark.sql import functions as FF
 
-    @pandas_udf("array<struct<x:double,y:double>>")
+    schema = ("array<struct<x:double,y:double,z:double>>" if include_z
+              else "array<struct<x:double,y:double>>")
+
+    @pandas_udf(schema)
     def _f(s: pd.Series) -> pd.Series:
         from ..geom import unary
         from ..geom.wkb import from_wkb
 
-        coords, idx = unary.get_coordinates(from_wkb(s))
+        coords, idx = unary.get_coordinates(from_wkb(s),
+                                            include_z=include_z)
         out = []
         n = len(s)
         splits = np.searchsorted(idx, np.arange(n + 1))
         for i in range(n):
             c = coords[splits[i]:splits[i + 1]]
-            out.append([{"x": float(x), "y": float(y)} for x, y in c])
+            if include_z:
+                out.append([{"x": float(x), "y": float(y), "z": float(z)}
+                            for x, y, z in c])
+            else:
+                out.append([{"x": float(x), "y": float(y)} for x, y in c])
         return pd.Series(out)
 
     cols = id_cols or [c for c in df.columns if c != geom]
-    return (
+    base = (
         df.select(*cols, FF.posexplode(_f(FF.col(geom)))
                   .alias("coord_index", "__c"))
-        .select(*cols, "coord_index", FF.col("__c.x").alias("x"),
-                FF.col("__c.y").alias("y"))
     )
+    sel = [*cols, "coord_index", FF.col("__c.x").alias("x"),
+           FF.col("__c.y").alias("y")]
+    if include_z:
+        sel.append(FF.col("__c.z").alias("z"))
+    return base.select(*sel)
 
 
 def _pairwise_geom_udf(op: str):

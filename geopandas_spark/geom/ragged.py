@@ -166,6 +166,8 @@ class GeometryBatch:
             geom_part_off=new_geom_part,
             part_types=self.part_types[part_idx],
             zs=self.zs[coord_idx] if self.zs is not None else None,
+            geom_has_z=(self.geom_has_z[idx]
+                        if self.geom_has_z is not None else None),
         )
 
 

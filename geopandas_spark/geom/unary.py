@@ -863,9 +863,20 @@ def project(lines: GeometryBatch, points: GeometryBatch,
     return out
 
 
-def get_coordinates(b: GeometryBatch):
-    """(N,2) coords + geometry index per coord (base.py:5550)."""
+def get_coordinates(b: GeometryBatch, include_z: bool = False):
+    """(N,2) coords + geometry index per coord (base.py:5550).
+
+    ``include_z`` returns (N,3); coordinates of 2-D rows get NaN z
+    (reference base.py:5550-5622 semantics)."""
     off = b.geom_coord_off
     cnt = off[1:] - off[:-1]
     idx = np.repeat(np.arange(len(b)), cnt)
+    if include_z:
+        if b.zs is not None:
+            z = b.zs.astype(np.float64, copy=True)
+            if b.geom_has_z is not None:
+                z = np.where(np.repeat(b.geom_has_z, cnt), z, np.nan)
+        else:
+            z = np.full(len(b.coords), np.nan)
+        return np.column_stack([b.coords, z]), idx
     return b.coords.copy(), idx

@@ -192,9 +192,24 @@ def make_valid(batch: GeometryBatch) -> GeometryBatch:
 
 
 def _copy(b: GeometryBatch, g: int, out: GeometryBatchBuilder) -> None:
+    """Lossless pass-through of one geometry: coordinates AND Z carried
+    verbatim, so rows make_valid does not repair come out byte-identical
+    (ADVICE r2: set_precision was stripping Z from untouched rows)."""
     t = int(b.types[g])
     if t == MISSING:
         out.add_missing()
         return
-    out.add(t, [(int(b.part_types[p]), b.part_rings(p))
-                for p in range(b.geom_part_off[g], b.geom_part_off[g + 1])])
+    has_z = b.zs is not None and (
+        b.geom_has_z[g] if b.geom_has_z is not None
+        else not np.all(np.isnan(
+            b.zs[b.geom_coord_off[g]:b.geom_coord_off[g + 1]])))
+    parts = []
+    zparts: list | None = [] if has_z else None
+    for p in range(b.geom_part_off[g], b.geom_part_off[g + 1]):
+        parts.append((int(b.part_types[p]), b.part_rings(p)))
+        if has_z:
+            r0, r1 = b.part_ring_off[p], b.part_ring_off[p + 1]
+            zparts.append([
+                b.zs[b.ring_coord_off[r]:b.ring_coord_off[r + 1]]
+                for r in range(r0, r1)])
+    out.add(t, parts, zparts)

@@ -322,7 +322,42 @@ def from_wkb(series) -> GeometryBatch:
 # encode
 
 
-def _enc_simple(ptype: int, rings: list[np.ndarray], out: list[bytes]) -> None:
+def _part_zrings(batch: GeometryBatch, p: int) -> list[np.ndarray]:
+    """Z arrays of each ring of part p (mirrors GeometryBatch.part_rings)."""
+    r0, r1 = batch.part_ring_off[p], batch.part_ring_off[p + 1]
+    return [batch.zs[batch.ring_coord_off[r]:batch.ring_coord_off[r + 1]]
+            for r in range(r0, r1)]
+
+
+def _enc_simple(ptype: int, rings: list[np.ndarray], out: list[bytes],
+                zrings: list[np.ndarray] | None = None) -> None:
+    if zrings is not None:
+        # ISO WKB Z: type code + 1000, three doubles per vertex
+        code = ptype + 1000
+        if ptype == POINT:
+            if not rings or len(rings[0]) == 0:
+                out.append(b"\x01" + struct.pack("<I", code)
+                           + struct.pack("<ddd", *([float("nan")] * 3)))
+            else:
+                x, y = rings[0][0]
+                out.append(b"\x01" + struct.pack("<I", code)
+                           + struct.pack("<ddd", x, y, float(zrings[0][0])))
+        elif ptype == LINESTRING:
+            k = len(rings[0]) if rings else 0
+            out.append(b"\x01" + struct.pack("<II", code, k))
+            if k:
+                out.append(np.ascontiguousarray(
+                    np.column_stack([rings[0], zrings[0]]),
+                    dtype="<f8").tobytes())
+        elif ptype == POLYGON:
+            out.append(b"\x01" + struct.pack("<II", code, len(rings)))
+            for ring, z in zip(rings, zrings):
+                out.append(struct.pack("<I", len(ring)))
+                out.append(np.ascontiguousarray(
+                    np.column_stack([ring, z]), dtype="<f8").tobytes())
+        else:  # pragma: no cover
+            raise WKBDecodeError(f"cannot encode part type {ptype}")
+        return
     if ptype == POINT:
         if not rings or len(rings[0]) == 0:
             out.append(b"\x01" + struct.pack("<I", POINT) + struct.pack("<dd", float("nan"), float("nan")))
@@ -430,13 +465,17 @@ def _scatter_u32(buf: np.ndarray, pos: np.ndarray, vals: np.ndarray) -> None:
 def to_wkb(batch: GeometryBatch) -> np.ndarray:
     """Encode a GeometryBatch -> object ndarray of bytes (None for missing).
 
-    Output is always little-endian ISO 2-D WKB (Z is dropped on encode for
-    now; force_2d semantics, /root/reference/geopandas/base.py:1791).
+    Output is little-endian ISO WKB; rows flagged 3-D (geom_has_z) encode
+    as ISO Z (type + 1000, three doubles per vertex) so Z round-trips
+    through WKB exactly (reference from_wkb/to_wkb carry Z, array.py:118).
     """
     n = len(batch)
     out = np.empty(n, dtype=object)
-    # fast path: all simple points present
-    if (batch.types == POINT).all() and (batch.n_coords_per_geom() == 1).all():
+    ghz = batch.geom_has_z if batch.zs is not None else None
+    any_z = ghz is not None and bool(np.asarray(ghz).any())
+    # fast path: all simple 2-D points present
+    if (not any_z and (batch.types == POINT).all()
+            and (batch.n_coords_per_geom() == 1).all()):
         xy = batch.coords
         hdr = np.frombuffer(b"\x01" + struct.pack("<I", POINT), dtype=np.uint8)
         buf = np.empty((n, _POINT_WKB_LEN_2D), dtype=np.uint8)
@@ -446,32 +485,40 @@ def to_wkb(batch: GeometryBatch) -> np.ndarray:
         for i in range(n):
             out[i] = rows[i * _POINT_WKB_LEN_2D : (i + 1) * _POINT_WKB_LEN_2D]
         return out
-    try:
-        fast = _encode_simple_vec(batch)
-    except (ValueError, IndexError):
-        fast = None
-    if fast is not None:
-        return fast
+    if not any_z:
+        try:
+            fast = _encode_simple_vec(batch)
+        except (ValueError, IndexError):
+            fast = None
+        if fast is not None:
+            return fast
     for g in range(n):
         t = int(batch.types[g])
         if t == 0:
             out[g] = None
             continue
+        hz = bool(ghz[g]) if ghz is not None else False
         p0, p1 = batch.geom_part_off[g], batch.geom_part_off[g + 1]
         chunks: list[bytes] = []
         if t in (POINT, LINESTRING, POLYGON):
             if p1 == p0:  # empty simple geometry
                 if t == POINT:
-                    _enc_simple(POINT, [], chunks)
+                    _enc_simple(POINT, [], chunks,
+                                zrings=[] if hz else None)
                 else:
-                    chunks.append(b"\x01" + struct.pack("<II", t, 0))
+                    chunks.append(b"\x01" + struct.pack(
+                        "<II", t + (1000 if hz else 0), 0))
             else:
-                _enc_simple(t, batch.part_rings(p0), chunks)
+                _enc_simple(t, batch.part_rings(p0), chunks,
+                            zrings=_part_zrings(batch, p0) if hz else None)
         else:
-            chunks.append(b"\x01" + struct.pack("<II", t, p1 - p0))
+            chunks.append(b"\x01" + struct.pack(
+                "<II", t + (1000 if hz else 0), p1 - p0))
             for p in range(p0, p1):
                 sub: list[bytes] = []
-                _enc_simple(int(batch.part_types[p]), batch.part_rings(p), sub)
+                _enc_simple(int(batch.part_types[p]), batch.part_rings(p),
+                            sub,
+                            zrings=_part_zrings(batch, p) if hz else None)
                 chunks.extend(sub)
         out[g] = b"".join(chunks)
     return out

@@ -235,64 +235,98 @@ def _fmt_num(v: float, rounding: int | None) -> str:
     return repr(float(v))
 
 
-def _fmt_ring(ring: np.ndarray, rounding: int | None) -> str:
+def _fmt_ring(ring: np.ndarray, rounding: int | None,
+              z: np.ndarray | None = None) -> str:
+    if z is not None:
+        return ", ".join(
+            f"{_fmt_num(x, rounding)} {_fmt_num(y, rounding)}"
+            f" {_fmt_num(zz, rounding)}"
+            for (x, y), zz in zip(ring, z))
     return ", ".join(
         f"{_fmt_num(x, rounding)} {_fmt_num(y, rounding)}" for x, y in ring
     )
 
 
 def to_wkt(batch: GeometryBatch, rounding: int | None = None) -> np.ndarray:
-    """GeometryBatch -> object ndarray of WKT strings (None for missing)."""
+    """GeometryBatch -> object ndarray of WKT strings (None for missing).
+    Rows flagged 3-D emit the ``Z`` designator and three ordinates, so Z
+    round-trips through WKT (reference to_wkt, array.py:190)."""
     n = len(batch)
     out = np.empty(n, dtype=object)
+    ghz = batch.geom_has_z if batch.zs is not None else None
+
     for g in range(n):
         t = int(batch.types[g])
         if t == MISSING:
             out[g] = None
             continue
+        hz = bool(ghz[g]) if ghz is not None else False
+        ztag = "Z " if hz else ""
+
+        def zr(p: int) -> list:
+            """Per-ring z arrays of part p (None entries when 2-D)."""
+            if not hz:
+                r0, r1 = batch.part_ring_off[p], batch.part_ring_off[p + 1]
+                return [None] * (r1 - r0)
+            r0, r1 = batch.part_ring_off[p], batch.part_ring_off[p + 1]
+            return [batch.zs[batch.ring_coord_off[r]:batch.ring_coord_off[r + 1]]
+                    for r in range(r0, r1)]
+
         p0, p1 = batch.geom_part_off[g], batch.geom_part_off[g + 1]
         name = TYPE_NAMES[t].upper()
         c0, c1 = batch.geom_coord_off[g], batch.geom_coord_off[g + 1]
         if c1 == c0:
-            out[g] = f"{name} EMPTY"
+            out[g] = f"{name} {ztag}EMPTY" if hz else f"{name} EMPTY"
             continue
         if t == POINT:
             ring = batch.part_rings(p0)[0]
-            out[g] = f"POINT ({_fmt_ring(ring, rounding)})"
+            out[g] = f"POINT {ztag}({_fmt_ring(ring, rounding, zr(p0)[0])})"
         elif t == LINESTRING:
             ring = batch.part_rings(p0)[0]
-            out[g] = f"LINESTRING ({_fmt_ring(ring, rounding)})"
+            out[g] = (f"LINESTRING {ztag}"
+                      f"({_fmt_ring(ring, rounding, zr(p0)[0])})")
         elif t == POLYGON:
             rings = batch.part_rings(p0)
-            body = ", ".join(f"({_fmt_ring(r, rounding)})" for r in rings)
-            out[g] = f"POLYGON ({body})"
+            zs_ = zr(p0)
+            body = ", ".join(f"({_fmt_ring(r, rounding, z)})"
+                             for r, z in zip(rings, zs_))
+            out[g] = f"POLYGON {ztag}({body})"
         elif t == MULTIPOINT:
-            pts = [batch.part_rings(p)[0] for p in range(p0, p1)]
-            body = ", ".join(f"({_fmt_ring(r, rounding)})" for r in pts)
-            out[g] = f"MULTIPOINT ({body})"
+            body = ", ".join(
+                f"({_fmt_ring(batch.part_rings(p)[0], rounding, zr(p)[0])})"
+                for p in range(p0, p1))
+            out[g] = f"MULTIPOINT {ztag}({body})"
         elif t == MULTILINESTRING:
             body = ", ".join(
-                f"({_fmt_ring(batch.part_rings(p)[0], rounding)})"
+                f"({_fmt_ring(batch.part_rings(p)[0], rounding, zr(p)[0])})"
                 for p in range(p0, p1)
             )
-            out[g] = f"MULTILINESTRING ({body})"
+            out[g] = f"MULTILINESTRING {ztag}({body})"
         elif t == MULTIPOLYGON:
             polys = []
             for p in range(p0, p1):
                 rings = batch.part_rings(p)
-                polys.append("(" + ", ".join(f"({_fmt_ring(r, rounding)})" for r in rings) + ")")
-            out[g] = f"MULTIPOLYGON ({', '.join(polys)})"
+                zs_ = zr(p)
+                polys.append("(" + ", ".join(
+                    f"({_fmt_ring(r, rounding, z)})"
+                    for r, z in zip(rings, zs_)) + ")")
+            out[g] = f"MULTIPOLYGON {ztag}({', '.join(polys)})"
         else:  # GEOMETRYCOLLECTION (flattened parts)
             subs = []
             for p in range(p0, p1):
                 pt = int(batch.part_types[p])
                 rings = batch.part_rings(p)
+                zs_ = zr(p)
                 if pt == POINT:
-                    subs.append(f"POINT ({_fmt_ring(rings[0], rounding)})" if rings and len(rings[0]) else "POINT EMPTY")
+                    subs.append(
+                        f"POINT {ztag}({_fmt_ring(rings[0], rounding, zs_[0])})"
+                        if rings and len(rings[0]) else "POINT EMPTY")
                 elif pt == LINESTRING:
-                    subs.append(f"LINESTRING ({_fmt_ring(rings[0], rounding)})")
+                    subs.append(f"LINESTRING {ztag}"
+                                f"({_fmt_ring(rings[0], rounding, zs_[0])})")
                 else:
-                    body = ", ".join(f"({_fmt_ring(r, rounding)})" for r in rings)
-                    subs.append(f"POLYGON ({body})")
-            out[g] = f"GEOMETRYCOLLECTION ({', '.join(subs)})"
+                    body = ", ".join(f"({_fmt_ring(r, rounding, z)})"
+                                     for r, z in zip(rings, zs_))
+                    subs.append(f"POLYGON {ztag}({body})")
+            out[g] = f"GEOMETRYCOLLECTION {ztag}({', '.join(subs)})"
     return out

@@ -36,13 +36,21 @@ _NAME2T = {v: k for k, v in _T2NAME.items()}
 
 
 def geojson_geometry(b: GeometryBatch, g: int) -> dict | None:
-    """Geometry g -> GeoJSON geometry dict."""
+    """Geometry g -> GeoJSON geometry dict (3-element positions when the
+    row carries Z — RFC 7946 §3.1.1 allows a third ordinate)."""
     t = int(b.types[g])
     if t == 0:
         return None
+    hz = (b.zs is not None and b.geom_has_z is not None
+          and bool(b.geom_has_z[g]))
 
     def part_coords(p):
         rings = b.part_rings(p)
+        if hz:
+            r0, r1 = b.part_ring_off[p], b.part_ring_off[p + 1]
+            zs = [b.zs[b.ring_coord_off[r]:b.ring_coord_off[r + 1]]
+                  for r in range(r0, r1)]
+            rings = [np.column_stack([r, z]) for r, z in zip(rings, zs)]
         pt = int(b.part_types[p])
         if pt == POINT:
             return list(rings[0][0]) if rings and len(rings[0]) else []
@@ -69,37 +77,91 @@ def _add_geojson(bld: GeometryBatchBuilder, obj: dict) -> None:
     t = obj.get("type")
     c = obj.get("coordinates")
 
+    def has_z_pos(positions) -> bool:
+        return any(len(p) > 2 for p in positions)
+
     def ring_arr(ring):
         return np.array([[p[0], p[1]] for p in ring], dtype=np.float64)
+
+    def ring_zarr(ring):
+        return np.array([p[2] if len(p) > 2 else np.nan for p in ring],
+                        dtype=np.float64)
+
+    def deep_has_z(coords, depth):
+        if depth == 0:
+            return has_z_pos(coords)
+        return any(deep_has_z(x, depth - 1) for x in coords)
 
     if t == "Point":
         if not c:
             bld.add(POINT, [(POINT, [])])
+        elif len(c) > 2:
+            bld.add(POINT, [(POINT, [np.array([[c[0], c[1]]])])],
+                    [[np.array([c[2]], dtype=np.float64)]])
         else:
             bld.add(POINT, [(POINT, [np.array([[c[0], c[1]]])])])
     elif t == "LineString":
-        bld.add(LINESTRING, [(LINESTRING, [ring_arr(c)] if c else [])])
+        if c and has_z_pos(c):
+            bld.add(LINESTRING, [(LINESTRING, [ring_arr(c)])],
+                    [[ring_zarr(c)]])
+        else:
+            bld.add(LINESTRING, [(LINESTRING, [ring_arr(c)] if c else [])])
     elif t == "Polygon":
-        bld.add(POLYGON, [(POLYGON, [ring_arr(r) for r in c])])
+        if deep_has_z(c, 1):
+            bld.add(POLYGON, [(POLYGON, [ring_arr(r) for r in c])],
+                    [[ring_zarr(r) for r in c]])
+        else:
+            bld.add(POLYGON, [(POLYGON, [ring_arr(r) for r in c])])
     elif t == "MultiPoint":
-        bld.add(MULTIPOINT, [(POINT, [np.array([[p[0], p[1]]])]) for p in c])
+        parts = [(POINT, [np.array([[p[0], p[1]]])]) for p in c]
+        if has_z_pos(c):
+            bld.add(MULTIPOINT, parts,
+                    [[np.array([p[2] if len(p) > 2 else np.nan],
+                               dtype=np.float64)] for p in c])
+        else:
+            bld.add(MULTIPOINT, parts)
     elif t == "MultiLineString":
-        bld.add(MULTILINESTRING, [(LINESTRING, [ring_arr(l)]) for l in c])
+        parts = [(LINESTRING, [ring_arr(ln)]) for ln in c]
+        if deep_has_z(c, 1):
+            bld.add(MULTILINESTRING, parts, [[ring_zarr(ln)] for ln in c])
+        else:
+            bld.add(MULTILINESTRING, parts)
     elif t == "MultiPolygon":
-        bld.add(MULTIPOLYGON,
-                [(POLYGON, [ring_arr(r) for r in poly]) for poly in c])
+        parts = [(POLYGON, [ring_arr(r) for r in poly]) for poly in c]
+        if deep_has_z(c, 2):
+            bld.add(MULTIPOLYGON, parts,
+                    [[ring_zarr(r) for r in poly] for poly in c])
+        else:
+            bld.add(MULTIPOLYGON, parts)
     elif t == "GeometryCollection":
         parts = []
+        zparts = []
+        any_z = False
         for sub in obj.get("geometries", []):
             st = sub.get("type")
             sc = sub.get("coordinates")
             if st == "Point":
                 parts.append((POINT, [np.array([[sc[0], sc[1]]])]))
+                zp = ([np.array([sc[2]], dtype=np.float64)]
+                      if len(sc) > 2 else None)
             elif st == "LineString":
                 parts.append((LINESTRING, [ring_arr(sc)]))
+                zp = [ring_zarr(sc)] if has_z_pos(sc) else None
             elif st == "Polygon":
                 parts.append((POLYGON, [ring_arr(r) for r in sc]))
-        bld.add(GEOMETRYCOLLECTION, parts)
+                zp = ([ring_zarr(r) for r in sc]
+                      if deep_has_z(sc, 1) else None)
+            else:
+                continue
+            zparts.append(zp)
+            any_z = any_z or zp is not None
+        if any_z:
+            zparts = [zp if zp is not None
+                      else [np.full(len(r), np.nan) for r in rings]
+                      for (zp, (_pt, rings)) in zip(zparts, parts)]
+            bld.add(GEOMETRYCOLLECTION, parts, zparts)
+        else:
+            bld.add(GEOMETRYCOLLECTION, parts)
     else:
         bld.add_missing()
 

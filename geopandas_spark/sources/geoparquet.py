@@ -166,8 +166,19 @@ def write_geoparquet_partitioned(df: DataFrame, path: str,
     meta["columns"][geom]["covering"] = {
         "bbox": {"xmin": ["bbox", "minx"], "ymin": ["bbox", "miny"],
                  "xmax": ["bbox", "maxx"], "ymax": ["bbox", "maxy"]}}
+    # Max feature half-extent: rows are bucketed by their bbox CENTER's
+    # cell, so a feature straddling a cell boundary lives in a partition
+    # the query cover alone would prune. Any feature intersecting a query
+    # bbox has its center within max_half_extent of that bbox, so the
+    # reader expands the query by this before computing the cover — exact
+    # pruning for non-point data (ADVICE r2 fix).
+    ext = out.agg(
+        F.max(F.greatest(F.col("bbox.maxx") - F.col("bbox.minx"),
+                         F.col("bbox.maxy") - F.col("bbox.miny")) / 2
+              ).alias("h")).collect()[0]["h"]
     meta["partitioning"] = {"column": "cell", "scheme": "quadtree-point",
-                            "resolution": cell_res}
+                            "resolution": cell_res,
+                            "max_half_extent": float(ext or 0.0)}
     out.write.mode(mode).partitionBy("cell").parquet(path)
     with open(os.path.join(path, "_geo_metadata.json"), "w") as f:
         json.dump(meta, f, indent=2)
@@ -185,11 +196,22 @@ def read_geoparquet_bbox(spark: SparkSession, path: str,
     df, meta = read_geoparquet(spark, path)
     part = (meta or {}).get("partitioning")
     if part and part.get("column") == "cell":
+        h = part.get("max_half_extent")
+        if h is None:
+            # old dataset without the extent stat: pruning by the query
+            # cover alone would silently drop boundary-straddling
+            # features, so skip partition pruning (bbox_filter is exact)
+            return bbox_filter(df, minx, miny, maxx, maxy)
         from ..index import cells as C
 
         res = int(part["resolution"])
-        flat, off = C.bbox_cover(np.array([minx]), np.array([miny]),
-                                 np.array([maxx]), np.array([maxy]), res)
+        h = float(h)
+        # expand by the dataset's max feature half-extent: every feature
+        # intersecting the query bbox has its bbox center (= its
+        # partition cell) inside the expanded bbox
+        flat, off = C.bbox_cover(np.array([minx - h]), np.array([miny - h]),
+                                 np.array([maxx + h]), np.array([maxy + h]),
+                                 res)
         cover = [int(v) for v in flat[off[0]:off[1]]]
         df = df.filter(F.col("cell").isin(cover))
     return bbox_filter(df, minx, miny, maxx, maxy)

@@ -10,10 +10,25 @@ maps directly onto a Spark stream-static inner join:
 
 No watermark, no state store: candidate generation is an equi-join on
 cell id, and exact-pair dedup uses the stateless reference-point rule (a
-pair is emitted only from the cell containing the top-left corner of the
+pair is emitted only from the CANONICAL cell — the cell, at the pair's
+coarser per-row cover resolution, containing the top-left corner of the
 two bboxes' intersection), so a geometry covered by many cells still
 yields each pair exactly once — without dropDuplicates, which would need
 unbounded state on a stream.
+
+Mixed cover resolutions are handled exactly (ADVICE r2 fix): bbox_cover
+coarsens any row whose cover would exceed max_cells, so
+
+* the static side emits its cover cells PLUS the full ancestor chain
+  down to res 0 — a stream row coarsened to ANY resolution still meets
+  the static row at the coarse cell (bounded blow-up on a broadcast
+  dimension: ancestors dedupe per row),
+* the stream side emits ancestors down to the static side's minimum
+  possible cover res (a one-off stats pass over the bounded static
+  side) — a coarsened STATIC row still meets fine stream rows,
+* the refine recomputes each pair's canonical resolution from both
+  bboxes (operators/sjoin.py's _refine_rp_udf rule), so the multi-level
+  matches collapse to exactly one surviving cell per true pair.
 
 At 100 TB/day this is the shape you want: the static side is a bounded
 dimension (boundaries, geofences) whose exploded cover fits in executor
@@ -40,8 +55,14 @@ _BBOX_SAFE = frozenset({
 })
 
 
-def _refine_keep(predicate: str, domain) -> Column:
-    """Pairwise predicate + reference-point cell ownership, one Arrow pass."""
+def _refine_keep(predicate: str, resolution: int, domain,
+                 max_cells: int = 4096) -> Column:
+    """Pairwise predicate + canonical-cell ownership, one Arrow pass.
+
+    Ownership is evaluated at the pair's coarser per-row cover res
+    (recomputed from both bboxes with the same max_cells fallback the
+    cover used), so pairs that joined at several resolutions via the
+    ancestor chains survive in exactly one cell."""
 
     @pandas_udf("boolean")
     def _f(lg: pd.Series, rg: pd.Series, cell: pd.Series) -> pd.Series:
@@ -53,17 +74,20 @@ def _refine_keep(predicate: str, domain) -> Column:
         lb = from_wkb(lg)
         rb = from_wkb(rg)
         ok = np.asarray(pairwise_predicate(predicate, lb, rb), dtype=bool)
-        lbb = bounds(lb)
-        rbb = bounds(rb)
+        lbb = np.nan_to_num(bounds(lb))
+        rbb = np.nan_to_num(bounds(rb))
+        rl = C.cover_res(lbb[:, 0], lbb[:, 1], lbb[:, 2], lbb[:, 3],
+                         resolution, domain=domain, max_cells=max_cells)
+        rr = C.cover_res(rbb[:, 0], rbb[:, 1], rbb[:, 2], rbb[:, 3],
+                         resolution, domain=domain, max_cells=max_cells)
+        rc = np.minimum(rl, rr)
         rpx = np.maximum(lbb[:, 0], rbb[:, 0])
         rpy = np.maximum(lbb[:, 1], rbb[:, 1])
-        ids = cell.to_numpy(dtype=np.int64)
-        own = np.empty(len(ids), dtype=np.int64)
-        for r in np.unique(C.cell_res(ids)):
-            m = C.cell_res(ids) == r
-            own[m] = C.point_cell(np.nan_to_num(rpx[m]), np.nan_to_num(rpy[m]),
-                                  int(r), domain=domain)
-        return pd.Series(ok & (own == ids))
+        own = np.empty(len(rc), dtype=np.int64)
+        for r in np.unique(rc):
+            m = rc == r
+            own[m] = C.point_cell(rpx[m], rpy[m], int(r), domain=domain)
+        return pd.Series(ok & (own == cell.to_numpy(dtype=np.int64)))
 
     return _f
 
@@ -83,21 +107,40 @@ def sjoin_stream(
     ``right``. Returns left rows joined with ``right``'s id column; works
     identically on batch frames (the pytest oracle runs it both ways).
 
-    ``resolution`` is fixed (no stats pass — a streaming plan cannot
-    collect), chosen by the caller from the static side's feature size
-    via index.cells.pick_resolution.
+    ``resolution`` is fixed (no stats pass on the STREAM — a streaming
+    plan cannot collect), chosen by the caller from the static side's
+    feature size via index.cells.pick_resolution. The static side gets a
+    one-off plan-time stats pass (it is bounded) to size the stream
+    side's ancestor chain.
     """
     if predicate not in _BBOX_SAFE:
         raise ValueError(
             f"sjoin_stream supports {sorted(_BBOX_SAFE)}; got {predicate!r}"
             " (dwithin needs a distance-expanded cover; use batch sjoin)")
-    from ..functions.st import st_cells
+    from ..functions.st import st_bounds, st_cells
+    from ..operators.sjoin import _ancestors_udf, _min_cover_res
 
+    # plan-time stats on the BOUNDED static side: its largest bbox bounds
+    # how coarse its per-row cover can fall, which is how deep the stream
+    # side's ancestor chain must go to meet coarsened static rows
+    s = (right.select(st_bounds(right_geom).alias("b"))
+         .agg(F.max(F.col("b.maxx") - F.col("b.minx")).alias("mw"),
+              F.max(F.col("b.maxy") - F.col("b.miny")).alias("mh"))
+         .collect()[0])
+    rmin_static = _min_cover_res(
+        {"mw": float(s["mw"] or 0.0), "mh": float(s["mh"] or 0.0)},
+        resolution, domain, max_cells=max_cells)
+
+    rcov = right.withColumn(
+        "__cells", st_cells(right_geom, resolution, domain=domain,
+                            max_cells=max_cells))
+    # full ancestor chain: a stream row may coarsen to ANY res (its bbox
+    # is unknown at plan time), so the static cover must be joinable at
+    # every level. Coarse ancestors dedupe per row — bounded blow-up on a
+    # broadcast dimension.
+    rcov = rcov.withColumn("__cells", _ancestors_udf(0)(F.col("__cells")))
     rcells = (
-        right.withColumn(
-            "__cell",
-            F.explode(st_cells(right_geom, resolution, domain=domain,
-                               max_cells=max_cells)))
+        rcov.withColumn("__cell", F.explode("__cells"))
         .select(F.col(right_id),
                 F.col(right_geom).alias("__rgeom"), "__cell")
         # lazy localCheckpoint pins ONE materialization of the static
@@ -106,12 +149,17 @@ def sjoin_stream(
         # CacheManager entry until an explicit unpersist)
         .localCheckpoint(eager=False)
     )
-    lcells = left.withColumn(
-        "__cell",
-        F.explode(st_cells(left_geom, resolution, domain=domain,
-                           max_cells=max_cells)))
+    lcov = left.withColumn(
+        "__cells", st_cells(left_geom, resolution, domain=domain,
+                            max_cells=max_cells))
+    if rmin_static < resolution:
+        # coarsened static rows exist (or may): fine stream rows must
+        # also meet them at the static side's coarse levels
+        lcov = lcov.withColumn("__cells",
+                               _ancestors_udf(rmin_static)(F.col("__cells")))
+    lcells = lcov.withColumn("__cell", F.explode("__cells")).drop("__cells")
     joined = lcells.join(F.broadcast(rcells), "__cell", "inner")
-    keep = _refine_keep(predicate, domain)
+    keep = _refine_keep(predicate, resolution, domain, max_cells)
     out = joined.filter(keep(F.col(left_geom), F.col("__rgeom"),
                              F.col("__cell")))
     return out.drop("__cell", "__rgeom")

@@ -63,6 +63,11 @@ def sjoin_nearest_stream(
                                                              copy=False)
     lens = np.diff(ccol.offsets.to_numpy(zero_copy_only=False))
     fi = np.repeat(np.arange(nb, dtype=np.int64), lens)
+    if ccol.null_count:
+        # drop flat entries spanned by null list rows (offsets may still
+        # span them) — mirrors operators/sjoin.py's CSR build
+        keep = ~np.repeat(ccol.is_null().to_numpy(zero_copy_only=False), lens)
+        flat, fi = flat[keep], fi[keep]
     o = np.argsort(flat, kind="stable")
     fc, fi = flat[o], fi[o]
     ucells, starts = np.unique(fc, return_index=True)
@@ -94,6 +99,14 @@ def sjoin_nearest_stream(
         cw, ch = C.cell_size(resolution, domain)
         cell_min = min(cw, ch)
         grid_n = 1 << resolution
+        # bbox_cover coarsens right rows whose cover would exceed
+        # max_cells; their directory cells live at coarser resolutions
+        # and would be invisible to a res-level probe (ADVICE r2). A
+        # coarse cell overlaps the probed disk iff it is an ancestor of
+        # some disk cell, so probe the disk's ancestor set at every
+        # coarser res actually present in the directory.
+        res_list = np.unique(C.cell_res(uc)).tolist() if len(uc) else []
+        coarse = [int(r) for r in res_list if r < resolution]
 
         def lookup(cells_flat):
             pos = np.minimum(np.searchsorted(uc, cells_flat), len(uc) - 1)
@@ -109,6 +122,11 @@ def sjoin_nearest_stream(
             ok_rows = ~np.isnan(lbb[:, 0])
             cx = (lbb[:, 0] + lbb[:, 2]) / 2
             cy = (lbb[:, 1] + lbb[:, 3]) / 2
+            # half-extent of the left bbox: the disk guarantee is measured
+            # from the midpoint cell, so non-point left geometries widen
+            # the radius (same lrad term as operators/nearest.py:508)
+            lrad = np.nan_to_num(np.maximum(lbb[:, 2] - lbb[:, 0],
+                                            lbb[:, 3] - lbb[:, 1]) / 2)
             cells0 = C.point_cell(np.nan_to_num(cx), np.nan_to_num(cy),
                                   resolution, domain=domain)
             n = len(pdf)
@@ -123,6 +141,10 @@ def sjoin_nearest_stream(
                 newly = []
                 for ai, row in enumerate(active):
                     dcells = np.unique(disk[ai])
+                    if coarse:
+                        dcells = np.unique(np.concatenate(
+                            [dcells] + [C.parent(dcells, resolution - r)
+                                        for r in coarse]))
                     pos, cnt = lookup(dcells)
                     if not cnt.sum():
                         continue
@@ -140,9 +162,12 @@ def sjoin_nearest_stream(
                     if best_rows[row] is None or mn <= best[row]:
                         best[row] = mn
                         best_rows[row] = cand[d == mn]
-                    # certified: nothing outside the probed disk can beat
-                    # d* (the disk covers Chebyshev distance m)
-                    if best[row] <= m * cell_min:
+                    # certified: any point outside the probed disk is at
+                    # least m*cell_min from the midpoint cell, hence at
+                    # least m*cell_min - lrad from the geometry itself;
+                    # strict < so an exact tie just outside the disk can't
+                    # be dropped (batch parity: operators/nearest.py:265)
+                    if best[row] + lrad[row] < m * cell_min:
                         newly.append(row)
                 if newly:
                     active = active[~np.isin(active, newly)]

@@ -180,3 +180,41 @@ def test_partitioned_geoparquet_prunes_directories(spark, tmp_path_factory):
             out.select(F.input_file_name()).distinct().collect()}
     assert used and used < all_files
     assert all("/cell=" in f for f in used)
+
+
+def test_partitioned_geoparquet_straddlers_not_dropped(spark,
+                                                       tmp_path_factory):
+    """A polygon whose bbox CENTER lands in one partition cell but whose
+    extent reaches into the query's cells must still be returned by the
+    partition-pruned read (ADVICE r2: the cover is expanded by the
+    dataset's recorded max feature half-extent)."""
+    import numpy as np
+    import pandas as pd
+
+    from geopandas_spark.geom import wkt as W
+    from geopandas_spark.geom.wkb import to_wkb
+    from geopandas_spark.sources.geoparquet import (
+        bbox_filter, read_geoparquet, read_geoparquet_bbox,
+        write_geoparquet_partitioned)
+
+    r = np.random.default_rng(23)
+    n = 300
+    # squares of half-size 0.06 centered anywhere: at cell_res 3
+    # (cell = 0.125) many straddle cell boundaries
+    cx, cy = r.random(n) * 0.8 + 0.1, r.random(n) * 0.8 + 0.1
+    h = 0.06
+    wkts = ["POLYGON ((%f %f, %f %f, %f %f, %f %f, %f %f))" % (
+        cx[i] - h, cy[i] - h, cx[i] + h, cy[i] - h, cx[i] + h, cy[i] + h,
+        cx[i] - h, cy[i] + h, cx[i] - h, cy[i] - h) for i in range(n)]
+    df = spark.createDataFrame(pd.DataFrame(
+        {"pid": np.arange(n), "geometry": list(to_wkb(W.from_wkt(wkts)))}))
+    path = str(tmp_path_factory.mktemp("gpqs") / "sq")
+    meta = write_geoparquet_partitioned(df, path, cell_res=3)
+    assert abs(meta["partitioning"]["max_half_extent"] - h) < 1e-9
+
+    q = (0.30, 0.30, 0.45, 0.45)
+    pruned = read_geoparquet_bbox(spark, path, *q)
+    full = bbox_filter(read_geoparquet(spark, path)[0], *q)
+    got = sorted(r2.pid for r2 in pruned.select("pid").collect())
+    exp = sorted(r2.pid for r2 in full.select("pid").collect())
+    assert got == exp and len(exp) > 0

@@ -188,3 +188,108 @@ def test_sjoin_nearest_stream_matches_batch(spark, tmpdir):
     got = _run_to_memory(out, spark, "nn_mem", tmpdir)
     assert sorted((r.pid, r.tid, round(r.dist, 12))
                   for r in got.collect()) == expected
+
+
+def _lines_df(spark, n, seed=5, length=0.3):
+    """Long skinny lines — non-point left geometries whose far end is many
+    cells from their bbox-center cell (the ADVICE r2 certify bug shape)."""
+    from geopandas_spark.geom import wkt as W
+    from geopandas_spark.geom.wkb import to_wkb
+
+    r = np.random.default_rng(seed)
+    x0 = r.random(n) * (1 - length)
+    y0 = r.random(n) * (1 - length)
+    ang = r.random(n) * 2 * np.pi
+    x1 = np.clip(x0 + np.cos(ang) * length, 0, 1)
+    y1 = np.clip(y0 + np.sin(ang) * length, 0, 1)
+    wkts = ["LINESTRING (%.12f %.12f, %.12f %.12f)" % t
+            for t in zip(x0, y0, x1, y1)]
+    wkb = to_wkb(W.from_wkt(wkts))
+    return spark.createDataFrame(
+        pd.DataFrame({"lid": np.arange(n), "geometry": list(wkb)}))
+
+
+def test_sjoin_nearest_stream_line_left(spark):
+    """Non-point LEFT geometries: the certify disk must widen by the
+    left bbox half-extent (ADVICE r2) — a neighbor near the line's far
+    end was silently missed by the old `best <= m*cell_min` bound."""
+    from geopandas_spark.operators.nearest import sjoin_nearest
+    from geopandas_spark.streaming import sjoin_nearest_stream
+
+    lines = _lines_df(spark, 80, seed=5, length=0.3)
+    centers, _, _ = make_points_df(spark, 50, seed=11)
+    right = centers.select(F.col("pid").alias("tid"), "geometry")
+
+    ref = sjoin_nearest(lines, right, distance_col="dist",
+                        left_id="lid", right_id="tid")
+    expected = sorted((r.lid, r.index_right, round(r.dist, 12))
+                      for r in ref.select("lid", "index_right",
+                                          "dist").collect())
+    got = sorted((r.lid, r.tid, round(r.dist, 12))
+                 for r in sjoin_nearest_stream(
+                     lines, right, resolution=6,
+                     left_id="lid", right_id="tid").collect())
+    assert got == expected
+
+
+def test_sjoin_nearest_stream_coarse_right(spark):
+    """A RIGHT geometry whose cover coarsens (bbox needs > max_cells
+    cells) must still be probe-visible (ADVICE r2: multi-res directory
+    lookup). The giant triangle is the true nearest for far-away rows."""
+    from geopandas_spark.geom import wkt as W
+    from geopandas_spark.geom.wkb import to_wkb
+    from geopandas_spark.operators.nearest import sjoin_nearest
+    from geopandas_spark.streaming import sjoin_nearest_stream
+
+    pts, _, _ = make_points_df(spark, 200)
+    giant = "POLYGON ((0.02 0.02, 0.98 0.02, 0.5 0.9, 0.02 0.02))"
+    small = "POLYGON ((0.01 0.95, 0.03 0.95, 0.02 0.99, 0.01 0.95))"
+    right = spark.createDataFrame(pd.DataFrame({
+        "tid": [0, 1],
+        "geometry": list(to_wkb(W.from_wkt([giant, small])))}))
+
+    ref = sjoin_nearest(pts.select("pid", "geometry"), right,
+                        distance_col="dist", left_id="pid", right_id="tid")
+    expected = sorted((r.pid, r.index_right, round(r.dist, 12))
+                      for r in ref.select("pid", "index_right",
+                                          "dist").collect())
+    # max_cells=8 at res 6 forces the giant polygon's cover to coarsen
+    got = sorted((r.pid, r.tid, round(r.dist, 12))
+                 for r in sjoin_nearest_stream(
+                     pts.select("pid", "geometry"), right, resolution=6,
+                     left_id="pid", right_id="tid", max_cells=8).collect())
+    assert got == expected
+
+
+def test_sjoin_stream_coarse_covers_exact(spark):
+    """Rows whose cover falls back to a coarser res (max_cells exceeded)
+    still join exactly — ancestor chains both ways + canonical-res
+    refine (ADVICE r2: coarsened rows were silently unjoinable)."""
+    from geopandas_spark.geom import wkt as W
+    from geopandas_spark.geom.wkb import to_wkb
+    from geopandas_spark.operators.sjoin import sjoin
+    from geopandas_spark.streaming import sjoin_stream
+
+    tris, _ = make_triangles_df(spark, 50, seed=3, scale=0.25)
+    giant = "POLYGON ((0.05 0.05, 0.95 0.05, 0.5 0.92, 0.05 0.05))"
+    extra = spark.createDataFrame(pd.DataFrame({
+        "tid": [1000], "geometry": list(to_wkb(W.from_wkt([giant]))),
+        "value": [0.0], "name": ["giant"], "grp": ["gx"]}))
+    left = tris.unionByName(extra).select(F.col("tid").alias("lid"),
+                                          "geometry")
+    right = tris.unionByName(extra).select(F.col("tid").alias("index_right"),
+                                           "geometry")
+
+    ref = sjoin(left.withColumnRenamed("lid", "l"),
+                right.withColumnRenamed("index_right", "tid"), how="inner",
+                predicate="intersects", left_id="l", right_id="tid")
+    expected = sorted((r.l, r.index_right)
+                      for r in ref.select("l", "index_right").collect())
+
+    # max_cells=8 at res 6: the giant polygon coarsens on BOTH sides
+    out = sjoin_stream(left, right, predicate="intersects", resolution=6,
+                       max_cells=8)
+    rows = [(r.lid, r.index_right)
+            for r in out.select("lid", "index_right").collect()]
+    assert len(rows) == len(set(rows)), "duplicate pairs leaked"
+    assert sorted(rows) == expected

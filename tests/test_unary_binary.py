@@ -694,3 +694,38 @@ def test_set_precision_modes():
     tie = W.from_wkt(["POLYGON ((0 0, 4 0.4, 4 3.6, 0 4, 0 0))"])
     snapped = U.set_precision(tie, 4.0)
     assert U.is_valid(snapped)[0]
+
+
+def test_set_precision_untouched_rows_keep_z():
+    """valid_output's make_valid repair must only touch rows that need
+    it: a valid Z linestring snapped alongside a polygon keeps its Z
+    (ADVICE r2: the whole-batch repair used to strip it)."""
+    from geopandas_spark.geom import wkt as W
+
+    b = W.from_wkt([
+        "LINESTRING Z (0 0 5, 0 1 6, 1 1 7)",
+        "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))",
+    ])
+    out = U.set_precision(b, 1.0)
+    w = W.to_wkt(out, rounding=0)
+    assert list(w) == ["LINESTRING Z (0 0 5, 0 1 6, 1 1 7)",
+                       "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))"]
+
+
+def test_make_valid_passthrough_keeps_z():
+    """make_valid leaves already-valid rows byte-identical, including Z."""
+    from geopandas_spark.geom import wkt as W
+    from geopandas_spark.geom.validity import make_valid
+
+    b = W.from_wkt([
+        "POINT Z (1 2 3)",
+        "LINESTRING Z (0 0 1, 2 2 4)",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+        "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))",  # bowtie: repaired
+    ])
+    out = make_valid(b)
+    w = W.to_wkt(out, rounding=0)
+    assert w[0] == "POINT Z (1 2 3)"
+    assert w[1] == "LINESTRING Z (0 0 1, 2 2 4)"
+    assert w[2] == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    assert "POLYGON" in w[3] and U.is_valid(out)[3]
