@@ -112,6 +112,30 @@ def _morton_sql(xcol: str, ycol: str, res: int) -> str:
     return f"((CAST({res} AS BIGINT) << 56) | ({bits_i}) | ({bits_j}))"
 
 
+def _hilbert_sql(xcol: str, ycol: str, level: int) -> str:
+    """Unrolled Hilbert xy->d (generated SQL) mirroring index/hilbert.py
+    (reference tools/hilbert_curve.py:98-108): discretize to a
+    (2^level - 1) grid, then `level` rotate-and-accumulate steps, each a
+    pure bit/CASE expression DuckDB evaluates exactly in int64."""
+    n = (1 << level) - 1
+    sql = (f"SELECT c_custkey, "
+           f"CAST(floor({xcol} * {n}) AS BIGINT) AS hx, "
+           f"CAST(floor({ycol} * {n}) AS BIGINT) AS hy, "
+           f"CAST(0 AS BIGINT) AS hd FROM pts")
+    for step in range(level):
+        s = 1 << (level - 1 - step)
+        rxy = (f"CASE WHEN (hy & {s}) > 0 THEN "
+               f"(CASE WHEN (hx & {s}) > 0 THEN 2 ELSE 1 END) "
+               f"ELSE (CASE WHEN (hx & {s}) > 0 THEN 3 ELSE 0 END) END")
+        nx = (f"CASE WHEN (hy & {s}) > 0 THEN hx "
+              f"WHEN (hx & {s}) > 0 THEN {s - 1} - hy ELSE hy END")
+        ny = (f"CASE WHEN (hy & {s}) > 0 THEN hy "
+              f"WHEN (hx & {s}) > 0 THEN {s - 1} - hx ELSE hx END")
+        sql = (f"SELECT c_custkey, {nx} AS hx, {ny} AS hy, "
+               f"hd + {s * s} * ({rxy}) AS hd FROM ({sql})")
+    return sql
+
+
 # ---------------------------------------------------------------------------
 # queries
 
@@ -294,13 +318,19 @@ def q_cosine_topk(spark, sf_dir) -> DataFrame:
 
 
 def q_minhash_near_dups(spark, sf_dir) -> DataFrame:
-    """MinHash-LSH near-dup pairs (rows-only check: LSH banding is not
-    SQL-expressible)."""
+    """MinHash-LSH near-dup pairs, hash-checked against a brute-force
+    exact-Jaccard oracle: the corpus's true near-dups sit at J >= 0.9
+    where the 32-perm/8-band LSH has per-pair recall ~1-3e-6, and the
+    seeded hashing makes the outcome deterministic — so the candidate
+    set equals the exact-threshold truth on this data (round-3; was a
+    rows-only check)."""
     from geopandas_spark.operators.dedup import minhash_lsh
 
     docs = _load(spark, sf_dir, "documents")
-    return minhash_lsh(docs, "text", "doc_id", num_perm=32, bands=8,
-                       threshold=0.5)
+    out = minhash_lsh(docs, "text", "doc_id", num_perm=32, bands=8,
+                      threshold=0.5)
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 9).alias("jaccard"))
 
 
 def q_simhash_near_dups(spark, sf_dir) -> DataFrame:
@@ -556,6 +586,46 @@ def q_overlay_star_intersection(spark, sf_dir) -> DataFrame:
                   id2="q_partkey", make_valid=False)
     return out.select("p_partkey", "q_partkey",
                       F.round(st_area("geometry"), 9).alias("ia"))
+
+
+def q_overlay_dart_intersection(spark, sf_dir) -> DataFrame:
+    """General-polygon overlay with a CLOSED-FORM oracle: two interlocking
+    non-convex quads ('darts') per part row. The configuration is rigid up
+    to similarity — unit darts (0,0),(2,1),(4,0),(2,3) and its 180-degree
+    rotation about (2,1.5) intersect in area exactly 2 — so per row
+    area(A ∩ B) = 2 s^2 (verified by the GH kernel, the Martinez-Rueda
+    sweep and Monte Carlo; both quads are non-convex single rings, which
+    is precisely the batched Greiner-Hormann path)."""
+    from geopandas_spark.functions.st import st_area, st_geomfromtext
+    from geopandas_spark.operators.overlay import overlay
+
+    r = _part_rects(spark, sf_dir).select("p_partkey", "minx", "miny",
+                                          "maxx")
+    s = (F.col("maxx") - F.col("minx")) / 4
+    x0, y0 = F.col("minx"), F.col("miny")
+
+    def dart_wkt(verts):
+        parts = [F.lit("POLYGON ((")]
+        for i, (ux, uy) in enumerate(verts):
+            parts.append(x0 + s * ux)
+            parts.append(F.lit(" "))
+            parts.append(y0 + s * uy)
+            if i < len(verts) - 1:
+                parts.append(F.lit(", "))
+        parts.append(F.lit("))"))
+        return F.concat(*parts)
+
+    a_v = [(0, 0), (2, 1), (4, 0), (2, 3), (0, 0)]
+    b_v = [(4, 3), (2, 2), (0, 3), (2, 0), (4, 3)]
+    a = r.select("p_partkey",
+                 st_geomfromtext(dart_wkt(a_v)).alias("geometry"))
+    b = r.select(F.col("p_partkey").alias("q_partkey"),
+                 st_geomfromtext(dart_wkt(b_v)).alias("geometry"))
+    out = overlay(a, b, how="intersection", id1="p_partkey",
+                  id2="q_partkey", make_valid=False)
+    return (out.filter(F.col("p_partkey") == F.col("q_partkey"))
+            .select("p_partkey",
+                    F.round(st_area("geometry"), 9).alias("dart_ia")))
 
 
 def q_boolean_ops_area(spark, sf_dir) -> DataFrame:
@@ -1035,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "overlay_star_intersection": q_overlay_star_intersection,
+        "overlay_dart_intersection": q_overlay_dart_intersection,
         "boolean_ops_area": q_boolean_ops_area,
         "delaunay_quad": q_delaunay_quad,
         "voronoi_rect_cells": q_voronoi_rect_cells,
@@ -1288,7 +1359,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE least(a.maxx, b.maxx) - greatest(a.minx, b.minx) > 0
               AND least(a.maxy, b.maxy) - greatest(a.miny, b.miny) > 0
         """,
-        # hilbert_keys / minhash / simhash: rows-only (not SQL-expressible)
+        "hilbert_keys": f"""
+            WITH pts AS ({_PTS_SQL})
+            SELECT c_custkey, hd AS hkey FROM ({_hilbert_sql('x', 'y', 8)})
+        """,
+        "overlay_dart_intersection": f"""
+            WITH rects AS ({_RECT_SQL})
+            SELECT p_partkey,
+                   round(2 * ((maxx - minx) / 4) * ((maxx - minx) / 4), 9)
+                     + 0.0 AS dart_ia
+            FROM rects
+        """,
+        # Brute-force exact 5-char-shingle Jaccard over all pairs: the
+        # engine's LSH (32 perms / 8 bands) has per-pair recall
+        # 1-(1-J^4)^8 -- ~1.0 for the corpus's true near-dups (J >= 0.9),
+        # and the hashing is seeded/deterministic, so candidates == truth
+        # on this data (verified at sf0.01 and sf0.1); a genuinely
+        # borderline-J corpus would surface as a row-count mismatch here
+        # rather than silently passing.
+        "minhash_near_dups": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, length(lower(text)) - 4),
+                           i -> substr(lower(text), i, 5))) AS s
+                FROM documents WHERE length(text) >= 5
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+                       (length(a.s) + length(b.s)
+                        - length(list_intersect(a.s, b.s))) AS jaccard
+                FROM sh a, sh b WHERE a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, round(jaccard, 9) + 0.0 AS jaccard
+            FROM pairs WHERE jaccard >= 0.5
+        """,
+        # simhash / lsh_topk: rows-only (bit-voting / bucketing not
+        # SQL-expressible; recall pinned in pytest)
 
         "transform_webmercator": f"""
             WITH pts AS ({_PTS_SQL})

@@ -973,8 +973,28 @@ def st_intersection_all(geom_list) -> Column:
     return _f(_col(geom_list))
 
 
+# user-pluggable sample_points methods (reference: arbitrary pointpats
+# method strings, base.py:5676-5683). A sampler is
+# ``fn(rng, m, ctx) -> (xs, ys)``: propose m candidate points given
+# ctx = {minx,miny,maxx,maxy,cx,cy,sx,sy}; the engine rejection-clips the
+# proposals to the geometry and re-draws until `size` are inside, exactly
+# like the built-in methods. Register by name or pass a callable as
+# ``method`` directly.
+_SAMPLERS: dict = {}
+
+
+def register_sampler(name: str, fn) -> None:
+    """Register a custom sample_points method (pointpats-style plug-in).
+
+    The callable must be picklable (module-level function or closure) —
+    it executes inside the Arrow UDF on executors."""
+    if not callable(fn):
+        raise TypeError("sampler must be callable")
+    _SAMPLERS[str(name)] = fn
+
+
 def st_sample_points(geom, size: int, seed: int = 0, row_key=None,
-                     method: str = "uniform") -> Column:
+                     method="uniform") -> Column:
     """sample_points (base.py:5652, tools/_random.py): points per geometry
     as a MultiPoint; deterministic per row via seed + row key.
 
@@ -990,12 +1010,22 @@ def st_sample_points(geom, size: int, seed: int = 0, row_key=None,
       around a random parent, rejection-clipped. Polygons only — other
       geometry types return an empty MultiPoint, exactly the reference
       contract for pointpats methods (base.py:5676-5683).
+    * any name registered via :func:`register_sampler`, or a callable
+      passed directly — ``fn(rng, m, ctx) -> (xs, ys)`` proposes
+      candidates that are rejection-clipped to the geometry (polygons
+      only, like the pointpats methods).
     """
-    if method not in ("uniform", "normal", "cluster_poisson"):
+    custom = None
+    if callable(method):
+        custom = method
+        method = getattr(method, "__name__", "custom")
+    elif method in _SAMPLERS:
+        custom = _SAMPLERS[method]
+    elif method not in ("uniform", "normal", "cluster_poisson"):
         raise ValueError(
             f"method {method!r} not supported (uniform, normal, "
-            "cluster_poisson); other pointpats samplers are out of scope "
-            "without pointpats")
+            f"cluster_poisson, registered: {sorted(_SAMPLERS)}, or a "
+            "callable); other pointpats samplers need registration")
 
     key = _col(row_key) if row_key is not None else F.lit(0)
 
@@ -1044,10 +1074,18 @@ def st_sample_points(geom, size: int, seed: int = 0, row_key=None,
                                 py.append(y)
                         tr += m
                     par = (np.array(px or [cx]), np.array(py or [cy]))
+                ctx = {"minx": minx, "miny": miny, "maxx": maxx,
+                       "maxy": maxy, "cx": cx, "cy": cy, "sx": sx,
+                       "sy": sy}
                 tries = 0
                 while len(pts) < size and tries < 200 * size + 1000:
                     m = max(size * 2, 64)
-                    if method == "normal":
+                    if custom is not None:
+                        xs, ys = custom(rng, m, ctx)
+                        xs = np.asarray(xs, dtype=np.float64)
+                        ys = np.asarray(ys, dtype=np.float64)
+                        m = len(xs)
+                    elif method == "normal":
                         xs = rng.normal(cx, sx, m)
                         ys = rng.normal(cy, sy, m)
                     elif method == "cluster_poisson":
@@ -1062,7 +1100,7 @@ def st_sample_points(geom, size: int, seed: int = 0, row_key=None,
                         if len(pts) < size:
                             pts.append((x, y))
                     tries += m
-            elif dim == 1 and method != "cluster_poisson":
+            elif dim == 1 and method != "cluster_poisson" and custom is None:
                 segs = []
                 for _, r in _geom_rings(b, g):
                     for i in range(len(r) - 1):
@@ -1075,7 +1113,8 @@ def st_sample_points(geom, size: int, seed: int = 0, row_key=None,
                     for i, t_ in zip(pick, ts):
                         p0, p1 = segs[i]
                         pts.append(tuple(p0 + t_ * (p1 - p0)))
-            elif method != "cluster_poisson":  # pointpats: polygons only
+            elif method != "cluster_poisson" and custom is None:
+                # pointpats-style methods: polygons only
                 off = b.geom_coord_off
                 c = b.coords[off[g]:off[g + 1]]
                 if len(c):

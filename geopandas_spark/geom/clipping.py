@@ -33,13 +33,21 @@ from .ragged import POLYGON, GeometryBatch, GeometryBatchBuilder, MULTIPOLYGON
 # convex clipping
 
 
+def _roll1(v: np.ndarray) -> np.ndarray:
+    """np.roll(v, -1, axis=0) without roll's axis-normalization overhead."""
+    out = np.empty_like(v)
+    out[:-1] = v[1:]
+    out[-1] = v[0]
+    return out
+
+
 def is_convex_ring(ring: np.ndarray) -> bool:
     """Closed ring convexity (all cross products one sign)."""
     p = ring[:-1]
     if len(p) < 3:
         return False
-    a = np.roll(p, -1, axis=0) - p
-    b = np.roll(a, -1, axis=0)
+    a = _roll1(p) - p
+    b = _roll1(a)
     cr = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
     return bool((cr >= 0).all() or (cr <= 0).all())
 
@@ -329,6 +337,82 @@ def axis_rect_mask(batch: GeometryBatch) -> np.ndarray:
     return ok & (bad_per_geom == 0) & closed
 
 
+def _poly_class(batch: GeometryBatch) -> dict:
+    """Vectorized per-geometry classification for the polygonal dispatch
+    in pairwise_intersection (round-3: was 4+ per-pair predicate calls —
+    is_convex_ring/np.roll alone cost ~40% of the star-overlay kernel).
+
+    Returns arrays (len n): ``poly`` (is (multi)polygon with all-POLYGON
+    parts), ``rectl`` (poly & every ring edge axis-parallel), ``single``
+    (poly & exactly one part with one ring), ``convex`` (single & that
+    ring convex), plus ``ring_start``/``ring_len`` of the single ring.
+    """
+    n = len(batch)
+    c = batch.coords
+    T = len(c)
+    is_poly_t = np.isin(batch.types, (POLYGON, MULTIPOLYGON))
+    npart = batch.n_parts_per_geom()
+    # all parts POLYGON
+    part_geom = np.repeat(np.arange(n), npart)
+    bad_part = np.bincount(
+        part_geom[np.asarray(batch.part_types) != POLYGON], minlength=n)
+    poly = is_poly_t & (bad_part == 0) & (npart > 0)
+
+    # per-edge axis-parallel test with ring-boundary edges masked out
+    gro = batch.geom_ring_off
+    nring = gro[1:] - gro[:-1]
+    if T >= 2:
+        valid = np.ones(T - 1, dtype=bool)
+        ends = batch.ring_coord_off[1:-1]
+        ve = ends[(ends > 0) & (ends < T)]
+        valid[ve - 1] = False
+        dx = c[1:, 0] - c[:-1, 0]
+        dy = c[1:, 1] - c[:-1, 1]
+        coord_geom = np.repeat(
+            np.arange(n), batch.geom_coord_off[1:] - batch.geom_coord_off[:-1])
+        bad_edge = valid & ~((dx == 0) | (dy == 0))
+        bad_per_geom = np.bincount(coord_geom[:-1][bad_edge], minlength=n)
+        rectl = poly & (bad_per_geom == 0)
+    else:
+        rectl = poly.copy()
+
+    single = poly & (npart == 1) & (nring == 1)
+    ring_start = np.zeros(n, dtype=np.int64)
+    ring_len = np.zeros(n, dtype=np.int64)
+    if single.any():
+        ridx = gro[:-1][single]
+        ring_start[single] = batch.ring_coord_off[ridx]
+        ring_len[single] = (batch.ring_coord_off[ridx + 1]
+                            - batch.ring_coord_off[ridx])
+    convex = np.zeros(n, dtype=bool)
+    cand = single & (ring_len >= 4)
+    if cand.any():
+        # stacked convexity: cross products of consecutive edges of the
+        # open ring (closing vertex dropped), sign-consistent per ring
+        st = ring_start[cand]
+        ln = ring_len[cand] - 1  # open length
+        from .ragged import _expand_ranges
+
+        idx = _expand_ranges(st, st + ln)
+        P = c[idx]
+        off = np.zeros(len(st) + 1, dtype=np.int64)
+        np.cumsum(ln, out=off[1:])
+        nxt = np.empty_like(P)
+        nxt[:-1] = P[1:]
+        nxt[off[1:] - 1] = P[off[:-1]]
+        E = nxt - P  # edge vectors, cyclic
+        En = np.empty_like(E)
+        En[:-1] = E[1:]
+        En[off[1:] - 1] = E[off[:-1]]
+        cr = E[:, 0] * En[:, 1] - E[:, 1] * En[:, 0]
+        mn = np.minimum.reduceat(cr, off[:-1])
+        mx = np.maximum.reduceat(cr, off[:-1])
+        convex[cand] = (mn >= 0) | (mx <= 0)
+    return {"poly": poly, "rectl": rectl, "single": single,
+            "convex": convex, "ring_start": ring_start,
+            "ring_len": ring_len}
+
+
 def pairwise_intersection(lb: GeometryBatch, rb: GeometryBatch) -> GeometryBatch:
     """Row-wise geometric intersection (base.py:4192) for the supported
     classes: rectilinear x rectilinear (exact boolean) or anything x convex
@@ -353,37 +437,36 @@ def pairwise_intersection(lb: GeometryBatch, rb: GeometryBatch) -> GeometryBatch
         nonempty = (imaxx > iminx) & (imaxy > iminy)
         rect_boxes = (iminx, iminy, imaxx, imaxy, nonempty)
 
+    # ---- one vectorized classification pass (round-3) --------------------
+    lcls = _poly_class(lb)
+    rcls = _poly_class(rb)
+    both_poly = lcls["poly"] & rcls["poly"] & ~rect_pair
+    pair_rectl = both_poly & lcls["rectl"] & rcls["rectl"]
+    pair_conv_r = both_poly & ~pair_rectl & rcls["convex"]
+    pair_conv_l = both_poly & ~pair_rectl & ~pair_conv_r & lcls["convex"]
+
+    def _lring(g):
+        s, ln = lcls["ring_start"][g], lcls["ring_len"][g]
+        return lb.coords[s:s + ln]
+
+    def _rring(g):
+        s, ln = rcls["ring_start"][g], rcls["ring_len"][g]
+        return rb.coords[s:s + ln]
+
     # ---- batched Greiner-Hormann pre-pass for general polygon pairs ------
     # Pairs that would reach the per-pair Martinez-Rueda sweep (both
     # polygonal, not rectilinear, neither side convex-single-ring) are
     # intersected in ONE vectorized pass (geom/ghclip.py); degenerate
     # pairs fall back to the sweep inside the main loop.
     gh_results: dict = {}
-    gen_idx: list = []
-    gh_subs: list = []
-    gh_clips: list = []
-    for g in range(len(lb)):
-        if rect_pair[g]:
-            continue
-        lt_, rt_ = int(lb.types[g]), int(rb.types[g])
-        if lt_ not in (POLYGON, MULTIPOLYGON) or rt_ not in (POLYGON, MULTIPOLYGON):
-            continue
-        if polygons_rectilinear(lb, g) is not None \
-                and polygons_rectilinear(rb, g) is not None:
-            continue
-        rr_ = _single_ring(rb, g)
-        if rr_ is not None and is_convex_ring(rr_):
-            continue
-        lr_ = _single_ring(lb, g)
-        if lr_ is not None and is_convex_ring(lr_):
-            continue
-        if lr_ is not None and rr_ is not None:
-            gen_idx.append(g)
-            gh_subs.append(lr_)
-            gh_clips.append(rr_)
-    if gen_idx:
+    gen_mask = (both_poly & ~pair_rectl & ~pair_conv_r & ~pair_conv_l
+                & lcls["single"] & rcls["single"])
+    gen_idx = np.nonzero(gen_mask)[0]
+    if len(gen_idx):
         from .ghclip import batch_intersection
 
+        gh_subs = [_lring(g) for g in gen_idx]
+        gh_clips = [_rring(g) for g in gen_idx]
         res_gh, fb_gh = batch_intersection(gh_subs, gh_clips)
         for i, g in enumerate(gen_idx):
             if not fb_gh[i] and res_gh[i] is not None:
@@ -407,15 +490,6 @@ def pairwise_intersection(lb: GeometryBatch, rb: GeometryBatch) -> GeometryBatch
         if lt == MISSING or rt == MISSING:
             out.add_missing()
             continue
-        # normalize: ensure right side is the polygonal clipper when mixed
-        # (intersection is symmetric)
-        a, b_, ga, gb = lb, rb, g, g
-        if lb.types[g] in (POINT, MULTIPOINT, LINESTRING) or (
-            rb.types[g] in (POLYGON, MULTIPOLYGON)
-        ):
-            pass  # default orientation works below
-        r_rect = polygons_rectilinear(rb, g)
-        l_rect = polygons_rectilinear(lb, g)
         # puntal left vs polygonal right
         if lt in (POINT, MULTIPOINT) and rt in (POLYGON, MULTIPOLYGON):
             from .kernels import points_in_geom
@@ -434,25 +508,26 @@ def pairwise_intersection(lb: GeometryBatch, rb: GeometryBatch) -> GeometryBatch
             else:
                 out.add(MULTIPOINT, [(POINT, [keep[i : i + 1]]) for i in range(len(keep))])
             continue
-        # polygonal x polygonal
+        # polygonal x polygonal (dispatch masks precomputed in _poly_class)
         if lt in (POLYGON, MULTIPOLYGON) and rt in (POLYGON, MULTIPOLYGON):
-            if l_rect is not None and r_rect is not None:
-                polys = rectilinear_boolean(l_rect, r_rect, "intersection")
+            if pair_rectl[g]:
+                polys = rectilinear_boolean(polygons_rectilinear(lb, g),
+                                            polygons_rectilinear(rb, g),
+                                            "intersection")
                 _emit_polys(out, polys)
                 continue
             # convex clip path: right must be a single convex no-hole poly
-            rrings = _single_ring(rb, g)
-            lrings_all = _all_poly_rings(lb, g)
-            if rrings is not None and is_convex_ring(rrings):
+            if pair_conv_r[g]:
+                rrings = _rring(g)
                 res = []
-                for ring in lrings_all[0]:
+                for ring in _all_poly_rings(lb, g)[0]:
                     c = convex_clip(ring, rrings)
                     if len(c):
                         res.append(c)
                 _emit_polys(out, [[r] for r in res])
                 continue
-            lrings = _single_ring(lb, g)
-            if lrings is not None and is_convex_ring(lrings):
+            if pair_conv_l[g]:
+                lrings = _lring(g)
                 res = []
                 for ring in _all_poly_rings(rb, g)[0]:
                     c = convex_clip(ring, lrings)

@@ -5,9 +5,13 @@ Python event heap — profiling shows >80% of general-polygon overlay time
 in heap/event management. For the dominant case (two single-ring no-hole
 polygons), this module computes intersections with:
 
+* phase 0 — ring prep (closure drop + CCW orientation) for ALL rings of
+  ALL pairs in one stacked numpy pass (round-3: was a per-ring loop);
 * phase 1 — ALL edge-pair crossings of ALL pairs in one vectorized numpy
   pass (segments concatenated with pair ids; index arithmetic builds the
-  per-pair cross-product blocks, VERDICT round-1 item #3);
+  per-pair cross-product blocks, VERDICT round-1 item #3), plus the
+  inside-status of each ring's first vertex vs the other ring (round-3:
+  was a per-pair _point_in_ring call);
 * phase 2 — per pair, a short Greiner–Hormann trace over the precomputed
   crossing lists (no heap, no intersection discovery).
 
@@ -27,40 +31,35 @@ import numpy as np
 _EPS = 1e-12
 
 
-def _ring_segs(ring: np.ndarray):
-    """Drop the closing vertex; return open vertex array (n,2)."""
-    if len(ring) and (ring[0] == ring[-1]).all():
-        return ring[:-1]
-    return ring
-
-
-def _shift1(v: np.ndarray) -> np.ndarray:
-    """np.roll(v, -1, axis=0) without roll's axis-normalization overhead
-    (this is the profile hot spot at batch sizes)."""
-    out = np.empty_like(v)
-    out[:-1] = v[1:]
-    out[-1] = v[0]
-    return out
-
-
-def _ensure_ccw(v: np.ndarray) -> np.ndarray:
-    x, y = v[:, 0], v[:, 1]
-    yn = _shift1(y)
-    xn = _shift1(x)
-    area2 = np.sum(x * yn - xn * y)
-    return v if area2 >= 0 else v[::-1]
-
-
 def _point_in_ring(pt, v) -> bool:
-    """Even-odd, open-vertex ring; boundary treated as inside-ish (callers
-    avoid boundary cases via degeneracy detection)."""
+    """Even-odd, open-vertex ring (kept for tests / external callers)."""
     x, y = pt
     x0, y0 = v[:, 0], v[:, 1]
-    x1, y1 = _shift1(x0), _shift1(y0)
+    x1 = np.empty_like(x0)
+    x1[:-1] = x0[1:]
+    x1[-1] = x0[0]
+    y1 = np.empty_like(y0)
+    y1[:-1] = y0[1:]
+    y1[-1] = y0[0]
     cross = (y0 > y) != (y1 > y)
     with np.errstate(divide="ignore", invalid="ignore"):
         xs = x0 + (y - y0) / (y1 - y0) * (x1 - x0)
     return int(np.count_nonzero(cross & (xs > x))) % 2 == 1
+
+
+def _inside_counts(P: np.ndarray, E0: np.ndarray, E1: np.ndarray,
+                   epid: np.ndarray, nlive: int) -> np.ndarray:
+    """Vectorized even-odd test: P[p] vs the ring whose edges (E0->E1)
+    carry pair id epid. Returns bool[nlive]."""
+    x = P[epid, 0]
+    y = P[epid, 1]
+    cross = (E0[:, 1] > y) != (E1[:, 1] > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xs = E0[:, 0] + (y - E0[:, 1]) / (E1[:, 1] - E0[:, 1]) \
+            * (E1[:, 0] - E0[:, 0])
+    hit = cross & (xs > x)
+    cnt = np.bincount(epid[hit], minlength=nlive)
+    return (cnt % 2) == 1
 
 
 def batch_intersection(subjects: list, clips: list):
@@ -74,38 +73,91 @@ def batch_intersection(subjects: list, clips: list):
     results: list = [None] * n
     fallback = np.zeros(n, dtype=bool)
 
-    sv = [None] * n
-    cv = [None] * n
-    na = np.zeros(n, dtype=np.int64)
-    nb = np.zeros(n, dtype=np.int64)
+    # ---- phase 0: stacked ring prep (closure drop + CCW) ------------------
+    raw: list = []
+    pairidx: list = []
     for i in range(n):
         if subjects[i] is None or clips[i] is None:
             fallback[i] = True
             continue
-        a = _ensure_ccw(_ring_segs(np.asarray(subjects[i], dtype=np.float64)))
-        b = _ensure_ccw(_ring_segs(np.asarray(clips[i], dtype=np.float64)))
-        if len(a) < 3 or len(b) < 3:
+        raw.append(np.asarray(subjects[i], dtype=np.float64))
+        raw.append(np.asarray(clips[i], dtype=np.float64))
+        pairidx.append(i)
+    if not raw:
+        return results, fallback
+    R = len(raw)
+    lens0 = np.fromiter((len(r) for r in raw), np.int64, R)
+    starts0 = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(lens0, out=starts0[1:])
+    V = np.concatenate([r.reshape(-1, 2) for r in raw], axis=0) \
+        if starts0[-1] else np.empty((0, 2))
+    nz = lens0 >= 2
+    closed = np.zeros(R, dtype=bool)
+    if nz.any():
+        s = starts0[:-1][nz]
+        e = s + lens0[nz] - 1
+        closed[nz] = (V[s] == V[e]).all(axis=1)
+    lens1 = lens0 - closed  # open-ring lengths
+    starts1 = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(lens1, out=starts1[1:])
+    total1 = int(starts1[-1])
+    rid = np.repeat(np.arange(R), lens1)
+    local = np.arange(total1, dtype=np.int64) - starts1[rid]
+    src = starts0[rid] + local
+    # signed area (shoelace over the open ring, cyclic next)
+    W0 = V[src]
+    Wn0 = np.empty_like(W0)
+    Wn0[:-1] = W0[1:]
+    Wn0[starts1[1:] - 1] = W0[starts1[:-1]]
+    cross_terms = W0[:, 0] * Wn0[:, 1] - Wn0[:, 0] * W0[:, 1]
+    area2 = np.add.reduceat(cross_terms, starts1[:-1]) \
+        if total1 else np.zeros(R)
+    area2[lens1 == 0] = 0.0
+    flip = area2 < 0
+    # one gather applies closure-drop AND orientation flip
+    src_f = np.where(flip[rid],
+                     starts0[rid] + lens1[rid] - 1 - local, src)
+    W = V[src_f]
+
+    na = np.zeros(n, dtype=np.int64)
+    nb = np.zeros(n, dtype=np.int64)
+    na[pairidx] = lens1[0::2]
+    nb[pairidx] = lens1[1::2]
+    a_start = np.zeros(n, dtype=np.int64)
+    b_start = np.zeros(n, dtype=np.int64)
+    a_start[pairidx] = starts1[:-1][0::2]
+    b_start[pairidx] = starts1[:-1][1::2]
+    for k, i in enumerate(pairidx):
+        if na[i] < 3 or nb[i] < 3:
             results[i] = []
-            continue
-        sv[i], cv[i] = a, b
-        na[i], nb[i] = len(a), len(b)
+            na[i] = nb[i] = 0
 
     live = np.nonzero((na > 0) & (nb > 0))[0]
     if not len(live):
         return results, fallback
+
+    def ring_a(gi: int) -> np.ndarray:
+        return W[a_start[gi]:a_start[gi] + na[gi]]
+
+    def ring_b(gi: int) -> np.ndarray:
+        return W[b_start[gi]:b_start[gi] + nb[gi]]
 
     # ---- phase 1: vectorized all-crossings over the whole batch ----------
     a_off = np.zeros(n + 1, dtype=np.int64)
     b_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(na, out=a_off[1:])
     np.cumsum(nb, out=b_off[1:])
-    A = np.vstack([sv[i] for i in live])
-    B = np.vstack([cv[i] for i in live])
-    # next-vertex arrays: single shifted copy with per-ring wrap fix
     al = np.zeros(len(live) + 1, dtype=np.int64)
     bl = np.zeros(len(live) + 1, dtype=np.int64)
     np.cumsum(na[live], out=al[1:])
     np.cumsum(nb[live], out=bl[1:])
+    # gather per-side stacks (contiguous per pair)
+    a_flat_src = np.repeat(a_start[live], na[live]) + \
+        (np.arange(int(al[-1]), dtype=np.int64) - al[:-1].repeat(na[live]))
+    b_flat_src = np.repeat(b_start[live], nb[live]) + \
+        (np.arange(int(bl[-1]), dtype=np.int64) - bl[:-1].repeat(nb[live]))
+    A = W[a_flat_src]
+    B = W[b_flat_src]
     An = np.empty_like(A)
     An[:-1] = A[1:]
     An[al[1:] - 1] = A[al[:-1]]
@@ -119,8 +171,8 @@ def batch_intersection(subjects: list, clips: list):
     N = int(blk_off[-1])
     pid_local = np.repeat(np.arange(len(live)), tot)
     local = np.arange(N, dtype=np.int64) - blk_off[pid_local]
-    ai = a_off[live][pid_local] + local // nb[live][pid_local]
-    bi = b_off[live][pid_local] + local % nb[live][pid_local]
+    ai = al[:-1][pid_local] + local // nb[live][pid_local]
+    bi = bl[:-1][pid_local] + local % nb[live][pid_local]
 
     p0 = A[ai]
     d1 = An[ai] - p0
@@ -160,43 +212,60 @@ def batch_intersection(subjects: list, clips: list):
     for lp in bad_pairs:
         fallback[live[lp]] = True
 
+    # inside-status of a[0] vs b and b[0] vs a, all pairs at once
+    a0 = A[al[:-1]]
+    b0 = B[bl[:-1]]
+    bpid = np.repeat(np.arange(len(live)), nb[live])
+    apid = np.repeat(np.arange(len(live)), na[live])
+    a0_in_b = _inside_counts(a0, B, Bn, bpid, len(live))
+    b0_in_a = _inside_counts(b0, A, An, apid, len(live))
+
     proper = inside_t & inside_s & ~fallback[live[pid_local]]
-    # group crossings per pair
-    cross_by_pair: dict = {}
-    for k in np.nonzero(proper)[0]:
-        lp = int(pid_local[k])
-        cross_by_pair.setdefault(lp, []).append(
-            (int(ai[k] - a_off[live[lp]]), float(t[k]),
-             int(bi[k] - b_off[live[lp]]), float(s[k])))
+    # group crossings per pair: one stable sort, then per-pair slices
+    pk = np.nonzero(proper)[0]
+    cp = pid_local[pk]
+    order = np.argsort(cp, kind="stable")
+    pk = pk[order]
+    cp = cp[order]
+    grp = np.searchsorted(cp, np.arange(len(live) + 1))
+    cia = (ai[pk] - al[:-1][cp]).tolist()
+    cib = (bi[pk] - bl[:-1][cp]).tolist()
+    ct = t[pk].tolist()
+    cs = s[pk].tolist()
 
     # ---- phase 2: per-pair trace ------------------------------------------
     for lp, gi in enumerate(live):
         if fallback[gi]:
             continue
-        a = sv[gi]
-        b = cv[gi]
-        crossings = cross_by_pair.get(lp, [])
-        if not crossings:
+        g0, g1 = grp[lp], grp[lp + 1]
+        if g0 == g1:
             # containment or disjoint
-            if _point_in_ring(a[0], b):
+            if a0_in_b[lp]:
+                a = ring_a(gi)
                 results[gi] = [np.vstack([a, a[:1]])]
-            elif _point_in_ring(b[0], a):
+            elif b0_in_a[lp]:
+                b = ring_b(gi)
                 results[gi] = [np.vstack([b, b[:1]])]
             else:
                 results[gi] = []
             continue
-        if len(crossings) % 2:
+        if (g1 - g0) % 2:
             fallback[gi] = True  # numeric inconsistency -> exact path
             continue
-        results[gi] = _trace(a, b, crossings)
+        crossings = list(zip(cia[g0:g1], ct[g0:g1], cib[g0:g1], cs[g0:g1]))
+        results[gi] = _trace(ring_a(gi), ring_b(gi), crossings,
+                             bool(a0_in_b[lp]))
         if results[gi] is None:
             fallback[gi] = True
     return results, fallback
 
 
-def _trace(a: np.ndarray, b: np.ndarray, crossings: list):
+def _trace(a: np.ndarray, b: np.ndarray, crossings: list,
+           inside0: bool | None = None):
     """Greiner–Hormann intersection trace. Returns list of closed rings,
-    or None if the trace detects an inconsistency."""
+    or None if the trace detects an inconsistency. ``inside0`` is the
+    precomputed even-odd status of a[0] in b (computed vectorized in
+    phase 1; falls back to a local test when absent)."""
     na, nb = len(a), len(b)
     # vertex chains: list of [point, is_inter, mate_index]
     # build per-edge sorted insertion lists
@@ -231,7 +300,7 @@ def _trace(a: np.ndarray, b: np.ndarray, crossings: list):
     La, Lb = len(a_chain), len(b_chain)
 
     # entry/exit marking along a: alternate starting from inside-status
-    inside = _point_in_ring(a[0], b)
+    inside = _point_in_ring(a[0], b) if inside0 is None else inside0
     entry_a: dict = {}
     for kind, idx in a_chain:
         if kind == 1:

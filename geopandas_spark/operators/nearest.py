@@ -331,80 +331,105 @@ def _knn_cell_pass(min_cell: float, max_distance: float | None,
     return fn
 
 
+def _chebyshev_dt(occ: np.ndarray) -> np.ndarray:
+    """Chebyshev distance transform of a boolean occupancy grid via
+    iterative 8-neighbor dilation. D[i,j] = cell-distance to the nearest
+    occupied cell (0 on occupied cells). O(grid * max_D) — dense
+    directories converge in a handful of sweeps."""
+    n0, n1 = occ.shape
+    D = np.zeros((n0, n1), dtype=np.int32)
+    cur = occ.copy()
+    d = 0
+    while not cur.all():
+        d += 1
+        nxt = cur.copy()
+        nxt[1:, :] |= cur[:-1, :]
+        nxt[:-1, :] |= cur[1:, :]
+        nxt[:, 1:] |= cur[:, :-1]
+        nxt[:, :-1] |= cur[:, 1:]
+        nxt[1:, 1:] |= cur[:-1, :-1]
+        nxt[1:, :-1] |= cur[:-1, 1:]
+        nxt[:-1, 1:] |= cur[1:, :-1]
+        nxt[:-1, :-1] |= cur[1:, 1:]
+        newly = nxt & ~cur
+        if not newly.any():  # directory empty: no cell ever reachable
+            D[~cur] = np.iinfo(np.int32).max // 4
+            break
+        D[newly] = d
+        cur = nxt
+    return D
+
+
 def _nocand_tail(nanrows, rxp, _exact_pairs, _disk_probe, resolution, domain,
                  min_cell, k_cap, max_distance):
     """Tail probes for rows with NO phase-1 candidate (sparse
-    neighborhoods). A directory of the right side's non-empty cells gives
-    each row an optimistic bound B = min over cells of the worst-case
-    distance into that cell; the candidate set found under B yields an
-    exact best distance d* which IS a valid upper bound, so a second
-    probe at radius d* guarantees the true nearest (ADVICE round-1 fix —
-    the optimistic bound alone can exclude the true nearest's cells).
-    Falls back to coarse-directory disk expansion when the directory is
-    too large to broadcast."""
+    neighborhoods). A Chebyshev distance-transform bitmap of the right
+    side's non-empty cells (built ONCE on the driver, broadcast as a
+    2^res x 2^res int32 grid) gives each row an optimistic bound
+    B = sqrt(2) * (D+1) * cell — the worst-case distance into its nearest
+    non-empty cell. The candidate set found under B yields an exact best
+    distance d* which IS a valid upper bound, so a second probe at radius
+    d* guarantees the true nearest (ADVICE round-1 fix — an optimistic
+    bound alone can exclude the true nearest's cells).
+
+    Round-3: the previous exact per-cell directory scan was
+    O(rows x |directory|) of DRAM-streaming matrix work inside the UDF —
+    it dominated the whole join on this path and stopped scaling with
+    cores. The bitmap lookup is O(1) per row; the slightly looser bound
+    only widens the first probe disk, and the d* re-probe restores
+    tightness. Falls back to a coarse-grid transform when the full-res
+    bitmap would be too large."""
     parts = []
-    dir_max = 1 << 18
-    n_dir = rxp.select("__cell").distinct().limit(dir_max + 1).count()
-    if n_dir <= dir_max:
+    bitmap_max = 1 << 20  # full-res bitmap up to res 10 (1M cells, 4 MB)
+    grid_n = 1 << resolution
+    if grid_n * grid_n <= bitmap_max:
+        from ..index import cells as C
+
         dir_ids = np.array(
             [r[0] for r in rxp.select("__cell").distinct().collect()],
             dtype=np.int64)
+        occ = np.zeros((grid_n, grid_n), dtype=bool)
+        if len(dir_ids):
+            _, di, dj = C.cell_ij(dir_ids)
+            occ[di, dj] = True
+        D = _chebyshev_dt(occ)
+        spark = nanrows.sparkSession
+        bc_D = spark.sparkContext.broadcast(D)
 
-        @pandas_udf("array<long>")
-        def _probe_cells(geom: pd.Series, dbest: pd.Series) -> pd.Series:
-            from ..geom.kernels import bounds as _bounds
-            from ..geom.wkb import from_wkb
-            from ..index import cells as C
+        @pandas_udf("long")
+        def _bitmap_k(cell0: pd.Series) -> pd.Series:
+            from ..index import cells as C2
 
-            cb = C.cell_bounds(dir_ids, domain)
-            bb = np.nan_to_num(_bounds(from_wkb(geom)))
-            B = dbest.to_numpy(dtype=np.float64)
-            out = np.empty(len(bb), dtype=object)
-            step = max(1, 8_000_000 // max(len(dir_ids), 1))
-            for lo in range(0, len(bb), step):
-                sl = slice(lo, lo + step)
-                dx = np.maximum(
-                    np.maximum(cb[None, :, 0] - bb[sl, None, 2],
-                               bb[sl, None, 0] - cb[None, :, 2]), 0.0)
-                dy = np.maximum(
-                    np.maximum(cb[None, :, 1] - bb[sl, None, 3],
-                               bb[sl, None, 1] - cb[None, :, 3]), 0.0)
-                mind = np.sqrt(dx * dx + dy * dy)
-                Bsl = B[sl].copy()
-                nix = np.isnan(Bsl)
-                if nix.any():
-                    # no bound yet: optimistic B = min worst-case distance
-                    # into any non-empty cell
-                    mxx = np.maximum(np.abs(cb[None, :, 0] - bb[sl, None, 2][nix]),
-                                     np.abs(cb[None, :, 2] - bb[sl, None, 0][nix]))
-                    mxy = np.maximum(np.abs(cb[None, :, 1] - bb[sl, None, 3][nix]),
-                                     np.abs(cb[None, :, 3] - bb[sl, None, 1][nix]))
-                    maxd = np.sqrt(mxx * mxx + mxy * mxy)
-                    Bsl[nix] = maxd.min(axis=1)
-                sel = mind <= Bsl[:, None]
-                for i in range(sel.shape[0]):
-                    out[lo + i] = dir_ids[sel[i]].tolist()
-            return pd.Series(out)
+            _, li, lj = C2.cell_ij(cell0.to_numpy(dtype=np.int64))
+            d = bc_D.value[li, lj].astype(np.int64)
+            return pd.Series(np.minimum(np.maximum(d, 1), k_cap))
 
-        def _dir_probe(src, bcol):
-            return src.select(
-                "__xlid", "__lgeom",
-                F.explode(_probe_cells(F.col("__lgeom"), bcol))
-                .alias("__cell"))
-
-        bcol = (F.lit(float(max_distance)).cast("double")
-                if max_distance is not None
-                else F.lit(None).cast("double"))
-        cand = _exact_pairs(_dir_probe(nanrows, bcol))
+        if max_distance is not None:
+            # hard search bound: ONE probe at the max_distance radius is
+            # already exhaustive for rows that can match at all
+            parts.append(_exact_pairs(_disk_probe(
+                nanrows, F.lit(float(max_distance)))))
+            return parts
+        # first probe at radius exactly D: the disk(D) of the row's cell
+        # contains its nearest occupied cell by construction, so SOME
+        # candidate is found and its exact distance d* is a valid upper
+        # bound; the second probe at d* then guarantees the true nearest
+        # + ties (round-1 ADVICE pattern). Probing at D instead of a
+        # distance-converted sqrt(2)(D+1) disk cuts first-probe volume
+        # ~5x on dense-directory data.
+        src = nanrows.withColumn("__k", _bitmap_k(F.col("__cell0")))
+        probe1 = src.select(
+            "__xlid", "__lgeom",
+            F.explode(_disk_cells_var_udf()(
+                F.col("__cell0"), F.col("__k"))).alias("__cell"))
+        cand = _exact_pairs(probe1)
         parts.append(cand)
-        need_reprobe = max_distance is None
-        if need_reprobe:
-            dstar = cand.groupBy("__xlid").agg(F.min("__d").alias("__B2"))
-            src2 = nanrows.join(dstar, on="__xlid", how="inner")
-            parts.append(_exact_pairs(_dir_probe(src2, F.col("__B2"))))
+        dstar = cand.groupBy("__xlid").agg(F.min("__d").alias("__B2"))
+        src2 = nanrows.join(dstar, on="__xlid", how="inner")
+        parts.append(_exact_pairs(_disk_probe(src2, F.col("__B2"))))
         return parts
 
-    # huge directory: coarse-directory bound + disk expansion
+    # huge grid: coarse-directory bound + disk expansion
     cres = max(0, resolution - 6)
     shift = resolution - cres
     coarse_ids = np.array(

@@ -71,6 +71,15 @@ def _pairs(df1, df2, geom1, geom2, id1, id2, resolution, domain,
                     F.explode(c2).alias("__cell"))
     if broadcast2:
         l2 = F.broadcast(l2)
+        # a broadcast join keeps the PROBE side's partitioning — a small
+        # single-file input would run the whole candidate+intersection
+        # Arrow kernel in ONE task (r2 verdict: overlay_star at ~1
+        # core-equivalent of throughput). Widen the probe so the
+        # CPU-heavy UDF stage fills the cluster; no-op when the input
+        # already has enough partitions (the 100 TB case).
+        from .sjoin import _widen
+
+        l1 = _widen(l1)
     cand = (
         l1.join(l2, on="__cell", how="inner")
         .select("__i1", "__i2", "__g1", "__g2", "__cell")

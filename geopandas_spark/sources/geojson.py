@@ -249,8 +249,12 @@ def read_geojsonseq(spark, path: str, geom: str = "geometry") -> DataFrame:
 def write_geojson_file(df: DataFrame, path: str,
                        geom: str = "geometry") -> None:
     """Single FeatureCollection .geojson file (to_file driver='GeoJSON').
-    Collects to the driver like the reference's fiona writer — dev-scale;
-    use write_geojsonseq for datasets."""
+    Collects to the driver like the reference's fiona writer — dev-scale
+    and row-capped; use write_geojsonseq for datasets (distributed, one
+    text part per partition)."""
+    from .feather import _guard_single_file
+
+    _guard_single_file(df, "write_geojson_file", "write_geojsonseq")
     feats = [r["feature"] for r in to_features(df, geom).collect()]
     with open(path, "w") as f:
         f.write('{"type": "FeatureCollection", "features": [\n')

@@ -88,10 +88,14 @@ def write_geoparquet_file(df: DataFrame, path: str, geom: str = "geometry",
                           crs: str | None = None) -> dict:
     """Single-file pyarrow write with the ``geo`` blob embedded in the
     parquet file metadata (full interchange parity; dev-scale — collects
-    to the driver like the reference's pandas-based writer)."""
+    to the driver like the reference's pandas-based writer; row-capped,
+    use write_geoparquet for datasets)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from .feather import _guard_single_file
+
+    _guard_single_file(df, "write_geoparquet_file", "write_geoparquet")
     meta = geo_metadata(df, geom, crs)
     pdf = df.toPandas()
     table = pa.Table.from_pandas(pdf)

@@ -192,3 +192,54 @@ def test_geojson_file_io(gf, spark, tmp_path):
     with open(fc) as f:
         blob = _json.load(f)
     assert blob["type"] == "FeatureCollection" and len(blob["features"]) == 3
+
+
+def test_feather_dataset_roundtrip(spark, tmp_path):
+    """Distributed Feather: one IPC file per partition (no driver
+    materialization), geo blob carried, executor-side read."""
+    import numpy as np
+    import pandas as pd
+
+    from geopandas_spark.geom.ragged import points_batch
+    from geopandas_spark.geom.wkb import to_wkb
+    from geopandas_spark.sources.feather import (read_feather_dataset,
+                                                 write_feather_dataset)
+
+    n = 5000
+    r = np.random.default_rng(3)
+    df = spark.createDataFrame(pd.DataFrame({
+        "pid": np.arange(n),
+        "geometry": list(to_wkb(points_batch(r.random(n), r.random(n)))),
+    })).repartition(6)
+    path = str(tmp_path / "fds")
+    meta = write_feather_dataset(df, path, crs="EPSG:4326")
+    import os
+    parts = [f for f in os.listdir(path) if f.endswith(".feather")]
+    assert len(parts) >= 2, "expected one file per non-empty partition"
+    back, meta2 = read_feather_dataset(spark, path)
+    assert meta2 == meta and meta["columns"]["geometry"]["crs"] == "EPSG:4326"
+    assert back.count() == n
+    assert sorted(r2.pid for r2 in back.select("pid").collect()) == \
+        list(range(n))
+
+
+def test_geoarrow_dataset_roundtrip(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from geopandas_spark.geom.ragged import points_batch
+    from geopandas_spark.geom.wkb import to_wkb
+    from geopandas_spark.sources.geoarrow import (read_geoarrow_dataset,
+                                                  write_geoarrow_dataset)
+
+    n = 1000
+    r = np.random.default_rng(4)
+    df = spark.createDataFrame(pd.DataFrame({
+        "pid": np.arange(n),
+        "geometry": list(to_wkb(points_batch(r.random(n), r.random(n)))),
+    })).repartition(4)
+    path = str(tmp_path / "gads")
+    write_geoarrow_dataset(df, path, crs="EPSG:3857")
+    back, geom_col, crs = read_geoarrow_dataset(spark, path)
+    assert geom_col == "geometry" and crs == "EPSG:3857"
+    assert back.count() == n

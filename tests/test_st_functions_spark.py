@@ -209,3 +209,44 @@ def test_sample_points_methods(gdf):
     assert n == 0
     with pytest.raises(ValueError):
         st.st_sample_points("geometry", 5, method="ripley_nope")
+
+
+def test_sample_points_custom_sampler(gdf):
+    """Pluggable samplers (reference: arbitrary pointpats method strings,
+    base.py:5676-5683): a registered or directly-passed callable proposes
+    candidates that the engine rejection-clips; results are deterministic
+    under repartitioning (per-row seeded rng)."""
+    import numpy as np
+
+    from geopandas_spark.functions.st import register_sampler
+
+    def left_half(rng, m, ctx):
+        xs = rng.uniform(ctx["minx"], ctx["cx"], m)
+        ys = rng.uniform(ctx["miny"], ctx["maxy"], m)
+        return xs, ys
+
+    register_sampler("left_half", left_half)
+    poly = gdf.filter(F.col("id") == 2)  # 4x4 square at origin
+    for method in ("left_half", left_half):
+        samp = poly.select("id", st.st_sample_points(
+            "geometry", 30, seed=5, row_key="id", method=method).alias("s"))
+        rows = st.st_get_coordinates_exploded(samp, "s", ["id"]).collect()
+        c = np.array([[r["x"], r["y"]] for r in rows])
+        assert len(c) == 30
+        assert (c[:, 0] <= 2.0).all() and (c[:, 0] >= 0.0).all()
+
+    # determinism under partitioning: same rows, different layout
+    a = poly.select(st.st_astext(st.st_sample_points(
+        "geometry", 10, seed=9, row_key="id",
+        method="left_half")).alias("w")).collect()[0]["w"]
+    b = poly.repartition(8).select(st.st_astext(st.st_sample_points(
+        "geometry", 10, seed=9, row_key="id",
+        method="left_half")).alias("w")).collect()[0]["w"]
+    assert a == b
+
+    # pointpats-style custom samplers are polygon-only: lines -> empty
+    line = gdf.filter(F.col("id") == 1)
+    n = line.select(st.st_num_geometries(st.st_sample_points(
+        "geometry", 5, seed=1, row_key="id",
+        method="left_half")).alias("n")).collect()[0]["n"]
+    assert n == 0

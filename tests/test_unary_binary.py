@@ -729,3 +729,32 @@ def test_make_valid_passthrough_keeps_z():
     assert w[1] == "LINESTRING Z (0 0 1, 2 2 4)"
     assert w[2] == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
     assert "POLYGON" in w[3] and U.is_valid(out)[3]
+
+
+def test_dart_intersection_constant():
+    """The overlay_dart_intersection oracle constant: unit darts
+    (0,0),(2,1),(4,0),(2,3) and its 180-degree rotation about (2,1.5)
+    intersect in area EXACTLY 2 (GH kernel == Martinez-Rueda sweep ==
+    hand computation), scale-invariantly 2*s^2."""
+    import numpy as np
+
+    from geopandas_spark.geom.boolean import boolean_rings, group_rings
+    from geopandas_spark.geom.ghclip import batch_intersection
+
+    def area(rings):
+        s = 0.0
+        for r in rings:
+            x, y = r[:, 0], r[:, 1]
+            s += 0.5 * abs(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+        return s
+
+    for s in (1.0, 0.005, 3.7):
+        A = np.array([[0, 0], [2, 1], [4, 0], [2, 3], [0, 0]], float) * s
+        B = np.array([[4, 3], [2, 2], [0, 3], [2, 0], [4, 3]], float) * s
+        res, fb = batch_intersection([A], [B])
+        assert not fb[0], "dart pair must take the GH path, not fallback"
+        gh_area = area(res[0])
+        sweep = group_rings(boolean_rings([A], [B], "intersection"))
+        sw_area = sum(area(p) for p in sweep)
+        assert abs(gh_area - 2 * s * s) < 1e-12 * max(1.0, s * s)
+        assert abs(sw_area - 2 * s * s) < 1e-12 * max(1.0, s * s)
