@@ -61,6 +61,7 @@ def main():
         "minhash_near_dups",
         "cosine_topk",
         "overlay_star_intersection",
+        "overlay_dart_intersection",
         "ngram_jaccard_pairs",
         "make_valid_bowtie_area",
         "lsh_topk_embeddings",
@@ -85,14 +86,23 @@ def main():
             pass
         spark.catalog.clearCache()
 
+    # best-of-N timed passes (the shared host swings +-3x between
+    # minutes; min is the standard noise-robust estimator — same
+    # protocol as tools/scaling_bench.py). Passes are interleaved
+    # (full sweep, then again) so one slow window can't taint every
+    # second sample of the same query.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name in headline:
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
-        rows[name] = n
-        spark.catalog.clearCache()
+    for _ in range(reps):
+        for name in headline:
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            if name not in times or dt < times[name]:
+                times[name] = dt
+            rows[name] = n
+            spark.catalog.clearCache()
 
     flagship_rows = rows["sjoin_points_in_rects"]
     flagship_sec = max(times["sjoin_points_in_rects"], 1e-9)
@@ -107,6 +117,8 @@ def main():
         "rows": rows,
         "sf": sf,
         "warmup": "one untimed pass at sf0.01 (lazy-VM page-fault warmup; see comment)",
+        "passes": reps,
+        "estimator": "min over interleaved passes (host noise +-3x)",
     }
     print(json.dumps(out))
     spark.stop()

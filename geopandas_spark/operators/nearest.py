@@ -360,8 +360,8 @@ def _chebyshev_dt(occ: np.ndarray) -> np.ndarray:
     return D
 
 
-def _nocand_tail(nanrows, rxp, _exact_pairs, _disk_probe, resolution, domain,
-                 min_cell, k_cap, max_distance):
+def _nocand_tail(nanrows, rxp, _raw_pairs, _disk_probe, resolution, domain,
+                 min_cell, k_cap, max_distance, exclusive=False):
     """Tail probes for rows with NO phase-1 candidate (sparse
     neighborhoods). A Chebyshev distance-transform bitmap of the right
     side's non-empty cells (built ONCE on the driver, broadcast as a
@@ -407,7 +407,7 @@ def _nocand_tail(nanrows, rxp, _exact_pairs, _disk_probe, resolution, domain,
         if max_distance is not None:
             # hard search bound: ONE probe at the max_distance radius is
             # already exhaustive for rows that can match at all
-            parts.append(_exact_pairs(_disk_probe(
+            parts.append(_raw_pairs(_disk_probe(
                 nanrows, F.lit(float(max_distance)))))
             return parts
         # first probe at radius exactly D: the disk(D) of the row's cell
@@ -422,11 +422,10 @@ def _nocand_tail(nanrows, rxp, _exact_pairs, _disk_probe, resolution, domain,
             "__xlid", "__lgeom",
             F.explode(_disk_cells_var_udf()(
                 F.col("__cell0"), F.col("__k"))).alias("__cell"))
-        cand = _exact_pairs(probe1)
+        cand = _raw_pairs(probe1)
         parts.append(cand)
-        dstar = cand.groupBy("__xlid").agg(F.min("__d").alias("__B2"))
-        src2 = nanrows.join(dstar, on="__xlid", how="inner")
-        parts.append(_exact_pairs(_disk_probe(src2, F.col("__B2"))))
+        parts.append(_dstar_reprobe(cand, nanrows, _raw_pairs, _disk_probe,
+                                    exclusive))
         return parts
 
     # huge grid: coarse-directory bound + disk expansion
@@ -455,15 +454,34 @@ def _nocand_tail(nanrows, rxp, _exact_pairs, _disk_probe, resolution, domain,
         bound = np.sqrt(2.0) * (D + 1) * (1 << shift) * min_cell
         return pd.Series(bound)
 
-    cand = _exact_pairs(_disk_probe(
+    cand = _raw_pairs(_disk_probe(
         nanrows.withColumn("__B", _nocand_bound(F.col("__cell0"))),
         F.col("__B")))
     parts.append(cand)
     # the coarse bound is always optimistic -> validate with d*
-    dstar = cand.groupBy("__xlid").agg(F.min("__d").alias("__B2"))
-    src2 = nanrows.join(dstar, on="__xlid", how="inner")
-    parts.append(_exact_pairs(_disk_probe(src2, F.col("__B2"))))
+    parts.append(_dstar_reprobe(cand, nanrows, _raw_pairs, _disk_probe,
+                                exclusive))
     return parts
+
+
+def _dstar_reprobe(raw_cand, nanrows, _raw_pairs, _disk_probe,
+                   exclusive: bool):
+    """Second probe at each row's realized best distance d*: the exact
+    distance to SOME found candidate is a valid upper bound on the true
+    nearest, so a disk at that radius provably contains it and all ties.
+    Distances here are computed only for the d* aggregate (the caller's
+    single shared dedup+distance pass re-computes them on the deduped
+    union — cheaper than a dedup shuffle per probe)."""
+    from ..functions.st import st_distance as _dist
+
+    d1 = raw_cand
+    if exclusive:
+        # a self-match would yield d*=0 and an empty re-probe disk
+        d1 = d1.filter(F.col("__lgeom") != F.col("__rgeom"))
+    dstar = (d1.withColumn("__d", _dist("__lgeom", "__rgeom"))
+             .groupBy("__xlid").agg(F.min("__d").alias("__B2")))
+    src2 = nanrows.join(dstar, on="__xlid", how="inner")
+    return _raw_pairs(_disk_probe(src2, F.col("__B2")))
 
 
 def sjoin_nearest(
@@ -598,11 +616,14 @@ def sjoin_nearest(
     # cells of the worst-case distance into that cell. No disk expansion,
     # no iteration. Falls back to bounded disk expansion only when the
     # directory would be too large to broadcast (then cells are coarse).
+    # NOT checkpointed: p1 already is, so every consumer re-reads the
+    # checkpoint and re-applies one cheap filter — a third localCheckpoint
+    # costs ~1.5s of driver-serial RDD plan compilation (round-3 profile)
     unresolved = p1.filter(~F.col("__ok")).select(
         "__xlid", F.col("__tgeom").alias("__lgeom"),
         F.col("__tcell").alias("__cell0"), F.col("__trad").alias("__lrad"),
         F.col("__d").alias("__dbest"),
-    ).localCheckpoint(eager=False)
+    )
     tail_parts = []
     # ONE action sizes both tail classes (round 1 ran isEmpty twice — two
     # extra serial jobs per call)
@@ -631,36 +652,37 @@ def sjoin_nearest(
                 F.explode(_disk_cells_var_udf()(
                     F.col("__cell0"), F.col("__k"))).alias("__cell"))
 
-        def _exact_pairs(lx_):
-            cand_ = (
-                lx_.join(rxp, on="__cell", how="inner")
-                .select("__xlid", "__xrid", "__lgeom", "__rgeom")
-                .dropDuplicates(["__xlid", "__xrid"])
-            )
-            if exclusive:
-                cand_ = cand_.filter(F.col("__lgeom") != F.col("__rgeom"))
-            cand_ = cand_.withColumn("__d", st_distance("__lgeom", "__rgeom"))
-            if max_distance is not None:
-                cand_ = cand_.filter(F.col("__d") <= float(max_distance))
-            out_cols = ["__xlid", "__xrid", "__d"]
-            if narrow:
-                out_cols.append("__lgeom")
-            return cand_.select(*out_cols)
+        def _raw_pairs(lx_):
+            # candidate pairs WITHOUT dedup/distance: duplicates (same
+            # pair reached via several probed cells) survive to the ONE
+            # shared dropDuplicates below — round-3: each probe used to
+            # pay its own dedup shuffle + distance pass (3x the tail's
+            # shuffle stages for <3% of the rows)
+            return (lx_.join(rxp, on="__cell", how="inner")
+                    .select("__xlid", "__xrid", "__lgeom", "__rgeom"))
 
         bcol = F.col("__dbest")
         if max_distance is not None:
             bcol = F.least(bcol, F.lit(float(max_distance)))
-        tail_parts.append(_exact_pairs(_disk_probe(have_d, bcol)))
+        tail_parts.append(_raw_pairs(_disk_probe(have_d, bcol)))
 
         if n_nan:
             tail_parts.extend(_nocand_tail(
-                nanrows, rxp, _exact_pairs, _disk_probe, resolution, domain,
-                min_cell, k_cap, max_distance))
+                nanrows, rxp, _raw_pairs, _disk_probe, resolution, domain,
+                min_cell, k_cap, max_distance, exclusive))
     if tail_parts:
         tail_pairs = tail_parts[0]
         for pdf_ in tail_parts[1:]:
             tail_pairs = tail_pairs.unionByName(pdf_)
         tail_pairs = tail_pairs.dropDuplicates(["__xlid", "__xrid"])
+        if exclusive:
+            tail_pairs = tail_pairs.filter(
+                F.col("__lgeom") != F.col("__rgeom"))
+        tail_pairs = tail_pairs.withColumn(
+            "__d", st_distance("__lgeom", "__rgeom"))
+        if max_distance is not None:
+            tail_pairs = tail_pairs.filter(
+                F.col("__d") <= float(max_distance))
         w = Window.partitionBy("__xlid")
         tcols = ["__xlid", "__xrid", "__d"] + (["__lgeom"] if narrow else [])
         tail_matched = (

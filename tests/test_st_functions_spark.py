@@ -250,3 +250,23 @@ def test_sample_points_custom_sampler(gdf):
         "geometry", 5, seed=1, row_key="id",
         method="left_half")).alias("n")).collect()[0]["n"]
     assert n == 0
+
+
+def test_get_coordinates_exploded_include_z(spark):
+    """DataFrame-level get_coordinates(include_z=True): z column present,
+    NaN for 2-D rows (reference base.py:5550-5622)."""
+    import math
+
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": [0, 1],
+        "w": ["LINESTRING Z (0 0 5, 1 1 6)", "POINT (2 3)"],
+    })).withColumn("g", st.st_geomfromtext("w"))
+    out = st.st_get_coordinates_exploded(df, "g", ["id"], include_z=True)
+    rows = sorted(out.collect(), key=lambda r: (r["id"], r["coord_index"]))
+    assert [r["z"] for r in rows[:2]] == [5.0, 6.0]
+    # 2-D rows: reference emits NaN z; through Arrow/Spark that's NULL
+    assert rows[2]["z"] is None or math.isnan(rows[2]["z"])
+    out2 = st.st_get_coordinates_exploded(df, "g", ["id"])
+    assert "z" not in out2.columns

@@ -758,3 +758,43 @@ def test_dart_intersection_constant():
         sw_area = sum(area(p) for p in sweep)
         assert abs(gh_area - 2 * s * s) < 1e-12 * max(1.0, s * s)
         assert abs(sw_area - 2 * s * s) < 1e-12 * max(1.0, s * s)
+
+
+def test_3d_fixture_parity():
+    """Reference 3-D fixtures (tests/test_geom_methods.py:40-76): Z is
+    carried through the data model, has_z/z work, and the measures
+    (area/length/centroid/distance) compute on xy exactly like the
+    reference (GEOS is 2-D for these — Z is ignored, not an error)."""
+    from geopandas_spark.geom import wkt as W
+
+    gz = W.from_wkt([
+        "POLYGON Z ((1 1 1, 2 2 2, 3 3 3, 1 1 1))",      # tz (degenerate)
+        "POLYGON Z ((1 1 1, 2 2 2, 3 3 3, 4 4 4, 1 1 1))",  # sqz
+        "POINT (5 5)",                                    # p0 (2-D)
+        "POINT Z (5 5 5)",                                # p3d
+        "POLYGON ((0 0, 1 0, 1 1, 0 0))",                 # t1 (2-D)
+    ])
+    # has_z (reference test_has_z)
+    assert list(gz.geom_has_z) == [True, True, False, True, False]
+    # measures are xy-only (reference semantics): the collinear Z
+    # polygons have zero 2-D area; t1 has area 0.5
+    from geopandas_spark.geom.kernels import area as _area
+
+    a = _area(gz)
+    assert abs(a[0]) < 1e-15 and abs(a[1]) < 1e-15
+    assert abs(a[4] - 0.5) < 1e-15
+    # get_coordinates(include_z): NaN z on 2-D rows
+    c3, idx = U.get_coordinates(gz, include_z=True)
+    import numpy as np
+
+    p0_rows = c3[idx == 2]
+    assert np.isnan(p0_rows[:, 2]).all()
+    p3d_rows = c3[idx == 3]
+    assert p3d_rows[0, 2] == 5.0
+    # force_2d drops Z; force_3d(0) fills it
+    from geopandas_spark.geom.transforms import force_2d as _f2d
+
+    f2 = _f2d(gz)
+    assert f2.geom_has_z is None or not f2.geom_has_z.any()
+    f3 = U.force_3d(f2, 9.0)
+    assert f3.geom_has_z.all() and (f3.zs == 9.0).all()
