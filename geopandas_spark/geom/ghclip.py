@@ -104,14 +104,21 @@ def batch_intersection(subjects: list, clips: list):
     rid = np.repeat(np.arange(R), lens1)
     local = np.arange(total1, dtype=np.int64) - starts1[rid]
     src = starts0[rid] + local
-    # signed area (shoelace over the open ring, cyclic next)
+    # signed area (shoelace over the open ring, cyclic next). Empty rings
+    # are masked out of the wrap fix (their start==end slot belongs to the
+    # PREVIOUS ring) and out of reduceat (whose index could run past the
+    # buffer when the last ring is empty).
     W0 = V[src]
     Wn0 = np.empty_like(W0)
-    Wn0[:-1] = W0[1:]
-    Wn0[starts1[1:] - 1] = W0[starts1[:-1]]
+    if total1:
+        Wn0[:-1] = W0[1:]
+        ne = lens1 > 0
+        Wn0[(starts1[1:] - 1)[ne]] = W0[starts1[:-1][ne]]
     cross_terms = W0[:, 0] * Wn0[:, 1] - Wn0[:, 0] * W0[:, 1]
-    area2 = np.add.reduceat(cross_terms, starts1[:-1]) \
-        if total1 else np.zeros(R)
+    area2 = np.zeros(R)
+    if total1:
+        red_idx = np.minimum(starts1[:-1], total1 - 1)
+        area2 = np.add.reduceat(cross_terms, red_idx)
     area2[lens1 == 0] = 0.0
     flip = area2 < 0
     # one gather applies closure-drop AND orientation flip
