@@ -88,8 +88,16 @@ def sjoin_bucketed(
     lres = l.select(F.shiftright("cell", _RES_SHIFT).alias("r")).first()
     rres = r.select(F.shiftright("cell", _RES_SHIFT).alias("r")).first()
     if lres is None or rres is None:
-        return l.limit(0).crossJoin(
-            r.drop("cell", right_geom).limit(0))
+        # one side empty: empty result with the joined schema (same
+        # column renames as the live path)
+        shared0 = (set(l.columns) & set(r.columns)) - {"cell"}
+        r0 = r
+        for c in shared0:
+            r0 = r0.withColumnRenamed(c, f"{c}_right")
+        rg0 = (f"{right_geom}_right" if right_geom in shared0
+               else right_geom)
+        return (l.limit(0).join(r0.limit(0), "cell", "inner")
+                .drop("cell", rg0))
     if int(lres["r"]) != int(rres["r"]):
         raise ValueError(
             f"sjoin_bucketed: tables were written at different cell "

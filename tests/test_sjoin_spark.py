@@ -218,6 +218,32 @@ def test_bucketed_join_no_exchange(data, spark, tmp_path_factory):
         spark.sql("DROP TABLE IF EXISTS bkt_tris")
 
 
+def test_bucketed_join_empty_side(data, spark, tmp_path_factory):
+    """An empty bucketed table joins to an EMPTY result whose schema is
+    identical to the live path's (same _right renames, right geometry
+    and cell dropped) — callers can union/write it without branching."""
+    from geopandas_spark.sources.bucketed import (
+        sjoin_bucketed, write_bucketed_cells)
+
+    pdf, tdf = data[0], data[1]
+    base = str(tmp_path_factory.mktemp("bkte"))
+    write_bucketed_cells(pdf.select("pid", "geometry"), "bkte_pts",
+                         base + "/pts", resolution=5, buckets=8)
+    write_bucketed_cells(tdf.select("tid", "geometry").limit(0),
+                         "bkte_tris", base + "/tris",
+                         resolution=5, buckets=8)
+    try:
+        out = sjoin_bucketed(spark, "bkte_pts", "bkte_tris")
+        live = sjoin_bucketed(spark, "bkte_pts", "bkte_pts")
+        assert out.count() == 0
+        assert out.columns == ["pid", "geometry", "tid"]
+        # live self-join path renames shared cols the same way
+        assert live.columns == ["pid", "geometry", "pid_right"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkte_pts")
+        spark.sql("DROP TABLE IF EXISTS bkte_tris")
+
+
 def _mixed_geoms(seed: int, n: int):
     """Seeded random mixed-type WKB list (points / segments / triangles /
     rects) with ~5% missing rows — adversarial input for the fuzz test."""
