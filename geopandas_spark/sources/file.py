@@ -1,0 +1,200 @@
+"""``read_file`` / ``to_file`` — the reference's main I/O entry points.
+
+Reference: io/file.py:50-252 with the extension->driver map at
+io/file.py:28-34. The engine implements the GDAL-free subset natively:
+
+==============  =======================================================
+extension       driver
+==============  =======================================================
+.shp/.dbf       ESRI Shapefile (pure numpy, sources/shapefile.py)
+.gpkg           GPKG (stdlib sqlite3, sources/gpkg.py)
+.geojson/.json  GeoJSON FeatureCollection (sources/geojson.py)
+.geojsonl/.geojsons  GeoJSONSeq — the DISTRIBUTED text path
+.csv            CSV with a WKT geometry column (OGR CSV driver contract)
+.parquet        GeoParquet (sources/geoparquet.py)
+.feather/.arrow Feather/Arrow IPC (sources/feather.py)
+==============  =======================================================
+
+Other reference extensions (.fgb, .gml, .gpx, .tab, .dxf, ...) need the
+GDAL binary driver matrix and raise NotImplementedError naming the OGR
+driver, so callers see the same driver string the reference would use.
+
+``bbox``, ``mask``, ``columns`` and ``rows`` follow io/file.py:61-85:
+bbox/mask keep features whose envelope intersects (bbox) or that
+intersect the mask geometry exactly; columns prunes attributes; rows is
+an int (first n) or a slice. For formats whose reader cannot push the
+filter down, the filter is applied as a plan-level predicate — still
+before any downstream shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_UNSUPPORTED = {
+    ".bna": "BNA", ".dxf": "DXF", ".gml": "GML", ".xml": "GML",
+    ".gpx": "GPX", ".gtm": "GPSTrackMaker", ".gtz": "GPSTrackMaker",
+    ".tab": "MapInfo File", ".mif": "MapInfo File", ".mid": "MapInfo File",
+    ".dgn": "DGN", ".fgb": "FlatGeobuf",
+}
+
+
+def _ext(path: str) -> str:
+    return os.path.splitext(path)[1].lower()
+
+
+def _bbox_mask_filter(df: DataFrame, geom: str, bbox=None, mask=None):
+    from ..functions.st import st_bounds, st_intersects
+
+    if bbox is not None and mask is not None:
+        raise ValueError("bbox and mask cannot both be set (io/file.py:72)")
+    if bbox is not None:
+        b = st_bounds(geom)
+        df = df.filter((b.getField("minx") <= float(bbox[2]))
+                       & (b.getField("maxx") >= float(bbox[0]))
+                       & (b.getField("miny") <= float(bbox[3]))
+                       & (b.getField("maxy") >= float(bbox[1])))
+    if mask is not None:
+        mask_wkb = mask if isinstance(mask, (bytes, bytearray)) else None
+        if mask_wkb is None:
+            from ..geom.wkb import to_wkb
+            from ..geom.wkt import from_wkt
+
+            import pandas as pd
+
+            mask_wkb = bytes(to_wkb(from_wkt(pd.Series([mask])))[0])
+        df = df.filter(st_intersects(F.col(geom), F.lit(bytes(mask_wkb))))
+    return df
+
+
+def _apply_common(df: DataFrame, geom: str, bbox, mask, columns, rows):
+    df = _bbox_mask_filter(df, geom, bbox, mask)
+    if columns is not None:
+        df = df.select(geom, *columns)
+    if rows is not None:
+        if isinstance(rows, slice):
+            start = rows.start or 0
+            if rows.step not in (None, 1):
+                raise ValueError("rows slice step must be 1")
+            n = None if rows.stop is None else rows.stop
+            pdf = df.limit(n if n is not None else 2 ** 31 - 1).toPandas()
+            pdf = pdf.iloc[start:n].reset_index(drop=True)
+            return df.sparkSession.createDataFrame(pdf, schema=df.schema)
+        df = df.limit(int(rows))
+    return df
+
+
+def read_file(spark: SparkSession, path: str, bbox=None, mask=None,
+              columns=None, rows=None, geom: str = "geometry",
+              layer: str | None = None, wkt_column: str = "WKT",
+              **kwargs) -> DataFrame:
+    """Format-dispatching read (io/file.py:50-146). Returns a DataFrame
+    with a WKB ``geom`` column plus the source's attribute columns."""
+    if bbox is not None and mask is not None:
+        raise ValueError("bbox and mask cannot both be set (io/file.py:72)")
+    ext = _ext(path)
+    if ext in _UNSUPPORTED:
+        raise NotImplementedError(
+            f"driver {_UNSUPPORTED[ext]!r} ({ext}) needs GDAL, which this "
+            "environment does not provide (reference io/file.py:28-34)")
+    if ext in (".shp", ".dbf"):
+        from .shapefile import read_shapefile
+
+        # the shapefile reader pushes bbox into the per-record envelope
+        # test and columns/rows into the range plan
+        df = read_shapefile(spark, path, bbox=bbox, columns=columns,
+                            rows=rows, geom=geom, **kwargs)
+        return _bbox_mask_filter(df, geom, None, mask)
+    if ext == ".gpkg":
+        from .gpkg import read_gpkg
+
+        df = read_gpkg(spark, path, layer=layer, bbox=bbox,
+                       columns=columns, rows=rows, geom=geom, **kwargs)
+        return _bbox_mask_filter(df, geom, None, mask)
+    if ext in (".geojson", ".json"):
+        from .geojson import read_geojson_file
+
+        df = read_geojson_file(spark, path, geom)
+        return _apply_common(df, geom, bbox, mask, columns, rows)
+    if ext in (".geojsonl", ".geojsons"):
+        from .geojson import read_geojsonseq
+
+        df = read_geojsonseq(spark, path, geom)
+        return _apply_common(df, geom, bbox, mask, columns, rows)
+    if ext == ".csv":
+        from ..functions.st import st_geomfromtext
+
+        raw = spark.read.csv(path, header=True, inferSchema=True, **kwargs)
+        if wkt_column not in raw.columns:
+            raise ValueError(
+                f"CSV driver needs a WKT column ({wkt_column!r} not in "
+                f"{raw.columns}); pass wkt_column=")
+        df = raw.select(
+            st_geomfromtext(wkt_column).alias(geom),
+            *[c for c in raw.columns if c != wkt_column])
+        return _apply_common(df, geom, bbox, mask, columns, rows)
+    if ext == ".parquet" or (not ext and os.path.isdir(path)):
+        from .geoparquet import read_geoparquet
+
+        df, _meta = read_geoparquet(spark, path)
+        return _apply_common(df, geom, bbox, mask, columns, rows)
+    if ext in (".feather", ".arrow"):
+        from .feather import read_feather
+
+        df, _meta = read_feather(spark, path)
+        return _apply_common(df, geom, bbox, mask, columns, rows)
+    raise NotImplementedError(
+        f"no driver for {ext!r} (reference io/file.py:28-34)")
+
+
+def to_file(df: DataFrame, path: str, geom: str = "geometry",
+            layer: str | None = None, mode: str = "overwrite",
+            crs_wkt: str | None = None, **kwargs) -> None:
+    """Format-dispatching write (io/file.py:159-252). Single-file formats
+    (.shp/.gpkg/.geojson/.feather) are driver-side and row-capped; the
+    distributed sinks are .geojsonl, .parquet datasets and the
+    Feather/GeoArrow dataset writers."""
+    ext = _ext(path)
+    if ext in _UNSUPPORTED:
+        raise NotImplementedError(
+            f"driver {_UNSUPPORTED[ext]!r} ({ext}) needs GDAL, which this "
+            "environment does not provide (reference io/file.py:28-34)")
+    if ext == ".shp":
+        from .shapefile import write_shapefile
+
+        return write_shapefile(df, path, geom=geom, crs_wkt=crs_wkt)
+    if ext == ".gpkg":
+        from .gpkg import write_gpkg
+
+        return write_gpkg(df, path, layer=layer or "layer", geom=geom,
+                          mode=mode if mode != "overwrite" else "overwrite",
+                          crs_wkt=crs_wkt, **kwargs)
+    if ext in (".geojson", ".json"):
+        from .geojson import write_geojson_file
+
+        return write_geojson_file(df, path, geom)
+    if ext in (".geojsonl", ".geojsons"):
+        from .geojson import write_geojsonseq
+
+        return write_geojsonseq(df, path, geom, mode=mode)
+    if ext == ".csv":
+        from ..functions.st import st_astext
+
+        out = df.select(st_astext(geom).alias("WKT"),
+                        *[c for c in df.columns if c != geom])
+        return out.write.mode(mode).csv(path, header=True)
+    if ext == ".parquet":
+        from .geoparquet import write_geoparquet
+
+        write_geoparquet(df, path, geom=geom, mode=mode, **kwargs)
+        return None
+    if ext in (".feather", ".arrow"):
+        from .feather import write_feather
+
+        write_feather(df, path, geom=geom, **kwargs)
+        return None
+    raise NotImplementedError(
+        f"no driver for {ext!r} (reference io/file.py:28-34)")

@@ -45,10 +45,37 @@ def _geo_blob(path: str) -> dict | None:
 def list_layers(path: str) -> list[tuple[str, str]]:
     """[(layer_name, geometry_type)] for the dataset at ``path``.
 
-    GeoParquet file / directory+sidecar / Feather. A container without a
-    ``geo`` blob lists each binary column as a potential layer of
-    Unknown type (mirrors pyogrio's Unknown for untyped sources).
+    GeoParquet file / directory+sidecar / Feather / GeoPackage /
+    Shapefile. A container without a ``geo`` blob lists each binary
+    column as a potential layer of Unknown type (mirrors pyogrio's
+    Unknown for untyped sources).
     """
+    if path.endswith(".gpkg"):
+        from .gpkg import gpkg_layers
+
+        up = {"POINT": "Point", "LINESTRING": "LineString",
+              "POLYGON": "Polygon", "MULTIPOINT": "MultiPoint",
+              "MULTILINESTRING": "MultiLineString",
+              "MULTIPOLYGON": "MultiPolygon",
+              "GEOMETRYCOLLECTION": "GeometryCollection"}
+        return [(name, up.get(gtype.upper(), "Unknown"))
+                for name, gtype in gpkg_layers(path)]
+    if path.endswith(".shp"):
+        import struct
+
+        from .shapefile import (SHP_MULTIPOINT, SHP_MULTIPOINTZ, SHP_POINT,
+                                SHP_POINTZ, SHP_POLYGON, SHP_POLYGONZ,
+                                SHP_POLYLINE, SHP_POLYLINEZ)
+
+        with open(path, "rb") as f:
+            head = f.read(100)
+        st = struct.unpack("<i", head[32:36])[0]
+        name = os.path.splitext(os.path.basename(path))[0]
+        tmap = {SHP_POINT: "Point", SHP_POINTZ: "Point",
+                SHP_MULTIPOINT: "MultiPoint", SHP_MULTIPOINTZ: "MultiPoint",
+                SHP_POLYLINE: "LineString", SHP_POLYLINEZ: "LineString",
+                SHP_POLYGON: "Polygon", SHP_POLYGONZ: "Polygon"}
+        return [(name, tmap.get(st, "Unknown"))]
     meta = _geo_blob(path)
     if meta is not None:
         cols = meta.get("columns", {})
