@@ -102,6 +102,39 @@ _RECT_SQL = f"""
 _PTS_SQL = f"SELECT c_custkey, {_PT_SQL_X} AS x, {_PT_SQL_Y} AS y FROM customer"
 
 
+def _simhash_sql() -> str:
+    """Closed-form simhash oracle (generated, like the hilbert bit SQL):
+    md5-based 64-bit token hash -> per-bit weighted vote -> signature ->
+    brute-force hamming<=3 pairs. Mirrors operators/dedup.py
+    simhash_signatures(hash_fn='md5') bit for bit."""
+    hv = "CAST(concat('0x', substr(md5(t), 1, 16)) AS UBIGINT)"
+    votes = ", ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64))
+    sig = " | ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS UBIGINT) "
+        f"ELSE CAST(0 AS UBIGINT) END)"
+        for b in range(64))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            FROM documents
+            WHERE text IS NOT NULL AND trim(text) <> ''
+        ), h AS (
+            SELECT doc_id, {hv} AS hv FROM toks WHERE t <> ''
+        ), votes AS (
+            SELECT doc_id, {votes} FROM h GROUP BY doc_id
+        ), sig AS (
+            SELECT doc_id, {sig} AS s FROM votes
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= 3
+    """
+
+
 def _morton_sql(xcol: str, ycol: str, res: int) -> str:
     """Bit-interleave SQL (generated): cell id = (res<<56) | morton(i,j)."""
     n = 1 << res
@@ -334,11 +367,16 @@ def q_minhash_near_dups(spark, sf_dir) -> DataFrame:
 
 
 def q_simhash_near_dups(spark, sf_dir) -> DataFrame:
-    """SimHash hamming<=3 pairs (rows-only)."""
+    """SimHash hamming<=3 pairs. hash_fn='md5' so the whole pipeline —
+    token hash, bit voting, chunk banding (exact by pigeonhole at
+    hamming<=3 over 4 chunks), hamming filter — has a closed-form SQL
+    oracle; max_bucket is lifted so the hot-bucket star-cap cannot drop
+    pairs at oracle scale."""
     from geopandas_spark.operators.dedup import simhash_near_dups
 
     docs = _load(spark, sf_dir, "documents")
-    return simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
+    return simhash_near_dups(docs, "text", "doc_id", max_hamming=3,
+                             max_bucket=1_000_000, hash_fn="md5")
 
 
 def q_events_topk_window(spark, sf_dir) -> DataFrame:
@@ -457,6 +495,44 @@ def q_geojson_roundtrip(spark, sf_dir) -> DataFrame:
     pts = _customer_points(spark, sf_dir)
     rt = pts.withColumn("g2", st_geomfromgeojson(st_asgeojson("geometry")))
     return rt.select("c_custkey", st_x("g2").alias("x"), st_y("g2").alias("y"))
+
+
+def q_gpkg_roundtrip(spark, sf_dir) -> DataFrame:
+    """GeoPackage out/in through the stdlib-sqlite3 GPKG driver
+    (io/file.py:28-34 'GPKG'; sources/gpkg.py): write customer points to
+    a .gpkg, read back distributed (rowid-range tasks); coordinates and
+    keys survive exactly. Oracle = the original x/y."""
+    import os
+    import tempfile
+
+    from geopandas_spark.functions.st import st_x, st_y
+    from geopandas_spark.sources.file import read_file, to_file
+
+    pts = _customer_points(spark, sf_dir).select("c_custkey", "geometry")
+    path = os.path.join(tempfile.mkdtemp(prefix="gs_gpkg_"), "pts.gpkg")
+    to_file(pts, path, layer="pts")
+    back = read_file(spark, path)
+    return back.select("c_custkey", st_x("geometry").alias("x"),
+                       st_y("geometry").alias("y"))
+
+
+def q_shapefile_roundtrip(spark, sf_dir) -> DataFrame:
+    """Shapefile out/in through the pure-numpy .shp/.shx/.dbf driver
+    (io/file.py:28-34 'ESRI Shapefile'; sources/shapefile.py): part
+    rectangles + integer key; ring orientation is normalized on write so
+    the check is key + area. Oracle = closed-form side^2."""
+    import os
+    import tempfile
+
+    from geopandas_spark.functions.st import st_area
+    from geopandas_spark.sources.file import read_file, to_file
+
+    rects = _part_rects(spark, sf_dir).select("p_partkey", "geometry")
+    path = os.path.join(tempfile.mkdtemp(prefix="gs_shp_"), "rects.shp")
+    to_file(rects, path)
+    back = read_file(spark, path)
+    return back.select("p_partkey",
+                       F.round(st_area("geometry"), 9).alias("area"))
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
@@ -1098,6 +1174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_bounding_radius": q_min_bounding_radius,
         "hausdorff_center": q_hausdorff_center,
         "geojson_roundtrip": q_geojson_roundtrip,
+        "gpkg_roundtrip": q_gpkg_roundtrip,
+        "shapefile_roundtrip": q_shapefile_roundtrip,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "disjoint_window": q_disjoint_window,
         "make_valid_bowtie_area": q_make_valid_bowtie_area,
@@ -1394,8 +1472,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(jaccard, 9) + 0.0 AS jaccard
             FROM pairs WHERE jaccard >= 0.5
         """,
-        # simhash / lsh_topk: rows-only (bit-voting / bucketing not
-        # SQL-expressible; recall pinned in pytest)
+        # lsh_topk: rows-only (random-hyperplane bucketing not
+        # SQL-expressible; recall vs cosine_topk pinned in pytest)
+        "simhash_near_dups": _simhash_sql(),
 
         "transform_webmercator": f"""
             WITH pts AS ({_PTS_SQL})
@@ -1443,6 +1522,17 @@ def oracle_sql() -> dict[str, str]:
         "geojson_roundtrip": f"""
             WITH pts AS ({_PTS_SQL})
             SELECT c_custkey, x, y FROM pts
+        """,
+        "gpkg_roundtrip": f"""
+            WITH pts AS ({_PTS_SQL})
+            SELECT c_custkey, x, y FROM pts
+        """,
+        "shapefile_roundtrip": """
+            SELECT p_partkey,
+                   round(CAST(0.02 + (p_partkey % 10) * 0.005 AS DOUBLE)
+                         * CAST(0.02 + (p_partkey % 10) * 0.005 AS DOUBLE),
+                         9) AS area
+            FROM part
         """,
         "ngram_jaccard_pairs": r"""
             WITH toks AS (

@@ -326,8 +326,26 @@ def minhash_lsh(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
-                       out_col: str = "simhash") -> DataFrame:
-    """64-bit simhash over whitespace tokens (weighted bit voting)."""
+                       out_col: str = "simhash",
+                       hash_fn: str = "blake2b") -> DataFrame:
+    """64-bit simhash over whitespace tokens (weighted bit voting).
+
+    ``hash_fn``: 'blake2b' (default, fastest stdlib 64-bit digest) or
+    'md5' — first 8 digest bytes big-endian, chosen because a SQL engine
+    can reproduce it (``CAST('0x' || substr(md5(tok),1,16) AS UBIGINT)``),
+    giving the near-dup pipeline a closed-form external oracle.
+    """
+    if hash_fn == "blake2b":
+        tok_hash = _str_hash64
+    elif hash_fn == "md5":
+        import hashlib
+
+        def tok_hash(s: str) -> int:
+            return int.from_bytes(
+                hashlib.md5(s.encode("utf-8", "replace")).digest()[:8],
+                "big")
+    else:
+        raise ValueError(f"hash_fn must be blake2b|md5, got {hash_fn!r}")
 
     @pandas_udf("long")
     def _sim(texts: pd.Series) -> pd.Series:
@@ -340,7 +358,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
             if not toks:
                 out[i] = 0
                 continue
-            hs = np.array([_str_hash64(tok) for tok in toks], dtype=np.uint64)
+            hs = np.array([tok_hash(tok) for tok in toks], dtype=np.uint64)
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                     & np.uint64(1)).astype(np.int64)
             votes = (2 * bits - 1).sum(axis=0)
@@ -355,7 +373,8 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", max_hamming: int = 3,
-                      max_bucket: int = 1000) -> DataFrame:
+                      max_bucket: int = 1000,
+                      hash_fn: str = "blake2b") -> DataFrame:
     """Banding on 4x16-bit chunks: pairs within hamming<=3 share >=1 chunk
     (pigeonhole). -> (id_a, id_b, hamming).
 
@@ -367,7 +386,7 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     from ..conf import widen
 
     df = widen(df)
-    sig = simhash_signatures(df, text_col).select(
+    sig = simhash_signatures(df, text_col, hash_fn=hash_fn).select(
         F.col(id_col).alias("__id"), F.col("simhash"))
     sig = sig.localCheckpoint(eager=False)
     chunks = sig.select(
