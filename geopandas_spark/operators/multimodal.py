@@ -2,16 +2,20 @@
 
 Task-brief contract: image/audio/video live as opaque ``binary`` columns
 with typed metadata; decode/feature-extract/resize/frame-sample are
-Arrow-batched UDF stages. The real codec libraries are not in this
-container, so the *decode* of real formats raises NotImplementedError —
-but the Spark-side plumbing (schema, partitioning, UDF signatures, batch
-shapes) is real and exercised by a deterministic fake payload format:
+Arrow-batched UDF stages. Three REAL formats decode and encode here with
+no external library (operators/codecs.py): PNG (stdlib zlib), 24-bit
+BMP, and PCM-16 WAV. Formats that genuinely require native codec
+libraries absent from this container (JPEG, MP4, ...) raise
+NotImplementedError — that boundary, not a stub, is the only cut.
+
+A deterministic fake payload format is also kept (cheapest possible
+plumbing exercise, and the historical test surface):
 
     FAKEIMG1 | uint16 width | uint16 height | uint8 channels | pixels...
     FAKEAUD1 | uint32 sample_rate | uint32 n_samples | samples (int16)...
 
-``synthesize_media`` generates these fakes deterministically from a
-media_ref so the whole path is testable end-to-end.
+``synthesize_media(fmt=...)`` generates fake or real payloads
+deterministically from a media_ref so every path tests end-to-end.
 """
 
 from __future__ import annotations
@@ -34,11 +38,21 @@ MEDIA_META_SCHEMA = (
 
 
 def synthesize_media(df: DataFrame, ref_col: str = "media_ref",
-                     out_col: str = "media_bytes") -> DataFrame:
-    """Deterministic fake payload per media_ref (seeded by the ref hash)."""
+                     out_col: str = "media_bytes",
+                     fmt: str = "fake") -> DataFrame:
+    """Deterministic payload per media_ref (seeded by the ref hash).
+
+    ``fmt='fake'`` emits the FAKE* header formats; ``fmt='real'`` emits
+    genuine PNG (even seeds) / BMP (odd seeds) images and PCM WAV audio,
+    encoded by operators/codecs.py — same pixel/sample values either way.
+    """
+    if fmt not in ("fake", "real"):
+        raise ValueError(f"fmt must be fake|real, got {fmt!r}")
 
     @pandas_udf("binary")
     def _gen(refs: pd.Series) -> pd.Series:
+        from . import codecs
+
         out = []
         for ref in refs:
             if ref is None:
@@ -49,14 +63,41 @@ def synthesize_media(df: DataFrame, ref_col: str = "media_ref",
             if ref.startswith("aud://"):
                 sr, n = 16000, int(rng.integers(100, 400))
                 samples = rng.integers(-32768, 32767, n, dtype=np.int16)
-                out.append(_AUD_MAGIC + struct.pack("<II", sr, n) + samples.tobytes())
+                if fmt == "real":
+                    out.append(codecs.encode_wav(samples, sr))
+                else:
+                    out.append(_AUD_MAGIC + struct.pack("<II", sr, n)
+                               + samples.tobytes())
             else:
                 w, h, c = int(rng.integers(4, 32)), int(rng.integers(4, 32)), 3
                 px = rng.integers(0, 256, w * h * c, dtype=np.uint8)
-                out.append(_IMG_MAGIC + struct.pack("<HHB", w, h, c) + px.tobytes())
+                if fmt == "real":
+                    grid = px.reshape(h, w, c)
+                    out.append(codecs.encode_png(grid) if seed % 2 == 0
+                               else codecs.encode_bmp(grid))
+                else:
+                    out.append(_IMG_MAGIC + struct.pack("<HHB", w, h, c)
+                               + px.tobytes())
         return pd.Series(out)
 
     return df.withColumn(out_col, _gen(F.col(ref_col)))
+
+
+def _decode_image(b: bytes) -> np.ndarray | None:
+    """Any supported image payload -> uint8[(h, w, c)] (None for non-image)."""
+    from . import codecs
+
+    if b is None:
+        return None
+    if b[:8] == _IMG_MAGIC:
+        w, h, c = struct.unpack_from("<HHB", b, 8)
+        return np.frombuffer(b, dtype=np.uint8, offset=13).reshape(h, w, c)
+    kind = codecs.sniff(bytes(b))
+    if kind == "png":
+        return codecs.decode_png(bytes(b))
+    if kind == "bmp":
+        return codecs.decode_bmp(bytes(b))
+    return None
 
 
 def hash_ref(ref: str) -> int:
@@ -69,26 +110,42 @@ def hash_ref(ref: str) -> int:
 
 def decode_metadata(df: DataFrame, bytes_col: str = "media_bytes",
                     out_col: str = "media_meta") -> DataFrame:
-    """Parse typed metadata from the payload header. Real formats (JPEG,
-    PNG, WAV, MP4...) raise NotImplementedError — codec libs absent here;
-    the schema and batch plumbing are the product surface."""
+    """Parse typed metadata from the payload header: PNG/BMP/WAV for real
+    (header-only read, no pixel/sample decode) plus the FAKE* formats.
+    Formats needing native codec libs (JPEG, MP4...) raise."""
 
     @pandas_udf(MEDIA_META_SCHEMA)
     def _meta(blobs: pd.Series) -> pd.DataFrame:
+        from . import codecs
+
         rows = []
         for b in blobs:
             if b is None:
                 rows.append((None, None, None, None, None, None, None))
-            elif b[:8] == _IMG_MAGIC:
+                continue
+            if b[:8] == _IMG_MAGIC:
                 w, h, c = struct.unpack_from("<HHB", b, 8)
                 rows.append(("image", w, h, c, None, None, len(b)))
-            elif b[:8] == _AUD_MAGIC:
+                continue
+            if b[:8] == _AUD_MAGIC:
                 sr, n = struct.unpack_from("<II", b, 8)
+                rows.append(("audio", None, None, None, sr, n, len(b)))
+                continue
+            kind = codecs.sniff(bytes(b))
+            if kind == "png":
+                w, h, c = codecs.png_info(bytes(b))
+                rows.append(("image", w, h, c, None, None, len(b)))
+            elif kind == "bmp":
+                w, h, c = codecs.bmp_info(bytes(b))
+                rows.append(("image", w, h, c, None, None, len(b)))
+            elif kind == "wav":
+                sr, n, _ch = codecs.wav_info(bytes(b))
                 rows.append(("audio", None, None, None, sr, n, len(b)))
             else:
                 raise NotImplementedError(
-                    "real media codecs (JPEG/PNG/WAV/...) are unavailable in "
-                    "this environment; only the FAKE* payloads decode"
+                    "unsupported media format — PNG/BMP/WAV decode natively "
+                    "(operators/codecs.py); JPEG/MP4/... need codec libs "
+                    "absent from this environment"
                 )
         return pd.DataFrame(rows, columns=[
             "kind", "width", "height", "channels", "sample_rate",
@@ -106,14 +163,14 @@ def image_features(df: DataFrame, bytes_col: str = "media_bytes",
     def _feat(blobs: pd.Series) -> pd.Series:
         out = []
         for b in blobs:
-            if b is None or b[:8] != _IMG_MAGIC:
+            grid = _decode_image(b)
+            if grid is None:
                 out.append(None)
                 continue
-            w, h, c = struct.unpack_from("<HHB", b, 8)
-            px = np.frombuffer(b, dtype=np.uint8, offset=13).reshape(-1, c)
+            px = grid.reshape(-1, grid.shape[2])
             hist = np.concatenate([
                 np.histogram(px[:, ch], bins=bins, range=(0, 256))[0]
-                for ch in range(c)
+                for ch in range(px.shape[1])
             ]).astype(np.float32)
             n = np.linalg.norm(hist)
             out.append((hist / max(n, 1e-9)).tolist())
@@ -125,27 +182,75 @@ def image_features(df: DataFrame, bytes_col: str = "media_bytes",
 def resize_image(df: DataFrame, width: int, height: int,
                  bytes_col: str = "media_bytes",
                  out_col: str = "media_resized") -> DataFrame:
-    """Nearest-neighbor resize of the fake pixel grid (real formats raise)."""
+    """Nearest-neighbor resize; PNG/BMP re-encode in their own format,
+    FAKEIMG stays FAKEIMG. Non-image payloads raise."""
 
     @pandas_udf("binary")
     def _resize(blobs: pd.Series) -> pd.Series:
+        from . import codecs
+
         out = []
         for b in blobs:
             if b is None:
                 out.append(None)
                 continue
-            if b[:8] != _IMG_MAGIC:
-                raise NotImplementedError("real image resize requires codec libs")
-            w, h, c = struct.unpack_from("<HHB", b, 8)
-            px = np.frombuffer(b, dtype=np.uint8, offset=13).reshape(h, w, c)
+            px = _decode_image(b)
+            if px is None:
+                raise NotImplementedError(
+                    "resize_image over a non-image payload (JPEG/... need "
+                    "codec libs absent here)")
+            h, w, c = px.shape
             yi = (np.arange(height) * h // height)
             xi = (np.arange(width) * w // width)
-            rp = px[yi][:, xi]
-            out.append(_IMG_MAGIC + struct.pack("<HHB", width, height, c)
-                       + rp.tobytes())
+            rp = np.ascontiguousarray(px[yi][:, xi])
+            if b[:8] == _IMG_MAGIC:
+                out.append(_IMG_MAGIC + struct.pack("<HHB", width, height, c)
+                           + rp.tobytes())
+            elif bytes(b[:8]) == codecs.PNG_MAGIC:
+                out.append(codecs.encode_png(rp))
+            else:
+                out.append(codecs.encode_bmp(rp))
         return pd.Series(out)
 
     return df.withColumn(out_col, _resize(F.col(bytes_col)))
+
+
+def audio_features(df: DataFrame, bytes_col: str = "media_bytes",
+                   out_col: str = "audio_feat") -> DataFrame:
+    """Audio feature extraction over decoded samples: [rms, zero-crossing
+    rate, peak] as array<float> (unit-scale int16 domain). Works on WAV
+    and FAKEAUD payloads; None for non-audio rows."""
+
+    @pandas_udf("array<float>")
+    def _feat(blobs: pd.Series) -> pd.Series:
+        from . import codecs
+
+        out = []
+        for b in blobs:
+            if b is None:
+                out.append(None)
+                continue
+            if b[:8] == _AUD_MAGIC:
+                _sr, n = struct.unpack_from("<II", b, 8)
+                s = np.frombuffer(b, dtype="<i2", count=n, offset=16
+                                  ).astype(np.float64)
+            elif codecs.sniff(bytes(b)) == "wav":
+                _sr, frames = codecs.decode_wav(bytes(b))
+                s = frames.mean(axis=1).astype(np.float64)
+            else:
+                out.append(None)
+                continue
+            if len(s) == 0:
+                out.append([0.0, 0.0, 0.0])
+                continue
+            x = s / 32768.0
+            rms = float(np.sqrt(np.mean(x * x)))
+            zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) \
+                if len(x) > 1 else 0.0
+            out.append([rms, zcr, float(np.abs(x).max())])
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _feat(F.col(bytes_col)))
 
 
 def frame_sample(df: DataFrame, every_n: int = 10,

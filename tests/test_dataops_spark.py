@@ -268,3 +268,66 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|real media"):
         decode_metadata(bad).collect()
+
+
+def test_multimodal_real_codecs(spark):
+    """fmt='real' emits genuine PNG/BMP/WAV (operators/codecs.py); every
+    stage decodes them to the SAME values as the fake payloads (identical
+    seeded pixels/samples), so fake vs real outputs must agree."""
+    from geopandas_spark.operators.multimodal import (
+        audio_features, decode_metadata, image_features, resize_image,
+        synthesize_media)
+
+    refs = spark.createDataFrame(pd.DataFrame(
+        {"media_ref": [f"img://{i}" for i in range(6)]
+         + [f"aud://{i}" for i in range(3)]}))
+    fake = synthesize_media(refs, fmt="fake")
+    real = synthesize_media(refs, fmt="real")
+
+    # container magics really differ
+    blobs = {r["media_ref"]: bytes(r["media_bytes"])
+             for r in real.collect()}
+    assert any(b[:8] == b"\x89PNG\r\n\x1a\n" for b in blobs.values())
+    assert any(b[:2] == b"BM" for b in blobs.values())
+    assert all(b[:4] == b"RIFF" for k, b in blobs.items()
+               if k.startswith("aud://"))
+
+    # metadata parity
+    mf = {r["media_ref"]: r for r in decode_metadata(fake)
+          .select("media_ref", "media_meta.*").collect()}
+    mr = {r["media_ref"]: r for r in decode_metadata(real)
+          .select("media_ref", "media_meta.*").collect()}
+    for k in mf:
+        for fld in ("kind", "width", "height", "channels", "sample_rate",
+                    "n_samples"):
+            assert mf[k][fld] == mr[k][fld], (k, fld)
+
+    # pixel-level parity: histogram features identical fake vs real
+    ff = {r["media_ref"]: r["media_feat"] for r in image_features(fake)
+          .filter(F.col("media_feat").isNotNull()).collect()}
+    fr = {r["media_ref"]: r["media_feat"] for r in image_features(real)
+          .filter(F.col("media_feat").isNotNull()).collect()}
+    assert set(ff) == set(fr) and len(ff) == 6
+    for k in ff:
+        assert ff[k] == fr[k], k
+
+    # resize re-encodes in the source container and keeps values
+    rz = resize_image(real.filter(F.col("media_ref").startswith("img")),
+                      5, 4, out_col="media_resized")
+    for r in rz.collect():
+        out = bytes(r["media_resized"])
+        assert out[:8] == b"\x89PNG\r\n\x1a\n" or out[:2] == b"BM"
+    meta = decode_metadata(rz, "media_resized")
+    for r in meta.select("media_meta.width", "media_meta.height").collect():
+        assert (r["width"], r["height"]) == (5, 4)
+
+    # audio features agree between containers and are sane
+    af = {r["media_ref"]: r["audio_feat"] for r in audio_features(fake)
+          .filter(F.col("audio_feat").isNotNull()).collect()}
+    ar = {r["media_ref"]: r["audio_feat"] for r in audio_features(real)
+          .filter(F.col("audio_feat").isNotNull()).collect()}
+    assert set(af) == set(ar) and len(af) == 3
+    for k in af:
+        assert af[k] == pytest.approx(ar[k], abs=1e-6)
+        rms, zcr, peak = af[k]
+        assert 0 < rms <= 1 and 0 <= zcr <= 1 and 0 < peak <= 1
