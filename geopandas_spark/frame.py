@@ -281,6 +281,13 @@ class GeoFrame:
 
         return to_features(self.df, self.geometry)
 
+    def to_file(self, path: str, **kw) -> None:
+        """geodataframe.py:1215 / io/file.py:159 — format by extension
+        (.shp/.gpkg/.geojson/.geojsonl/.csv/.parquet/.feather)."""
+        from .sources.file import to_file as _to_file
+
+        _to_file(self.df, path, geom=self.geometry, **kw)
+
     # -- passthrough ----------------------------------------------------------
     def filter(self, cond) -> "GeoFrame":
         return self._wrap(self.df.filter(cond))
@@ -305,6 +312,14 @@ def read_geoparquet(spark, path: str) -> GeoFrame:
     if meta:
         crs = meta.get("columns", {}).get(geom, {}).get("crs")
     return GeoFrame(df, geom, crs)
+
+
+def read_file(spark, path: str, **kw) -> GeoFrame:
+    """geopandas.read_file (io/file.py:50) — format by extension, incl.
+    zipped shapefiles; returns a GeoFrame over the WKB geometry."""
+    from .sources.file import read_file as _read
+
+    return GeoFrame(_read(spark, path, **kw), kw.get("geom", "geometry"))
 
 
 class _CxIndexer:

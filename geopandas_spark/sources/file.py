@@ -95,6 +95,33 @@ def read_file(spark: SparkSession, path: str, bbox=None, mask=None,
     with a WKB ``geom`` column plus the source's attribute columns."""
     if bbox is not None and mask is not None:
         raise ValueError("bbox and mask cannot both be set (io/file.py:72)")
+    if path.lower().endswith(".zip"):
+        # zipped shapefile — the reference reads these through GDAL's
+        # /vsizip/ handler (io/file.py kwargs note); here: extract the
+        # member set next to the zip once (idempotent) and recurse
+        import zipfile
+
+        with zipfile.ZipFile(path) as zf:
+            shp = [n for n in zf.namelist() if n.lower().endswith(".shp")]
+            if not shp:
+                raise ValueError(f"{path}: no .shp member in archive")
+            if len(shp) > 1:
+                raise ValueError(
+                    f"{path}: multiple shapefiles {shp}; extract manually")
+            stem = os.path.splitext(shp[0])[0]
+            dest = path[:-4] + "_unzip"
+            os.makedirs(dest, exist_ok=True)
+            members = [n for n in zf.namelist()
+                       if os.path.splitext(n)[0] == stem]
+            for m in members:
+                target = os.path.join(dest, os.path.basename(m))
+                if not os.path.isfile(target):
+                    with zf.open(m) as src, open(target, "wb") as out:
+                        out.write(src.read())
+        return read_file(
+            spark, os.path.join(dest, os.path.basename(shp[0])),
+            bbox=bbox, mask=mask, columns=columns, rows=rows, geom=geom,
+            layer=layer, wkt_column=wkt_column, **kwargs)
     ext = _ext(path)
     if ext in _UNSUPPORTED:
         raise NotImplementedError(

@@ -209,3 +209,30 @@ class TestReadToFileDispatch:
             to_file(df, p)
             back = read_file(spark, p, rows=1)
             assert back.count() == 1
+
+
+class TestZipAndGeoFrame:
+    def test_zipped_shapefile(self, spark, tmp_path):
+        import zipfile
+
+        df = _df(spark, ["POINT (1 2)", "POINT (8 9)"], v=[1, 2])
+        shp = str(tmp_path / "pts.shp")
+        to_file(df, shp)
+        zpath = str(tmp_path / "pts.zip")
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for ext in (".shp", ".shx", ".dbf", ".cpg"):
+                zf.write(str(tmp_path / f"pts{ext}"), f"pts{ext}")
+        back = read_file(spark, zpath)
+        assert back.count() == 2
+        assert _wkts(back, order="v") == ["POINT (1 2)", "POINT (8 9)"]
+
+    def test_geoframe_read_to_file(self, spark, tmp_path):
+        from geopandas_spark.frame import GeoFrame, read_file as gf_read
+
+        df = _df(spark, ["POINT (1 2)", "POINT (3 4)"], v=[1, 2])
+        gf = GeoFrame(df)
+        p = str(tmp_path / "gf.gpkg")
+        gf.to_file(p, layer="pts")
+        back = gf_read(spark, p)
+        assert back.count() == 2
+        assert set(back.columns) == {"geometry", "v"}
