@@ -210,10 +210,17 @@ def read_gpkg(spark, path: str, layer: str | None = None, bbox=None,
         # rows-slice semantics are positional over the file order: pull
         # via a driver-side limit (dev path, like the reference's fiona
         # list-slice, io/file.py:136-143)
-        pdf = res.limit((offset0 + (limit or 0)) or 1_000_000).toPandas()
-        pdf = pdf.iloc[offset0:offset0 + limit if limit is not None
-                       else None].reset_index(drop=True)
-        return spark.createDataFrame(pdf, schema=res.schema)
+        if limit is not None:
+            pdf = res.limit(offset0 + limit).toPandas()
+            pdf = pdf.iloc[offset0:offset0 + limit]
+        else:  # open-ended slice: bounded by the table's row count
+            from .feather import _guard_single_file
+
+            _guard_single_file(res, "read_gpkg(rows=slice(n, None))",
+                               "rows=slice(a, b) with a bound")
+            pdf = res.toPandas().iloc[offset0:]
+        return spark.createDataFrame(pdf.reset_index(drop=True),
+                                     schema=res.schema)
     return res
 
 
