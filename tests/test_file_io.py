@@ -236,3 +236,15 @@ class TestZipAndGeoFrame:
         back = gf_read(spark, p)
         assert back.count() == 2
         assert set(back.columns) == {"geometry", "v"}
+
+    def test_shapefile_date_bool_fields(self, spark, tmp_path):
+        df = _df(spark, ["POINT (0 0)", "POINT (1 1)"],
+                 d=[dt.date(2021, 6, 30), None],
+                 flag=[True, None], v=[1, 2])
+        p = str(tmp_path / "db.shp")
+        to_file(df, p)
+        back = read_file(spark, p).orderBy("v").toPandas()
+        assert back["d"].iloc[0] == dt.date(2021, 6, 30)
+        assert pd.isna(back["d"].iloc[1])
+        assert back["flag"].iloc[0] is True or back["flag"].iloc[0] == True  # noqa: E712
+        assert pd.isna(back["flag"].iloc[1]) or back["flag"].iloc[1] is None
