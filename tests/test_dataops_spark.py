@@ -331,3 +331,45 @@ def test_multimodal_real_codecs(spark):
         assert af[k] == pytest.approx(ar[k], abs=1e-6)
         rms, zcr, peak = af[k]
         assert 0 < rms <= 1 and 0 <= zcr <= 1 and 0 < peak <= 1
+
+
+def test_geocode_gazetteer_and_provider(spark):
+    """tools/geocoding.py:8-147 parity, Spark-first: gazetteer broadcast
+    join + kNN reverse + pluggable batch provider."""
+    from geopandas_spark.functions.st import st_x, st_y
+    from geopandas_spark.operators.geocode import geocode, reverse_geocode
+
+    gaz = spark.createDataFrame(pd.DataFrame({
+        "address": ["Alpha City", "Beta Town", "Gamma Falls"],
+        "x": [0.1, 0.5, 0.9], "y": [0.2, 0.5, 0.8]}))
+    q = spark.createDataFrame(pd.DataFrame({
+        "address": ["alpha  city", "BETA, TOWN", "nowhere"], "k": [1, 2, 3]}))
+    out = geocode(q, gaz).orderBy("k")
+    rows = out.select("k", "matched_address",
+                      st_x("geometry").alias("x")).collect()
+    assert rows[0]["matched_address"] == "Alpha City"
+    assert rows[0]["x"] == pytest.approx(0.1)
+    assert rows[1]["matched_address"] == "Beta Town"
+    assert rows[2]["matched_address"] is None
+    assert out.count() == 3  # exactly one row out per row in
+
+    # provider callable (geopy adapter slot): batch in, (x,y)|None out
+    def prov(batch):
+        return [(0.25, 0.75) if "alpha" in a.lower() else None
+                for a in batch]
+
+    p = geocode(q, provider=prov).orderBy("k")
+    prow = p.select("k", st_x("geometry").alias("x"),
+                    st_y("geometry").alias("y")).collect()
+    assert (prow[0]["x"], prow[0]["y"]) == (0.25, 0.75)
+    assert prow[1]["x"] is None
+
+    # reverse: nearest gazetteer entry per point
+    from geopandas_spark.functions.st import st_point as _sp
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"px": [0.12, 0.88], "py": [0.22, 0.79], "k": [1, 2]})).select(
+        "k", _sp("px", "py").alias("geometry"))
+    rev = reverse_geocode(pts, gaz).orderBy("k").collect()
+    assert [r["rev_address"] for r in rev] == ["Alpha City", "Gamma Falls"]
+    assert rev[0]["rev_distance"] == pytest.approx(
+        ((0.12 - 0.1) ** 2 + 0.02 ** 2) ** 0.5)
