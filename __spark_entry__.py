@@ -535,6 +535,29 @@ def q_shapefile_roundtrip(spark, sf_dir) -> DataFrame:
                        F.round(st_area("geometry"), 9).alias("area"))
 
 
+def q_geocode_nations(spark, sf_dir) -> DataFrame:
+    """Gazetteer geocode (tools/geocoding.py:8-66 re-expressed as a
+    normalized-key broadcast join): customers carry a noisy rendering of
+    their nation's name; the gazetteer maps nation names to points.
+    Oracle = the plain customer x nation equi-join."""
+    from geopandas_spark.functions.st import st_x, st_y
+    from geopandas_spark.operators.geocode import geocode
+
+    nat = _load(spark, sf_dir, "nation")
+    gaz = nat.select(F.col("n_name").alias("address"),
+                     _x_expr("n_nationkey").alias("x"),
+                     _y_expr("n_nationkey").alias("y"))
+    cust = _load(spark, sf_dir, "customer").join(
+        nat, F.col("c_nationkey") == F.col("n_nationkey")).select(
+        "c_custkey",
+        F.concat(F.lit("  "), F.initcap("n_name"), F.lit(".")).alias(
+            "address"))
+    out = geocode(cust, gaz)
+    return out.select("c_custkey", "matched_address",
+                      F.round(st_x("geometry"), 9).alias("gx"),
+                      F.round(st_y("geometry"), 9).alias("gy"))
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
     """Word-trigram Jaccard near-dup pairs — pure-Catalyst dedup op with a
     full SQL oracle (operators/dedup.ngram_jaccard)."""
@@ -1176,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_roundtrip": q_geojson_roundtrip,
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "shapefile_roundtrip": q_shapefile_roundtrip,
+        "geocode_nations": q_geocode_nations,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "disjoint_window": q_disjoint_window,
         "make_valid_bowtie_area": q_make_valid_bowtie_area,
@@ -1533,6 +1557,14 @@ def oracle_sql() -> dict[str, str]:
                          * CAST(0.02 + (p_partkey % 10) * 0.005 AS DOUBLE),
                          9) AS area
             FROM part
+        """,
+        "geocode_nations": f"""
+            SELECT c_custkey, n_name AS matched_address,
+                   round((n_nationkey * {_HA} % {_M32}) / {_M32}.0, 9)
+                     AS gx,
+                   round((n_nationkey * {_HB} % {_M32}) / {_M32}.0, 9)
+                     AS gy
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
         """,
         "ngram_jaccard_pairs": r"""
             WITH toks AS (

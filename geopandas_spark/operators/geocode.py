@@ -36,7 +36,7 @@ from ..functions.st import st_point
 def _norm_key(col):
     """Case/space/punctuation-insensitive join key (the usual gazetteer
     normalization)."""
-    return F.regexp_replace(F.lower(F.trim(col)), r"[^a-z0-9]+", " ")
+    return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
 
 
 def geocode(df: DataFrame, gazetteer: DataFrame | None = None,
