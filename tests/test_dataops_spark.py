@@ -373,3 +373,32 @@ def test_geocode_gazetteer_and_provider(spark):
     assert [r["rev_address"] for r in rev] == ["Alpha City", "Gamma Falls"]
     assert rev[0]["rev_distance"] == pytest.approx(
         ((0.12 - 0.1) ** 2 + 0.02 ** 2) ** 0.5)
+
+
+def test_render_png(spark):
+    """plot-parity render sink: distributed pixel aggregation -> real PNG
+    (plotting.py:207 scope re-expressed; datashader-style shape)."""
+    from geopandas_spark.functions.st import st_geomfromtext
+    from geopandas_spark.operators.codecs import decode_png, png_info
+    from geopandas_spark.operators.render import render_counts, render_png
+
+    wkts = (["POLYGON ((0.1 0.1, 0.5 0.1, 0.5 0.5, 0.1 0.5, 0.1 0.1))"]
+            + ["POINT (0.9 0.9)"] * 5
+            + ["LINESTRING (0 1, 1 0)"])
+    df = spark.createDataFrame(pd.DataFrame({"wkt": wkts})).select(
+        st_geomfromtext("wkt").alias("geometry"))
+    png = render_png(df, 32, 32, bbox=(0, 0, 1, 1))
+    assert png_info(png) == (32, 32, 1)
+    img = decode_png(png)[:, :, 0]
+    # polygon interior (frame y flipped: y=0.3 -> row ~22) is dark
+    assert img[22, 10] < 255
+    # the 5-point stack is darker than single-feature pixels
+    assert img[3, 28] < img[22, 10]
+    # empty region (off the diagonal, outside the polygon) stays white
+    assert img[5, 2] == 255
+    # diagonal line hits (0.5, 0.5) -> row 15..16, col 15..16 region
+    assert img[15:17, 15:17].min() < 255
+    # counts are exact for the point stack
+    cnts = {r["pixel"]: r["n"] for r in
+            render_counts(df, 32, 32, bbox=(0, 0, 1, 1)).collect()}
+    assert cnts[28 * 32 + 28] == 5
