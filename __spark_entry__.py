@@ -558,6 +558,16 @@ def q_geocode_nations(spark, sf_dir) -> DataFrame:
                       F.round(st_y("geometry"), 9).alias("gy"))
 
 
+def q_render_density(spark, sf_dir) -> DataFrame:
+    """Render sink's distributed half (operators/render.py, plot parity):
+    64x64 pixel-coverage counts of the customer points; oracle = plain
+    floor-bucket GROUP BY."""
+    from geopandas_spark.operators.render import render_counts
+
+    pts = _customer_points(spark, sf_dir).select("c_custkey", "geometry")
+    return render_counts(pts, 64, 64, bbox=(0.0, 0.0, 1.0, 1.0))
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
     """Word-trigram Jaccard near-dup pairs — pure-Catalyst dedup op with a
     full SQL oracle (operators/dedup.ngram_jaccard)."""
@@ -1200,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "geocode_nations": q_geocode_nations,
+        "render_density": q_render_density,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "disjoint_window": q_disjoint_window,
         "make_valid_bowtie_area": q_make_valid_bowtie_area,
@@ -1557,6 +1568,13 @@ def oracle_sql() -> dict[str, str]:
                          * CAST(0.02 + (p_partkey % 10) * 0.005 AS DOUBLE),
                          9) AS area
             FROM part
+        """,
+        "render_density": f"""
+            WITH pts AS ({_PTS_SQL})
+            SELECT CAST(floor(y * 64) AS BIGINT) * 64
+                     + CAST(floor(x * 64) AS BIGINT) AS pixel,
+                   count(*) AS n
+            FROM pts GROUP BY 1
         """,
         "geocode_nations": f"""
             SELECT c_custkey, n_name AS matched_address,
