@@ -11,15 +11,19 @@ from .conf import setup_malloc_env
 
 setup_malloc_env()
 
-__all__ = ["GeoFrame", "read_geoparquet", "sjoin", "sjoin_nearest",
-           "overlay", "dissolve", "clip"]
+__all__ = ["GeoFrame", "read_geoparquet", "read_file", "read_postgis",
+           "sjoin", "sjoin_nearest", "overlay", "dissolve", "clip"]
 
 
 def __getattr__(name):  # lazy: keep bare import light
-    if name in ("GeoFrame", "read_geoparquet"):
+    if name in ("GeoFrame", "read_geoparquet", "read_file", "read_postgis"):
         from . import frame
 
         return getattr(frame, name)
+    if name == "to_postgis":
+        from .sources.sql import to_postgis
+
+        return to_postgis
     if name == "sjoin":
         from .operators.sjoin import sjoin
 

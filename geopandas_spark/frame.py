@@ -288,6 +288,13 @@ class GeoFrame:
 
         _to_file(self.df, path, geom=self.geometry, **kw)
 
+    def to_postgis(self, name: str, conn_factory, **kw) -> None:
+        """geodataframe.py to_postgis / io/sql.py:242 — executor-side
+        batched DB-API inserts; see sources/sql.py for the scale shape."""
+        from .sources.sql import to_postgis as _to_pg
+
+        _to_pg(self.df, name, conn_factory, geom_col=self.geometry, **kw)
+
     # -- passthrough ----------------------------------------------------------
     def filter(self, cond) -> "GeoFrame":
         return self._wrap(self.df.filter(cond))
@@ -320,6 +327,16 @@ def read_file(spark, path: str, **kw) -> GeoFrame:
     from .sources.file import read_file as _read
 
     return GeoFrame(_read(spark, path, **kw), kw.get("geom", "geometry"))
+
+
+def read_postgis(spark, sql: str, conn_factory, geom_col: str = "geom",
+                 **kw) -> GeoFrame:
+    """geopandas.read_postgis (io/sql.py:78) — distributed partitioned
+    DB read; geometry lands as canonical ISO WKB, CRS from EWKB SRID."""
+    from .sources.sql import read_postgis as _read_pg
+
+    df = _read_pg(spark, sql, conn_factory, geom_col=geom_col, **kw)
+    return GeoFrame(df, geom_col, getattr(df, "_gps_crs", None))
 
 
 class _CxIndexer:
