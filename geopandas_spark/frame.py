@@ -295,6 +295,20 @@ class GeoFrame:
 
         _to_pg(self.df, name, conn_factory, geom_col=self.geometry, **kw)
 
+    def plot(self, column: str | None = None, **kw):
+        """geodataframe plot (plotting.py:207) — distributed pixel
+        render -> PNG bytes; see operators/render.py."""
+        from .operators.render import plot as _plot
+
+        return _plot(self.df, column, geom=self.geometry, **kw)
+
+    def explore(self, path: str, column: str | None = None, **kw) -> str:
+        """geodataframe explore (explore.py:15) — self-contained HTML
+        pan/zoom viewer over the distributed render."""
+        from .operators.render import explore as _explore
+
+        return _explore(self.df, path, column, geom=self.geometry, **kw)
+
     # -- passthrough ----------------------------------------------------------
     def filter(self, cond) -> "GeoFrame":
         return self._wrap(self.df.filter(cond))

@@ -402,3 +402,48 @@ def test_render_png(spark):
     cnts = {r["pixel"]: r["n"] for r in
             render_counts(df, 32, 32, bbox=(0, 0, 1, 1)).collect()}
     assert cnts[28 * 32 + 28] == 5
+
+
+def test_plot_column_and_explore(spark, tmp_path):
+    """plot(column=) choropleth + explore HTML sink (plotting.py:252
+    color-by-value, explore.py:15 re-expressed as distributed render)."""
+    from geopandas_spark.functions.st import st_geomfromtext
+    from geopandas_spark.operators.codecs import decode_png, png_info
+    from geopandas_spark.operators.render import plot, render_values
+
+    wkts = ["POLYGON ((0 0, 0.4 0, 0.4 0.4, 0 0.4, 0 0))",
+            "POLYGON ((0.6 0.6, 1 0.6, 1 1, 0.6 1, 0.6 0.6))"]
+    df = spark.createDataFrame(
+        pd.DataFrame({"wkt": wkts, "v": [0.0, 10.0]})).select(
+        "v", st_geomfromtext("wkt").alias("geometry"))
+
+    png = plot(df, column="v", width=20, height=20, bbox=(0, 0, 1, 1))
+    assert png_info(png) == (20, 20, 3)
+    img = decode_png(png)
+    # low-value square (bottom-left -> image rows near the bottom) maps
+    # to the viridis low end (dark purple), high-value square to yellow
+    low, high = img[16, 3], img[3, 16]
+    assert tuple(low) == (68, 1, 84)
+    assert tuple(high) == (253, 231, 37)
+    # empty background stays white
+    assert tuple(img[10, 10]) == (255, 255, 255)
+
+    # per-pixel aggregates are exact: overlapping squares average
+    wkts2 = ["POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+             "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"]
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"wkt": wkts2, "v": [2.0, 4.0]})).select(
+        "v", st_geomfromtext("wkt").alias("geometry"))
+    vals = {r["pixel"]: r["v"] for r in
+            render_values(df2, "v", 4, 4, bbox=(0, 0, 1, 1)).collect()}
+    assert all(v == 3.0 for v in vals.values()) and len(vals) == 16
+
+    # explore writes a self-contained HTML with the PNG inlined
+    from geopandas_spark.frame import GeoFrame
+
+    gf = GeoFrame(df, "geometry")
+    out = gf.explore(str(tmp_path / "m.html"), column="v", width=16,
+                     height=16, bbox=(0, 0, 1, 1))
+    html = open(out).read()
+    assert "data:image/png;base64," in html and "[0, 0, 1, 1]" in html
+    assert gf.plot(width=8, height=8, bbox=(0, 0, 1, 1))[:4] == b"\x89PNG"
