@@ -568,6 +568,44 @@ def q_render_density(spark, sf_dir) -> DataFrame:
     return render_counts(pts, 64, 64, bbox=(0.0, 0.0, 1.0, 1.0))
 
 
+def q_sql_roundtrip(spark, sf_dir) -> DataFrame:
+    """PostGIS-surface DB I/O (io/sql.py:78,242; sources/sql.py): write
+    customer points into a SQLite table via executor-side batched
+    inserts (EWKB hex), read back with partition-column range tasks —
+    keys and coordinates survive exactly. Oracle = the original x/y."""
+    import os
+    import tempfile
+
+    from geopandas_spark.functions.st import st_x, st_y
+    from geopandas_spark.sources.sql import read_postgis, to_postgis
+
+    db = os.path.join(tempfile.mkdtemp(prefix="gs_sql_"), "rt.db")
+
+    def factory(_p=db):
+        import sqlite3
+        return sqlite3.connect(_p)
+
+    pts = _customer_points(spark, sf_dir).select("c_custkey", "geometry")
+    to_postgis(pts, "pts", factory, geom_col="geometry", srid=4326,
+               max_parallel_writers=1)
+    back = read_postgis(spark, "pts", factory, geom_col="geometry",
+                        partition_col="c_custkey", num_partitions=4)
+    return back.select("c_custkey", st_x("geometry").alias("x"),
+                       st_y("geometry").alias("y"))
+
+
+def q_render_choropleth(spark, sf_dir) -> DataFrame:
+    """plot(column=) choropleth's distributed half (render_values,
+    plotting.py:252 color-by-value): 64x64 per-pixel mean of customer
+    account balance; oracle = floor-bucket GROUP BY avg."""
+    from geopandas_spark.operators.render import render_values
+
+    pts = _customer_points(spark, sf_dir).select("c_acctbal", "geometry")
+    out = render_values(pts, "c_acctbal", 64, 64,
+                        bbox=(0.0, 0.0, 1.0, 1.0))
+    return out.select("pixel", F.round("v", 9).alias("v"))
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
     """Word-trigram Jaccard near-dup pairs — pure-Catalyst dedup op with a
     full SQL oracle (operators/dedup.ngram_jaccard)."""
@@ -1211,6 +1249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "geocode_nations": q_geocode_nations,
         "render_density": q_render_density,
+        "sql_roundtrip": q_sql_roundtrip,
+        "render_choropleth": q_render_choropleth,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "disjoint_window": q_disjoint_window,
         "make_valid_bowtie_area": q_make_valid_bowtie_area,
@@ -1574,6 +1614,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(y * 64) AS BIGINT) * 64
                      + CAST(floor(x * 64) AS BIGINT) AS pixel,
                    count(*) AS n
+            FROM pts GROUP BY 1
+        """,
+        "sql_roundtrip": f"""
+            SELECT c_custkey, {_PT_SQL_X} AS x, {_PT_SQL_Y} AS y
+            FROM customer
+        """,
+        "render_choropleth": f"""
+            WITH pts AS (
+              SELECT c_acctbal, {_PT_SQL_X} AS x, {_PT_SQL_Y} AS y
+              FROM customer
+            )
+            SELECT CAST(floor(y * 64) AS BIGINT) * 64
+                     + CAST(floor(x * 64) AS BIGINT) AS pixel,
+                   round(avg(c_acctbal), 9) AS v
             FROM pts GROUP BY 1
         """,
         "geocode_nations": f"""
