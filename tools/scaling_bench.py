@@ -191,6 +191,8 @@ def main():
     # 43M-row sjoin at 32 lanes). Levels stay interleaved per job and the
     # best pass per (job, level) is kept (shared-host noise windows).
     rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
+    jobs = tuple(os.environ.get(
+        "SCALING_JOBS", "sjoin_intersects,sjoin_nearest_knn").split(","))
     # Two N->4N pairs: 8->32 saturates this oversubscribed host (the
     # calibration shows only ~2.8x more compute at 32 lanes), so it can
     # never evidence linear scaling no matter how good the plan is.
@@ -201,7 +203,7 @@ def main():
                    os.environ.get("SCALING_LEVELS", "2,8,32").split(","))
     results: dict = {}
     for _ in range(rounds):
-        for job in ("sjoin_intersects", "sjoin_nearest_knn"):
+        for job in jobs:
             for cpus in levels:
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
@@ -219,10 +221,12 @@ def main():
                                                   r["host_calib_mips"])
                     if job not in prev or r[job]["sec"] < prev[job]["sec"]:
                         prev[job] = r[job]
-    report(results)
+    # partial job selections must not clobber the full BENCH.md table
+    fname = "BENCH.md" if len(jobs) == 2 else "BENCH_PARTIAL.md"
+    report(results, fname)
 
 
-def report(results: dict) -> None:
+def report(results: dict, fname: str = "BENCH.md") -> None:
     lines = [
         "# BENCH — two-cluster-size scaling evidence (north rule)",
         "",
@@ -293,7 +297,7 @@ def report(results: dict) -> None:
     if os.path.isfile(addendum):
         with open(addendum) as f:
             lines += ["", f.read().rstrip()]
-    path = os.path.join(root, "BENCH.md")
+    path = os.path.join(root, fname)
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {path}")
