@@ -459,6 +459,7 @@ def pairwise_intersection(lb: GeometryBatch, rb: GeometryBatch) -> GeometryBatch
     # intersected in ONE vectorized pass (geom/ghclip.py); degenerate
     # pairs fall back to the sweep inside the main loop.
     gh_results: dict = {}
+    no_contact = np.zeros(len(lb), dtype=bool)
     gen_mask = (both_poly & ~pair_rectl & ~pair_conv_r & ~pair_conv_l
                 & lcls["single"] & rcls["single"])
     gen_idx = np.nonzero(gen_mask)[0]
@@ -471,6 +472,9 @@ def pairwise_intersection(lb: GeometryBatch, rb: GeometryBatch) -> GeometryBatch
         for i, g in enumerate(gen_idx):
             if not fb_gh[i] and res_gh[i] is not None:
                 gh_results[g] = res_gh[i]
+                # a clean GH pass proves no boundary contact (touching
+                # configs are flagged degenerate in phase 1)
+                no_contact[g] = True
 
     out = GeometryBatchBuilder()
     for g in range(len(lb)):
@@ -601,7 +605,7 @@ def pairwise_intersection(lb: GeometryBatch, rb: GeometryBatch) -> GeometryBatch
             M.emit_mixed(out, pieces, pts)
         else:
             M.emit_lines(out, pieces)
-    return _boundary_contact_pass(lb, rb, out.finish())
+    return _boundary_contact_pass(lb, rb, out.finish(), skip=no_contact)
 
 
 def _poly_touch_geom(lb: GeometryBatch, ga: int, rb: GeometryBatch, gb: int):
@@ -689,18 +693,27 @@ def _poly_touch_geom(lb: GeometryBatch, ga: int, rb: GeometryBatch, gb: int):
 
 
 def _boundary_contact_pass(lb: GeometryBatch, rb: GeometryBatch,
-                           res: GeometryBatch) -> GeometryBatch:
+                           res: GeometryBatch,
+                           skip: np.ndarray | None = None) -> GeometryBatch:
     """GEOS parity: polygon x polygon pairs whose area intersection is
     empty but whose boundaries touch intersect to the shared boundary
     (LINESTRING for shared edges, POINT for corner contact) instead of
     POLYGON EMPTY. Only rows with empty area results and overlapping
-    bboxes are inspected, so the overlay hot path pays nothing."""
+    bboxes are inspected — minus ``skip`` rows the caller has already
+    PROVEN contact-free (GH-clean pairs: any boundary contact trips the
+    phase-1 ``touching`` detector and routes to the sweep fallback, so a
+    clean GH pass with an empty result is strictly disjoint/contained).
+    Without that proof, random overlay candidate batches paid the
+    per-pair Python touch probe on every bbox-overlapping disjoint pair
+    (~55% of a typical candidate mix — the round-3 end-to-end killer)."""
     from .kernels import bounds
     from .ragged import MULTIPOLYGON, POLYGON
 
     polyA = np.isin(lb.types, (POLYGON, MULTIPOLYGON))
     polyB = np.isin(rb.types, (POLYGON, MULTIPOLYGON))
     cand = polyA & polyB & (res.n_coords_per_geom() == 0)
+    if skip is not None:
+        cand &= ~skip
     if not cand.any():
         return res
     ab = bounds(lb)

@@ -62,6 +62,14 @@ def _inside_counts(P: np.ndarray, E0: np.ndarray, E1: np.ndarray,
     return (cnt % 2) == 1
 
 
+# phase-1 materializes ~20 temporaries of sum(na*nb) rows; past ~1.5M
+# rows they blow the cache/allocator and per-pair cost rises 6x
+# (measured: 12.5k pairs/s at 8k-pair calls -> 2.1k pairs/s at 32k).
+# Chunking keeps every call in the flat-cost regime regardless of how
+# many pairs the caller hands over in one Arrow batch.
+_CHUNK_CROSS = 1_500_000
+
+
 def batch_intersection(subjects: list, clips: list):
     """subjects/clips: equal-length lists of closed rings (or None).
 
@@ -69,6 +77,32 @@ def batch_intersection(subjects: list, clips: list):
     (possibly empty) or None when fallback_mask[i] is True (degenerate —
     caller must use the exact sweep).
     """
+    n = len(subjects)
+    est = 0
+    for s, c in zip(subjects, clips):
+        if s is not None and c is not None:
+            est += len(s) * len(c)
+    if est > _CHUNK_CROSS and n > 1:
+        results: list = [None] * n
+        fallback = np.zeros(n, dtype=bool)
+        start = 0
+        acc = 0
+        for i in range(n):
+            s, c = subjects[i], clips[i]
+            if s is not None and c is not None:
+                acc += len(s) * len(c)
+            if acc >= _CHUNK_CROSS or i == n - 1:
+                r, f = _batch_intersection(subjects[start:i + 1],
+                                           clips[start:i + 1])
+                results[start:i + 1] = r
+                fallback[start:i + 1] = f
+                start = i + 1
+                acc = 0
+        return results, fallback
+    return _batch_intersection(subjects, clips)
+
+
+def _batch_intersection(subjects: list, clips: list):
     n = len(subjects)
     results: list = [None] * n
     fallback = np.zeros(n, dtype=bool)

@@ -41,14 +41,16 @@ VALID_HOW = ("intersection", "union", "identity", "symmetric_difference", "diffe
 
 def _pairs(df1, df2, geom1, geom2, id1, id2, resolution, domain,
            min1: int | None = None, min2: int | None = None,
-           with_intersection: str | None = None, broadcast2: bool = False):
-    """Candidate (id1, id2, g1, g2) pairs whose geometries intersect.
+           with_intersection: str = "__inter"):
+    """Candidate (id1, id2, g1, g2, intersection) pairs via the shuffle
+    cell equi-join — the big x big path (small build sides route through
+    ``_broadcast_probe_intersection`` instead).
 
-    Shuffle-free dedup via the reference-point rule (see sjoin). With
-    ``with_intersection=<col>``, the SAME Arrow pass also computes the
-    pairwise intersection geometry into that column (empty -> row dropped),
-    so each pair's WKB is parsed exactly once."""
-    from .sjoin import _ancestors_udf, _refine_rp_udf
+    Shuffle-free dedup via the reference-point rule (see sjoin): the SAME
+    Arrow pass computes the pairwise intersection geometry into
+    ``with_intersection`` (empty -> row dropped), so each pair's WKB is
+    parsed exactly once."""
+    from .sjoin import _ancestors_udf
 
     from ..functions.st import st_cells_from_bbox
 
@@ -69,34 +71,119 @@ def _pairs(df1, df2, geom1, geom2, id1, id2, resolution, domain,
                     F.explode(c1).alias("__cell"))
     l2 = df2.select(F.col(id2).alias("__i2"), F.col(geom2).alias("__g2"),
                     F.explode(c2).alias("__cell"))
-    if broadcast2:
-        l2 = F.broadcast(l2)
-        # a broadcast join keeps the PROBE side's partitioning — a small
-        # single-file input would run the whole candidate+intersection
-        # Arrow kernel in ONE task (r2 verdict: overlay_star at ~1
-        # core-equivalent of throughput). Widen the probe so the
-        # CPU-heavy UDF stage fills the cluster; no-op when the input
-        # already has enough partitions (the 100 TB case).
-        from .sjoin import _widen
-
-        l1 = _widen(l1)
     cand = (
         l1.join(l2, on="__cell", how="inner")
         .select("__i1", "__i2", "__g1", "__g2", "__cell")
     )
-    if with_intersection is not None:
-        return (
-            cand.withColumn(
-                with_intersection,
-                _intersection_rp_udf(resolution, domain)(
-                    F.col("__g1"), F.col("__g2"), F.col("__cell")))
-            .filter(F.col(with_intersection).isNotNull())
-            .drop("__cell")
-        )
-    return cand.filter(
-        _refine_rp_udf("intersects", resolution, domain, None, 0.0)(
-            F.col("__g1"), F.col("__g2"), F.col("__cell"))
-    ).drop("__cell")
+    return (
+        cand.withColumn(
+            with_intersection,
+            _intersection_rp_udf(resolution, domain)(
+                F.col("__g1"), F.col("__g2"), F.col("__cell")))
+        .filter(F.col(with_intersection).isNotNull())
+        .drop("__cell")
+    )
+
+
+def _broadcast_probe_intersection(probe_raw, rcov, i1: str, i2: str,
+                                  resolution: int, domain,
+                                  anc_down_to: int | None):
+    """Broadcast overlay candidate+intersection as ONE probe-side
+    ``mapInPandas`` pass — overlay's analogue of sjoin's
+    ``_broadcast_probe_refined`` (round-3 scale fix).
+
+    The equi-join formulation carried BOTH geometries' WKB through every
+    candidate row, so each Arrow batch re-decoded up to batch-size build
+    geometries: measured 30 us/row at sf0.1 (2.7M candidate rows -> 91 s)
+    with the whole cost in repeated ``from_wkb`` of the same 10k build
+    polygons. Here the build side ships once per worker as the CSR cell
+    index + WKB (decoded once per worker process via the shared
+    ``_BUILD_CACHE``), the probe streams through a single pass computing
+    cover in-kernel, pairs are generated and deduped in-kernel (plain
+    (probe,build) unique — no canonical-cell rule needed), and the
+    pairwise intersection runs only on bbox-overlapping deduped pairs.
+    Wire traffic: O(|probe| + |build|) in, O(|matches|) out.
+
+    Emits (__i1, __i2, __g1, __g2, __inter) — the same schema as the
+    fused ``_pairs`` path, so residual stages are unchanged.
+    """
+    from .sjoin import _collect_build_index, _flat_ancestors, _load_build
+
+    cache_key, bc, nb, rid_vals = _collect_build_index(rcov, i2)
+    i1_t = dict(probe_raw.dtypes)[i1]
+    i2_t = dict(rcov.dtypes)[i2]
+    probe = probe_raw.select(F.col(i1).alias("__xi1"), "__g1")
+
+    def fn(it):
+        from ..geom.clipping import pairwise_intersection
+        from ..geom.kernels import bounds as _bounds
+        from ..geom.ragged import _expand_ranges
+        from ..geom.wkb import from_wkb, to_wkb
+        from ..index import cells as C
+
+        lb_all = None
+        rb_all, rbb, uc, off_, ridx, rwkb = _load_build(cache_key, bc)
+        rwkb_arr = np.asarray(rwkb, dtype=object)
+        for pdf in it:
+            if len(pdf) == 0 or len(uc) == 0:
+                continue
+            lb = from_wkb(pdf["__g1"])
+            lbb = _bounds(lb)
+            miss = np.isnan(lbb[:, 0])
+            lbb = np.nan_to_num(lbb)
+            cflat, coff = C.bbox_cover(lbb[:, 0], lbb[:, 1],
+                                       lbb[:, 2], lbb[:, 3],
+                                       resolution, domain=domain)
+            prow = np.repeat(np.arange(len(pdf)), np.diff(coff))
+            if miss.any():
+                keep = ~miss[prow]
+                cflat = cflat[keep]
+                prow = prow[keep]
+            if anc_down_to is not None:
+                cflat, prow = _flat_ancestors(cflat, prow, anc_down_to)
+            if not len(cflat):
+                continue
+            pos = np.minimum(np.searchsorted(uc, cflat), len(uc) - 1)
+            okc = uc[pos] == cflat
+            cnt = np.where(okc, off_[pos + 1] - off_[pos], 0)
+            sel = cnt > 0
+            if not sel.any():
+                continue
+            li = np.repeat(prow[sel], cnt[sel])
+            ri = ridx[_expand_ranges(off_[pos[sel]], off_[pos[sel]] + cnt[sel])]
+            # dedup multi-cell duplicates of the same pair
+            key = li * np.int64(nb) + ri
+            ukey = np.unique(key)
+            li = (ukey // nb).astype(np.int64)
+            ri = (ukey % nb).astype(np.int64)
+            # bbox prefilter: disjoint bboxes cannot intersect
+            pre = ((lbb[li, 0] <= rbb[ri, 2]) & (rbb[ri, 0] <= lbb[li, 2])
+                   & (lbb[li, 1] <= rbb[ri, 3]) & (rbb[ri, 1] <= lbb[li, 3]))
+            li = li[pre]
+            ri = ri[pre]
+            if not len(li):
+                continue
+            res = pairwise_intersection(lb.take(li), rb_all.take(ri))
+            nonempty = res.n_coords_per_geom() > 0
+            if not nonempty.any():
+                continue
+            k = np.nonzero(nonempty)[0]
+            li = li[k]
+            ri = ri[k]
+            w = to_wkb(res.take(k))
+            lids = pdf["__xi1"].to_numpy()
+            lws = pdf["__g1"].to_numpy(dtype=object)
+            yield pd.DataFrame({
+                "__i1": lids[li],
+                "__i2": rid_vals[ri],
+                "__g1": lws[li],
+                "__g2": rwkb_arr[ri],
+                "__inter": list(w),
+            })
+
+    return probe.mapInPandas(
+        fn, schema=(f"__i1 {i1_t}, __i2 {i2_t}, __g1 binary, "
+                    "__g2 binary, __inter binary"))
 
 
 def _intersection_udf():
@@ -298,12 +385,33 @@ def overlay(
     # already computed in the same Arrow pass (empty intersections — pure
     # touches — are dropped; subtracting a touching neighbor is a no-op,
     # so the residual stages are unaffected)
-    from .sjoin import BROADCAST_ROWS
+    from .sjoin import BROADCAST_EXPLODED_ROWS, _est_exploded
 
-    pairs = _pairs(df1p, df2p, geom, geom, i1, i2, resolution, domain,
-                   min1, min2, with_intersection="__inter",
-                   broadcast2=0 < stats[1]["n"] <= BROADCAST_ROWS
-                   ).localCheckpoint(eager=False)
+    if 0 < stats[1]["n"] and _est_exploded(
+            stats[1], resolution, domain) <= BROADCAST_EXPLODED_ROWS:
+        # small build side: single probe-side pass — no join, no explode,
+        # no per-batch build re-decode (see _broadcast_probe_intersection)
+        from .sjoin import _ancestors_udf
+        from ..functions.st import st_cells_from_bbox
+
+        rcov = df2p.select(
+            F.col(i2), F.col(geom).alias("__rgeom"),
+            st_cells_from_bbox("__bb.minx", "__bb.miny", "__bb.maxx",
+                               "__bb.maxy", resolution,
+                               domain=domain).alias("__cells"))
+        if min1 < resolution:  # probe may emit coarse rows -> build chains
+            rcov = rcov.withColumn(
+                "__cells", _ancestors_udf(min1)(F.col("__cells")))
+        from .sjoin import _widen
+
+        probe_raw = _widen(df1p.select(F.col(i1), F.col(geom).alias("__g1")))
+        pairs = _broadcast_probe_intersection(
+            probe_raw, rcov, i1, i2, resolution, domain,
+            min2 if min2 < resolution else None)
+    else:
+        pairs = _pairs(df1p, df2p, geom, geom, i1, i2, resolution, domain,
+                       min1, min2, with_intersection="__inter")
+    pairs = pairs.localCheckpoint(eager=False)
 
     auto1, auto2 = id1 is None, id2 is None
     d1cols = [c for c in df1c.columns if not (auto1 and c == i1)]

@@ -267,42 +267,14 @@ def _flat_ancestors(cflat: np.ndarray, prow: np.ndarray, down_to: int):
     return np.concatenate(outs_c), np.concatenate(outs_p)
 
 
-def _broadcast_probe_refined(lraw, rcov, lid: str, rid: str, predicate: str,
-                             distance, lpad: float, resolution: int, domain,
-                             anc_down_to: int | None):
-    """Broadcast spatial join as a single probe-side ``mapInPandas`` pass.
-
-    Round-2 scale fix: the round-1 plan materialized every candidate
-    pair's full payload (probe WKB + build WKB + two bbox structs +
-    cell ≈ 300 B/pair) through Arrow into a refine UDF — O(pairs) wire
-    traffic, tens of GB at 10^8 candidate pairs, and a per-pair build
-    WKB decode.  Here the build side (already small enough to broadcast
-    by this path's precondition) is shipped ONCE per worker as a cell→
-    row CSR index + WKB list, decoded ONCE per worker process, and the
-    probe side streams through a single Arrow pass with NO join, NO
-    explode and NO pair materialization: candidates are generated
-    in-kernel from the CSR, deduped per probe row, and refined against
-    the cached decoded build batch.  Wire traffic is O(|probe| +
-    |build|) + O(|matches|) id pairs out.
-
-    ``lraw`` carries ONLY (lid, __lgeom): bounds, cell cover and the
-    ancestor chain are computed in-kernel from the decoded geometry
-    (vectorized bbox_cover over flat offsets), so the probe side pays a
-    single Arrow stage — the earlier plan ran st_bounds +
-    st_cells_from_bbox + a per-row-Python _ancestors_udf upstream and
-    shipped the cell arrays through Arrow.
-
-    Returns a DataFrame (__xlid, __xrid, __lgeom) of matched pairs.
-    """
+def _collect_build_index(rcov, rid: str):
+    """Arrow-collect a (rid, __rgeom, __cells) build side into a broadcast
+    cell->row CSR index (+ raw WKB). Shared by the sjoin broadcast probe
+    and overlay's broadcast intersection probe. Returns
+    (cache_key, broadcast, n_build_rows, rid_values)."""
     import uuid
 
-    spark = lraw.sparkSession
-    # Arrow collect + vectorized CSR build: the row-wise collect() plus a
-    # per-row Python loop here was the dominant SERIAL cost of the whole
-    # join (Amdahl fit on the 1M x 100k scaling input put ~18 s of the
-    # local[2] 59 s outside the parallel fraction). toArrow() lands the
-    # cell lists as one flat int64 buffer + offsets, so the cell->row
-    # index is pure numpy.
+    spark = rcov.sparkSession
     tbl = (rcov.select(F.col(rid).alias("i"), F.col("__rgeom").alias("g"),
                        F.col("__cells").alias("c"))
            .toArrow().combine_chunks())
@@ -337,6 +309,62 @@ def _broadcast_probe_refined(lraw, rcov, lid: str, rid: str, predicate: str,
     cache_key = uuid.uuid4().hex
     bc = spark.sparkContext.broadcast(
         {"wkb": rwkb, "ucells": ucells, "off": off, "ridx": fi})
+    return cache_key, bc, nb, rid_vals
+
+
+def _load_build(cache_key: str, bc):
+    """Worker-side: decoded build batch from the process cache (decode
+    once per worker, reused across tasks). Returns
+    (batch, bounds, ucells, off, ridx, raw_wkb_list)."""
+    got = _BUILD_CACHE.get(cache_key)
+    if got is None:
+        from ..geom.kernels import bounds as _bounds
+        from ..geom.wkb import from_wkb
+
+        v = bc.value
+        rb_all = from_wkb(pd.Series(v["wkb"]))
+        rbb = np.nan_to_num(_bounds(rb_all))
+        got = (rb_all, rbb, v["ucells"], v["off"], v["ridx"], v["wkb"])
+        if len(_BUILD_CACHE) >= _BUILD_CACHE_MAX:
+            _BUILD_CACHE.pop(next(iter(_BUILD_CACHE)))
+        _BUILD_CACHE[cache_key] = got
+    return got
+
+
+def _broadcast_probe_refined(lraw, rcov, lid: str, rid: str, predicate: str,
+                             distance, lpad: float, resolution: int, domain,
+                             anc_down_to: int | None):
+    """Broadcast spatial join as a single probe-side ``mapInPandas`` pass.
+
+    Round-2 scale fix: the round-1 plan materialized every candidate
+    pair's full payload (probe WKB + build WKB + two bbox structs +
+    cell ≈ 300 B/pair) through Arrow into a refine UDF — O(pairs) wire
+    traffic, tens of GB at 10^8 candidate pairs, and a per-pair build
+    WKB decode.  Here the build side (already small enough to broadcast
+    by this path's precondition) is shipped ONCE per worker as a cell→
+    row CSR index + WKB list, decoded ONCE per worker process, and the
+    probe side streams through a single Arrow pass with NO join, NO
+    explode and NO pair materialization: candidates are generated
+    in-kernel from the CSR, deduped per probe row, and refined against
+    the cached decoded build batch.  Wire traffic is O(|probe| +
+    |build|) + O(|matches|) id pairs out.
+
+    ``lraw`` carries ONLY (lid, __lgeom): bounds, cell cover and the
+    ancestor chain are computed in-kernel from the decoded geometry
+    (vectorized bbox_cover over flat offsets), so the probe side pays a
+    single Arrow stage — the earlier plan ran st_bounds +
+    st_cells_from_bbox + a per-row-Python _ancestors_udf upstream and
+    shipped the cell arrays through Arrow.
+
+    Returns a DataFrame (__xlid, __xrid, __lgeom) of matched pairs.
+    """
+    # Arrow collect + vectorized CSR build: the row-wise collect() plus a
+    # per-row Python loop here was the dominant SERIAL cost of the whole
+    # join (Amdahl fit on the 1M x 100k scaling input put ~18 s of the
+    # local[2] 59 s outside the parallel fraction). toArrow() lands the
+    # cell lists as one flat int64 buffer + offsets, so the cell->row
+    # index is pure numpy.
+    cache_key, bc, nb, rid_vals = _collect_build_index(rcov, rid)
 
     lid_t = dict(lraw.dtypes)[lid]
     rid_t = dict(rcov.dtypes)[rid]
@@ -350,16 +378,7 @@ def _broadcast_probe_refined(lraw, rcov, lid: str, rid: str, predicate: str,
         from ..geom.wkb import from_wkb
         from ..index import cells as C
 
-        got = _BUILD_CACHE.get(cache_key)
-        if got is None:
-            v = bc.value
-            rb_all = from_wkb(pd.Series(v["wkb"]))
-            rbb = np.nan_to_num(_bounds(rb_all))
-            got = (rb_all, rbb, v["ucells"], v["off"], v["ridx"])
-            if len(_BUILD_CACHE) >= _BUILD_CACHE_MAX:
-                _BUILD_CACHE.pop(next(iter(_BUILD_CACHE)))
-            _BUILD_CACHE[cache_key] = got
-        rb_all, rbb, uc, off_, ridx = got
+        rb_all, rbb, uc, off_, ridx, _ = _load_build(cache_key, bc)
         for pdf in it:
             if len(pdf) == 0 or len(uc) == 0:
                 continue
