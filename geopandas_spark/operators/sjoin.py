@@ -423,10 +423,8 @@ def _broadcast_probe_refined(lraw, rcov, lid: str, rid: str, predicate: str,
                 li = (ukey // nb).astype(np.int64)
                 ri = (ukey % nb).astype(np.int64)
             lids = pdf["__xlid"].to_numpy()
-            lws = pdf["__lgeom"].to_numpy(dtype=object)
             o_lid = []
             o_rid = []
-            o_lw = []
             from ._cellstream import BUFFER_ROWS as _CAP
 
             for lo in range(0, len(li), _CAP):
@@ -451,16 +449,14 @@ def _broadcast_probe_refined(lraw, rcov, lid: str, rid: str, predicate: str,
                     continue
                 o_lid.append(lids[ls])
                 o_rid.append(rid_vals[rs])
-                o_lw.append(lws[ls])
             if o_lid:
                 yield pd.DataFrame({
                     "__xlid": np.concatenate(o_lid),
                     "__xrid": np.concatenate(o_rid),
-                    "__lgeom": np.concatenate(o_lw),
                 })
 
     return probe.mapInPandas(
-        fn, schema=f"__xlid {lid_t}, __xrid {rid_t}, __lgeom binary")
+        fn, schema=f"__xlid {lid_t}, __xrid {rid_t}")
 
 
 def _cogroup_refined(lcov, rcov, lid: str, rid: str, predicate: str,
@@ -576,7 +572,6 @@ def _cogroup_refined(lcov, rcov, lid: str, rid: str, predicate: str,
         lcell = cell[lsub]
         o_lid = []
         o_rid = []
-        o_lw = []
         # combo-bounded group loop — cache-resident temporaries (see
         # operators/nearest.py COMBO_CAP rationale)
         hpos = np.nonzero(has)[0]
@@ -625,13 +620,11 @@ def _cogroup_refined(lcov, rcov, lid: str, rid: str, predicate: str,
                 continue
             o_lid.append(lid_arr[li])
             o_rid.append(rid_arr[ri])
-            o_lw.append(lw[li])
         if not o_lid:
             return None
         return pd.DataFrame({
             "__xlid": np.concatenate(o_lid),
             "__xrid": np.concatenate(o_rid),
-            "__lgeom": np.concatenate(o_lw),
         })
 
     def fn(it):
@@ -640,7 +633,7 @@ def _cogroup_refined(lcov, rcov, lid: str, rid: str, predicate: str,
         yield from stream_groups(it, ["__cell", "__salt"], _process)
 
     return tagged.mapInPandas(
-        fn, schema=f"__xlid {lid_t}, __xrid {rid_t}, __lgeom binary")
+        fn, schema=f"__xlid {lid_t}, __xrid {rid_t}")
 
 
 def _prep_side(df: DataFrame, geom: str, id_col: str | None, tag: str):
@@ -818,17 +811,28 @@ def sjoin(
         # the two user id columns share a name, BOTH get suffixed, so the
         # fast path emits the same schema as the general assembly
         collide = lid in ldata and rid in rdata and lid == rid
+        out = refined
+        if left_geom in ldata:
+            # geometry re-attaches via a JVM-side id join: the refine
+            # kernels emit ONLY (lid, rid) id pairs — shipping the left
+            # WKB per match through Arrow cost |matches| x ~wkb bytes of
+            # python->JVM serialization (measured 18 GB at 43M matches on
+            # the scaling input, the 2->8 efficiency ceiling), while this
+            # join shuffles each table once at id width.
+            geoms = lclean.select(F.col(lid).alias("__xlid"),
+                                  F.col(left_geom).alias("__ogeom"))
+            out = out.join(geoms, on="__xlid", how="inner")
         cols = []
         if lid in ldata:
             cols.append(F.col("__xlid").alias(
                 f"{lid}_{lsuffix}" if collide else lid))
         if left_geom in ldata:
-            cols.append(F.col("__lgeom").alias(left_geom))
+            cols.append(F.col("__ogeom").alias(left_geom))
         if rid in rdata:
             cols.append(F.col("__xrid").alias(
                 f"{rid}_{rsuffix}" if collide else rid))
         cols.append(F.col("__xrid").alias("index_right"))
-        return refined.select(*cols)
+        return out.select(*cols)
 
     lmap, rmap = _suffix_columns(
         lclean.select(ldata), rclean.select(rdata), lsuffix, rsuffix, exclude=set()
