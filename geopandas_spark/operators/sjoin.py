@@ -333,7 +333,8 @@ def _load_build(cache_key: str, bc):
 
 def _broadcast_probe_refined(lraw, rcov, lid: str, rid: str, predicate: str,
                              distance, lpad: float, resolution: int, domain,
-                             anc_down_to: int | None):
+                             anc_down_to: int | None,
+                             emit_geom: bool = False):
     """Broadcast spatial join as a single probe-side ``mapInPandas`` pass.
 
     Round-2 scale fix: the round-1 plan materialized every candidate
@@ -356,7 +357,11 @@ def _broadcast_probe_refined(lraw, rcov, lid: str, rid: str, predicate: str,
     st_cells_from_bbox + a per-row-Python _ancestors_udf upstream and
     shipped the cell arrays through Arrow.
 
-    Returns a DataFrame (__xlid, __xrid, __lgeom) of matched pairs.
+    Returns a DataFrame (__xlid, __xrid[, __lgeom]) of matched pairs —
+    ``emit_geom`` rides the probe WKB along only when the caller will
+    consume it directly (the narrow assembly fast path); every other
+    consumer re-joins attributes by id, so shipping WKB per match
+    through Arrow would be pure serialization waste.
     """
     # Arrow collect + vectorized CSR build: the row-wise collect() plus a
     # per-row Python loop here was the dominant SERIAL cost of the whole
@@ -423,8 +428,10 @@ def _broadcast_probe_refined(lraw, rcov, lid: str, rid: str, predicate: str,
                 li = (ukey // nb).astype(np.int64)
                 ri = (ukey % nb).astype(np.int64)
             lids = pdf["__xlid"].to_numpy()
+            lws = pdf["__lgeom"].to_numpy(dtype=object) if emit_geom else None
             o_lid = []
             o_rid = []
+            o_lw = []
             from ._cellstream import BUFFER_ROWS as _CAP
 
             for lo in range(0, len(li), _CAP):
@@ -449,20 +456,25 @@ def _broadcast_probe_refined(lraw, rcov, lid: str, rid: str, predicate: str,
                     continue
                 o_lid.append(lids[ls])
                 o_rid.append(rid_vals[rs])
+                if emit_geom:
+                    o_lw.append(lws[ls])
             if o_lid:
-                yield pd.DataFrame({
-                    "__xlid": np.concatenate(o_lid),
-                    "__xrid": np.concatenate(o_rid),
-                })
+                d = {"__xlid": np.concatenate(o_lid),
+                     "__xrid": np.concatenate(o_rid)}
+                if emit_geom:
+                    d["__lgeom"] = np.concatenate(o_lw)
+                yield pd.DataFrame(d)
 
-    return probe.mapInPandas(
-        fn, schema=f"__xlid {lid_t}, __xrid {rid_t}")
+    schema = f"__xlid {lid_t}, __xrid {rid_t}"
+    if emit_geom:
+        schema += ", __lgeom binary"
+    return probe.mapInPandas(fn, schema=schema)
 
 
 def _cogroup_refined(lcov, rcov, lid: str, rid: str, predicate: str,
                      distance, lpad: float, resolution: int, domain,
                      salt_hot_cells: bool, hot_cell_threshold: int,
-                     salt_factor: int):
+                     salt_factor: int, emit_geom: bool = False):
     """Shuffle spatial join as a union-cogroup-by-cell streaming pass.
 
     Round-2 scale fix for the big×big path: instead of a hash join whose
@@ -572,6 +584,7 @@ def _cogroup_refined(lcov, rcov, lid: str, rid: str, predicate: str,
         lcell = cell[lsub]
         o_lid = []
         o_rid = []
+        o_lw = []
         # combo-bounded group loop — cache-resident temporaries (see
         # operators/nearest.py COMBO_CAP rationale)
         hpos = np.nonzero(has)[0]
@@ -620,20 +633,25 @@ def _cogroup_refined(lcov, rcov, lid: str, rid: str, predicate: str,
                 continue
             o_lid.append(lid_arr[li])
             o_rid.append(rid_arr[ri])
+            if emit_geom:
+                o_lw.append(lw[li])
         if not o_lid:
             return None
-        return pd.DataFrame({
-            "__xlid": np.concatenate(o_lid),
-            "__xrid": np.concatenate(o_rid),
-        })
+        d = {"__xlid": np.concatenate(o_lid),
+             "__xrid": np.concatenate(o_rid)}
+        if emit_geom:
+            d["__lgeom"] = np.concatenate(o_lw)
+        return pd.DataFrame(d)
 
     def fn(it):
         from ._cellstream import stream_groups
 
         yield from stream_groups(it, ["__cell", "__salt"], _process)
 
-    return tagged.mapInPandas(
-        fn, schema=f"__xlid {lid_t}, __xrid {rid_t}")
+    schema = f"__xlid {lid_t}, __xrid {rid_t}"
+    if emit_geom:
+        schema += ", __lgeom binary"
+    return tagged.mapInPandas(fn, schema=schema)
 
 
 def _prep_side(df: DataFrame, geom: str, id_col: str | None, tag: str):
@@ -760,30 +778,7 @@ def sjoin(
             and _est_exploded(stats[1], resolution, domain) <= BROADCAST_EXPLODED_ROWS
         )
 
-    if not on_attribute and broadcast_right and not salt_hot_cells:
-        # small build side: single probe-side pass, no join, no explode
-        # (an explicit salting request signals a shuffle-scale build side
-        # — it always routes to the cogroup pass). The probe ships ONLY
-        # (id, wkb); bounds/cover/ancestors happen in-kernel.
-        lraw = left.select(lid, F.col(left_geom).alias("__lgeom"))
-        refined = _broadcast_probe_refined(
-            lraw, rcov, lid, rid, predicate, distance, pad, resolution,
-            domain, rmin if rmin < resolution else None)
-    elif not on_attribute:
-        # big×big: union-cogroup by cell — geometry crosses the wire once
-        # per cover cell, pairs leave as ids
-        refined = _cogroup_refined(lcov, rcov, lid, rid, predicate,
-                                   distance, pad, resolution, domain,
-                                   salt_hot_cells, hot_cell_threshold,
-                                   salt_factor)
-    else:
-        refined = _join_refine_path(
-            lcov, rcov, lid, rid, on_attribute, predicate, distance, pad,
-            resolution, domain, broadcast_right, salt_hot_cells,
-            hot_cell_threshold, salt_factor)
-    matched = refined.select("__xlid", "__xrid")
-
-    # ---- assemble output -------------------------------------------------
+    # ---- output shape (decided BEFORE refine: it steers emit_geom) -------
     # Internal unambiguous keys __LID/__RID; user id columns (when supplied)
     # also remain as ordinary data columns, like the pandas index does.
     lclean = left.drop("__bb")
@@ -798,41 +793,61 @@ def sjoin(
         rdata = [c for c in rdata if c != right_geom]
     else:
         ldata = [c for c in ldata if c != left_geom]
+    # Narrow-assembly fast path precondition: both sides carry nothing
+    # beyond (id, geometry) — every output column can flow through the
+    # refine stage directly, skipping BOTH assembly joins (the dominant
+    # shuffles at scale: matched is |result| rows, the joins re-shuffle
+    # it twice against the base tables). Only THEN do the kernels emit
+    # the probe WKB per match; every other shape re-joins by id, where
+    # per-match WKB through Arrow is pure serialization waste.
+    narrow = (how == "inner" and not on_attribute
+              and set(ldata) <= {lid, left_geom}
+              and set(rdata) <= {rid})
+    emit_geom = narrow and left_geom in ldata
 
-    # Narrow-assembly fast path: when both sides carry nothing beyond
-    # (id, geometry), every output column already flows through the refine
-    # stage — emit directly and skip BOTH assembly joins (the dominant
-    # shuffles at scale: matched is |result| rows, the joins re-shuffle it
-    # twice against the base tables).
-    if (how == "inner" and not on_attribute
-            and set(ldata) <= {lid, left_geom}
-            and set(rdata) <= {rid}):
+    if not on_attribute and broadcast_right and not salt_hot_cells:
+        # small build side: single probe-side pass, no join, no explode
+        # (an explicit salting request signals a shuffle-scale build side
+        # — it always routes to the cogroup pass). The probe ships ONLY
+        # (id, wkb); bounds/cover/ancestors happen in-kernel.
+        lraw = left.select(lid, F.col(left_geom).alias("__lgeom"))
+        refined = _broadcast_probe_refined(
+            lraw, rcov, lid, rid, predicate, distance, pad, resolution,
+            domain, rmin if rmin < resolution else None,
+            emit_geom=emit_geom)
+    elif not on_attribute:
+        # big×big: union-cogroup by cell — geometry crosses the wire once
+        # per cover cell, pairs leave as ids
+        refined = _cogroup_refined(lcov, rcov, lid, rid, predicate,
+                                   distance, pad, resolution, domain,
+                                   salt_hot_cells, hot_cell_threshold,
+                                   salt_factor, emit_geom=emit_geom)
+    else:
+        refined = _join_refine_path(
+            lcov, rcov, lid, rid, on_attribute, predicate, distance, pad,
+            resolution, domain, broadcast_right, salt_hot_cells,
+            hot_cell_threshold, salt_factor)
+        if narrow:
+            narrow = False  # legacy path emits no geometry column
+            emit_geom = False
+    matched = refined.select("__xlid", "__xrid")
+
+    if narrow:
         # collision naming must mirror _suffix_columns (ADVICE fix): when
         # the two user id columns share a name, BOTH get suffixed, so the
         # fast path emits the same schema as the general assembly
         collide = lid in ldata and rid in rdata and lid == rid
-        out = refined
-        if left_geom in ldata:
-            # geometry re-attaches via a JVM-side id join: the refine
-            # kernels emit ONLY (lid, rid) id pairs — shipping the left
-            # WKB per match through Arrow cost |matches| x ~wkb bytes of
-            # python->JVM serialization (measured 18 GB at 43M matches on
-            # the scaling input, the 2->8 efficiency ceiling), while this
-            # join shuffles each table once at id width.
-            geoms = lclean.select(F.col(lid).alias("__xlid"),
-                                  F.col(left_geom).alias("__ogeom"))
-            out = out.join(geoms, on="__xlid", how="inner")
         cols = []
         if lid in ldata:
             cols.append(F.col("__xlid").alias(
                 f"{lid}_{lsuffix}" if collide else lid))
-        if left_geom in ldata:
-            cols.append(F.col("__ogeom").alias(left_geom))
+        if emit_geom:
+            cols.append(F.col("__lgeom").alias(left_geom))
         if rid in rdata:
             cols.append(F.col("__xrid").alias(
                 f"{rid}_{rsuffix}" if collide else rid))
         cols.append(F.col("__xrid").alias("index_right"))
-        return out.select(*cols)
+        return refined.select(*cols)
 
     lmap, rmap = _suffix_columns(
         lclean.select(ldata), rclean.select(rdata), lsuffix, rsuffix, exclude=set()
