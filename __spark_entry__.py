@@ -1217,34 +1217,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering matters: the driver's correctness gate snapshots the FIRST
+    # 50 entries only. Rounds 1-3 always listed the same prefix, so 11
+    # queries were never driver-checked (VERDICT r3 item 4). Round 4
+    # rotates: never-driver-checked queries lead, new round-4 queries
+    # follow, and the longest-stable multi-round hash-matched queries
+    # take the unchecked tail.
     return {
+        # -- never (or only r2-) driver-checked: must be in the first 50
+        "bbox_partition_pruned": q_bbox_partition_pruned,
+        "rasterize_coverage": q_rasterize_coverage,
+        "line_merge_chain": q_line_merge_chain,
+        "constructive_scalars": q_constructive_scalars,
+        "explode_corners": q_explode_corners,
+        "intersection_all_groups": q_intersection_all_groups,
+        "nearest_line": q_nearest_line,
+        "stream_tile_counts": q_stream_tile_counts,
+        "dwithin_join": q_dwithin_join,
+        "laea_transform": q_laea_transform,
+        "utm_zone_estimate": q_utm_zone_estimate,
+        # -- new in round 4
+        # (albers_transform, fgb_roundtrip, overlay_star_pairs inserted here)
+        # -- checked in r3, keep under the gate
         "sjoin_points_in_rects": q_sjoin_points_in_rects,
         "sjoin_count_by_rect": q_sjoin_count_by_rect,
         "bbox_filter_cx": q_bbox_filter_cx,
         "dissolve_nation_bounds": q_dissolve_nation_bounds,
         "sjoin_nearest_center": q_sjoin_nearest_center,
-        "morton_cells": q_morton_cells,
         "cell_cover_counts": q_cell_cover_counts,
         "tile_assignment": q_tile_assignment,
         "clip_window_area": q_clip_window_area,
-        "hilbert_keys": q_hilbert_rank_partitioning,
         "exact_dedup_docs": q_exact_dedup_docs,
-        "token_stats": q_token_stats,
-        "quality_ratios": q_quality_ratios,
-        "fingerprint": q_fingerprint,
-        "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
-        "events_topk_window": q_events_topk_window,
         "overlay_rect_intersection": q_overlay_rect_intersection,
-        "transform_webmercator": q_transform_webmercator,
-        "buffer_point_area": q_buffer_point_area,
-        "union_rect_area": q_union_rect_area,
-        "segmentize_counts": q_segmentize_counts,
-        "min_bounding_radius": q_min_bounding_radius,
-        "hausdorff_center": q_hausdorff_center,
-        "geojson_roundtrip": q_geojson_roundtrip,
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "geocode_nations": q_geocode_nations,
@@ -1268,17 +1275,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_interpolate_project": q_line_interpolate_project,
         "line_offset_frechet": q_line_offset_frechet,
         "hull_points_area": q_hull_points_area,
-        "bbox_partition_pruned": q_bbox_partition_pruned,
-        "rasterize_coverage": q_rasterize_coverage,
-        "line_merge_chain": q_line_merge_chain,
-        "constructive_scalars": q_constructive_scalars,
-        "explode_corners": q_explode_corners,
-        "intersection_all_groups": q_intersection_all_groups,
-        "nearest_line": q_nearest_line,
-        "stream_tile_counts": q_stream_tile_counts,
-        "dwithin_join": q_dwithin_join,
-        "laea_transform": q_laea_transform,
-        "utm_zone_estimate": q_utm_zone_estimate,
+        # -- tail: hash-matched by the driver in BOTH r2 and r3 (and
+        # locally every round) — safest to rotate out of the 50-gate
+        "morton_cells": q_morton_cells,
+        "hilbert_keys": q_hilbert_rank_partitioning,
+        "token_stats": q_token_stats,
+        "quality_ratios": q_quality_ratios,
+        "fingerprint": q_fingerprint,
+        "lang_id": q_lang_id,
+        "events_topk_window": q_events_topk_window,
+        "transform_webmercator": q_transform_webmercator,
+        "buffer_point_area": q_buffer_point_area,
+        "union_rect_area": q_union_rect_area,
+        "segmentize_counts": q_segmentize_counts,
+        "min_bounding_radius": q_min_bounding_radius,
+        "hausdorff_center": q_hausdorff_center,
+        "geojson_roundtrip": q_geojson_roundtrip,
     }
 
 

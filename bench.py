@@ -72,13 +72,14 @@ def main():
     # runs on lazily-provisioned VM memory where the first touch of every
     # fresh page in each of the 32 python workers + the JVM costs ~25 MB/s
     # — a one-off ~2-3 min tax unrelated to engine throughput. One full
-    # pass at a smaller SF faults in the worker heaps, JIT and codegen so
-    # the timed pass below measures steady-state throughput (what a
-    # long-running cluster job sees). clearCache between queries drops
-    # operator-internal persists so queries don't interfere.
-    warm_dir = sf_dir.replace(f"sf{sf}", "sf0.01")
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
+    # pass AT THE MEASURED SF faults in the worker heaps, JIT and codegen
+    # so the timed pass below measures steady-state throughput (what a
+    # long-running cluster job sees). Warming at a smaller SF is not
+    # enough: workers then fault in their full-size heaps inside the
+    # first timed pass (110s vs 27s observed for overlay_star at sf0.1).
+    # clearCache between queries drops operator-internal persists so
+    # queries don't interfere.
+    warm_dir = sf_dir
     for name in headline:
         try:
             qs[name](spark, warm_dir).count()
@@ -116,7 +117,7 @@ def main():
         "queries": times,
         "rows": rows,
         "sf": sf,
-        "warmup": "one untimed pass at sf0.01 (lazy-VM page-fault warmup; see comment)",
+        "warmup": "one untimed pass at the measured sf (lazy-VM page-fault warmup; see comment)",
         "passes": reps,
         "estimator": "min over interleaved passes (host noise +-3x)",
     }

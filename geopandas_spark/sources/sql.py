@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _EWKB_SRID = 0x20000000
 _EWKB_Z = 0x80000000
+_EWKB_M = 0x40000000
 
 
 # ---------------------------------------------------------------------------
@@ -62,40 +63,49 @@ def ewkb_srid(blob: bytes | None) -> int | None:
 
 def wkb_to_ewkb_hex(wkb: bytes | None, srid: int = 0) -> str | None:
     """ISO WKB -> EWKB hex string (io/sql.py:195-197 parity: hex=True,
-    srid stamped). Z stays encoded ISO-style in the body; the EWKB Z
-    flag is set so PostGIS recognizes it either way."""
+    srid stamped). Z/M stay encoded ISO-style in the body; the EWKB
+    dimension flags are set so PostGIS recognizes them either way.
+
+    ISO type ranges 1000-1999 (Z), 2000-2999 (M) and 3000-3999 (ZM)
+    map to the EWKB 0x80000000 / 0x40000000 flags; EWKB-flagged inputs
+    (including the M flag) pass their flags through."""
     if wkb is None:
         return None
     little = wkb[0] == 1
     fmt = "<I" if little else ">I"
     raw = struct.unpack_from(fmt, wkb, 1)[0]
-    has_z = False
+    has_z = has_m = False
     base = raw
-    if raw & (_EWKB_Z | _EWKB_SRID):
+    if raw & (_EWKB_Z | _EWKB_M | _EWKB_SRID):
         has_z = bool(raw & _EWKB_Z)
+        has_m = bool(raw & _EWKB_M)
         base = raw & 0xFF
         body_off = 9 if raw & _EWKB_SRID else 5
     else:
         body_off = 5
         if raw >= 1000:
-            has_z = raw < 2000 or raw >= 3000
+            iso_dim = raw // 1000  # 1=Z, 2=M, 3=ZM
+            has_z = iso_dim in (1, 3)
+            has_m = iso_dim in (2, 3)
             base = raw % 1000
-    code = base | _EWKB_SRID | (_EWKB_Z if has_z else 0)
+    code = (base | _EWKB_SRID | (_EWKB_Z if has_z else 0)
+            | (_EWKB_M if has_m else 0))
     head = wkb[:1] + struct.pack(fmt, code) + struct.pack(
         "<i" if little else ">i", int(srid))
     return (head + wkb[body_off:]).hex()
 
 
-def _canon_wkb(s: pd.Series, hex_in: bool) -> pd.Series:
+def _canon_wkb(s: pd.Series) -> pd.Series:
     """(hex-)EWKB/WKB series -> canonical ISO WKB bytes (one vectorized
     decode/encode through the engine codec so downstream byte-hash ops
-    see the same canonical form every other source emits)."""
+    see the same canonical form every other source emits). Hex vs raw
+    bytes is detected PER VALUE (a driver-side sample can be all-NULL
+    while later rows are hex strings — reference decodes per-value via
+    shapely.wkb.loads(hex=True), io/sql.py:62)."""
     from ..geom import wkb as B
 
-    if hex_in:
-        s = s.map(lambda v: None if v is None else bytes.fromhex(v))
-    else:
-        s = s.map(lambda v: None if v is None else bytes(v))
+    s = s.map(lambda v: None if v is None
+              else bytes.fromhex(v) if isinstance(v, str) else bytes(v))
     return pd.Series(B.to_wkb(B.from_wkb(s)), index=s.index)
 
 
@@ -103,10 +113,13 @@ def _canon_wkb(s: pd.Series, hex_in: bool) -> pd.Series:
 # read
 # ---------------------------------------------------------------------------
 
-def _infer_schema(cols, sample_rows, geom_col):
+def _infer_schema(cols, sample_rows, geom_col, coerce_float=True):
     """Spark DDL from a driver-side sample (DB-API type codes are not
     portable across drivers, so infer from values; pass ``schema=`` to
-    override)."""
+    override). With ``coerce_float`` (pandas read_sql parity) SQL
+    DECIMAL columns land as double."""
+    import decimal
+
     types = {}
     for j, c in enumerate(cols):
         t = None
@@ -120,6 +133,8 @@ def _infer_schema(cols, sample_rows, geom_col):
                 t = "bigint"
             elif isinstance(v, float):
                 t = "double"
+            elif isinstance(v, decimal.Decimal):
+                t = "double" if coerce_float else "string"
             elif isinstance(v, (bytes, memoryview)):
                 t = "binary"
             else:
@@ -190,8 +205,6 @@ def read_postgis(spark: SparkSession, sql: str, conn_factory,
         con.close()
 
     gi = cols.index(geom_col)
-    hex_in = bool(sample) and any(
-        isinstance(r[gi], str) for r in sample if r[gi] is not None)
     srid = None
     for r in sample:
         v = r[gi]
@@ -202,40 +215,73 @@ def read_postgis(spark: SparkSession, sql: str, conn_factory,
     if crs is None and srid:
         crs = f"EPSG:{srid}"
 
-    ddl = schema or _infer_schema(cols, sample, geom_col)
+    ddl = schema or _infer_schema(cols, sample, geom_col, coerce_float)
 
     if bounds is None or bounds[0] is None:
         ranges = [(None, None)]
         npart = 1
     else:
+        # Bounds are STRIDE-ONLY (Spark JDBC semantics): the first range
+        # is unbounded below (plus IS NULL) and the last unbounded above,
+        # so user-supplied bounds narrower than the data never drop rows
+        # — matching reference read_postgis, which returns every row.
         npart = num_partitions or spark.sparkContext.defaultParallelism
         edges = np.linspace(bounds[0], bounds[1] + 1, npart + 1)
         edges = np.unique(edges.astype(np.int64))
         ranges = [(int(a), int(b)) for a, b in zip(edges[:-1], edges[1:])]
+        if ranges:
+            ranges[0] = (None, ranges[0][1])
+            ranges[-1] = (ranges[-1][0], None)
         npart = len(ranges)
 
     rdf = spark.createDataFrame(
         ranges, "lo bigint, hi bigint").repartition(npart)
     pc, cf, qc, gc_, co = partition_col, conn_factory, query, geom_col, cols
+    cfl = bool(coerce_float)
 
     def _read(it):
+        import decimal
+
         for pdf in it:
             for lo, hi in zip(pdf["lo"], pdf["hi"]):
                 con = cf()
                 try:
                     cur = con.cursor()
-                    if pc is None or pd.isna(lo):
+                    if pc is None:
                         cur.execute(f"SELECT * FROM ({qc}) AS _q")
                     else:
-                        cur.execute(
-                            f"SELECT * FROM ({qc}) AS _q "
-                            f"WHERE {pc} >= {int(lo)} AND {pc} < {int(hi)}")
+                        preds = []
+                        if not pd.isna(lo):
+                            preds.append(f"{pc} >= {int(lo)}")
+                        if not pd.isna(hi):
+                            preds.append(f"{pc} < {int(hi)}")
+                        else:
+                            pass  # last stride: unbounded above
+                        if pd.isna(lo):
+                            # first stride also picks up NULL keys so no
+                            # row is silently dropped (Spark JDBC rule)
+                            cond = (f"({' AND '.join(preds)}) OR {pc} IS NULL"
+                                    if preds else "1=1")
+                        else:
+                            cond = " AND ".join(preds) or "1=1"
+                        cur.execute(f"SELECT * FROM ({qc}) AS _q WHERE {cond}")
                     while True:
                         chunk = cur.fetchmany(50_000)
                         if not chunk:
                             break
                         out = pd.DataFrame(chunk, columns=co)
-                        out[gc_] = _canon_wkb(out[gc_], hex_in)
+                        out[gc_] = _canon_wkb(out[gc_])
+                        if cfl:
+                            # pandas read_sql coerce_float parity: SQL
+                            # DECIMAL comes back as decimal.Decimal —
+                            # convert to float64 for numeric columns
+                            for c in co:
+                                if c != gc_ and out[c].dtype == object and \
+                                        out[c].map(
+                                            lambda v: v is None or
+                                            isinstance(v, decimal.Decimal)
+                                        ).all() and out[c].notna().any():
+                                    out[c] = out[c].astype(float)
                         yield out
                 finally:
                     con.close()
@@ -266,7 +312,7 @@ def to_postgis(df: DataFrame, name: str, conn_factory,
                geom_col: str = "geometry", srid: int = 0,
                if_exists: str = "fail", chunksize: int = 1000,
                max_parallel_writers: int | None = None,
-               geom_sql_type: str = "BLOB",
+               geom_sql_type: str | None = None,
                paramstyle: str = "qmark"):
     """Distributed ``to_postgis`` (io/sql.py:242 parity).
 
@@ -274,17 +320,25 @@ def to_postgis(df: DataFrame, name: str, conn_factory,
     on the driver; rows INSERT from the executors via
     ``foreachPartition`` — one connection and ``executemany`` batches of
     ``chunksize`` per partition. Geometry is written as EWKB hex with
-    ``srid`` stamped (io/sql.py:195-197).
+    ``srid`` stamped (io/sql.py:195-197) — the format PostGIS's
+    ``geometry`` type accepts directly as text input.
 
     ``max_parallel_writers`` caps concurrent writer tasks; pass 1 for
     single-writer engines (SQLite). ``paramstyle`` is the DB-API
-    placeholder style of the target driver: 'qmark' (?) or 'format'
-    (%s, psycopg2).
+    placeholder style of the target driver: 'qmark' (?, sqlite3) or
+    'format' (%s, psycopg2). ``geom_sql_type`` defaults by backend:
+    ``geometry`` under paramstyle='format' (an actual PostGIS server,
+    where EWKB hex inserts via the geometry text-input cast) and
+    ``BLOB``-as-TEXT storage under 'qmark' (sqlite3, dynamic typing —
+    the hex string round-trips through read_postgis's per-value hex
+    detection either way).
     """
     if if_exists not in ("fail", "replace", "append"):
         raise ValueError("if_exists must be fail|replace|append")
     if paramstyle not in ("qmark", "format"):
         raise ValueError("paramstyle must be qmark|format")
+    if geom_sql_type is None:
+        geom_sql_type = "geometry" if paramstyle == "format" else "BLOB"
     fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
     if geom_col not in {n for n, _ in fields}:
         raise ValueError(f"Column {geom_col} not found in DataFrame")

@@ -109,6 +109,104 @@ def test_to_postgis_roundtrip(spark, tmp_path):
     con.close()
 
 
+def test_read_postgis_stride_only_bounds_and_nulls(spark, tmp_path):
+    """Spark-JDBC bounds semantics (ADVICE r3): explicit bounds narrower
+    than the data only size the stride — the first range is unbounded
+    below (and picks up NULL partition keys), the last unbounded above,
+    so no row is ever dropped."""
+    db = str(tmp_path / "sb.db")
+    _seed_table(db, n=100)
+    con = sqlite3.connect(db)
+    # a row with a NULL partition key and rows outside [20, 60)
+    w = wkb_to_ewkb_hex(
+        bytes(to_wkb(points_batch(np.array([9.0]), np.array([9.0])))[0]), 4326)
+    con.execute("INSERT INTO roads VALUES (NULL, 'null-key', 0.0, ?)", (w,))
+    con.commit()
+    con.close()
+    df = read_postgis(spark, "SELECT rowid AS rk, * FROM roads",
+                      _factory(db), geom_col="geom", partition_col="gid",
+                      lower_bound=20, upper_bound=60, num_partitions=4)
+    assert df.count() == 101  # every row, incl. NULL key and out-of-bounds
+
+
+def test_read_postgis_hex_detected_per_value(spark, tmp_path):
+    """Hex vs bytes decided per value (ADVICE r3): an all-NULL sample
+    prefix must not poison later hex rows."""
+    db = str(tmp_path / "hx.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE g (gid INTEGER PRIMARY KEY, geom)")
+    rows = [(i + 1, None) for i in range(150)]  # sample window all NULL
+    w = wkb_to_ewkb_hex(
+        bytes(to_wkb(points_batch(np.array([1.0]), np.array([2.0])))[0]), 0)
+    rows.append((151, w))  # hex string after the 100-row sample
+    con.executemany("INSERT INTO g VALUES (?,?)", rows)
+    con.commit()
+    con.close()
+    pdf = read_postgis(spark, "g", _factory(db), geom_col="geom").toPandas()
+    assert len(pdf) == 151
+    got = pdf.loc[pdf["gid"] == 151, "geom"].iloc[0]
+    assert from_wkb([bytes(got)]).coords[0][0] == pytest.approx(1.0)
+
+
+def test_read_postgis_coerce_float_decimal(spark, tmp_path):
+    """pandas read_sql coerce_float parity: DECIMAL-ish Decimal values
+    land as double when coerce_float=True (default)."""
+    import decimal
+
+    db = str(tmp_path / "cf.db")
+    sqlite3.register_adapter(decimal.Decimal, str)
+    con = sqlite3.connect(db, detect_types=sqlite3.PARSE_DECLTYPES)
+    sqlite3.register_converter("DECTYPE", lambda b: decimal.Decimal(b.decode()))
+    con.execute("CREATE TABLE m (gid INTEGER PRIMARY KEY, amt DECTYPE, geom)")
+    w = wkb_to_ewkb_hex(
+        bytes(to_wkb(points_batch(np.array([0.0]), np.array([0.0])))[0]), 0)
+    con.executemany("INSERT INTO m VALUES (?,?,?)",
+                    [(i + 1, decimal.Decimal("1.25") * i, w) for i in range(9)])
+    con.commit()
+    con.close()
+
+    def connect(_path=db):
+        import decimal
+        import sqlite3
+        sqlite3.register_converter(
+            "DECTYPE", lambda b: decimal.Decimal(b.decode()))
+        return sqlite3.connect(_path, detect_types=sqlite3.PARSE_DECLTYPES)
+
+    df = read_postgis(spark, "m", connect, geom_col="geom")
+    assert dict(df.dtypes)["amt"] == "double"
+    got = sorted(r["amt"] for r in df.collect())
+    assert got[2] == pytest.approx(2.5)
+
+
+def test_ewkb_hex_preserves_m_flag():
+    """ISO M (2001-2999) / ZM (3001+) ranges and the EWKB 0x40000000 M
+    flag survive wkb_to_ewkb_hex (ADVICE r3): the emitted header must
+    agree with the per-vertex value count in the body."""
+    import struct
+
+    # hand-built ISO POINT M (code 2001): x, y, m
+    iso_m = (b"\x01" + struct.pack("<I", 2001)
+             + struct.pack("<3d", 1.0, 2.0, 7.0))
+    h = wkb_to_ewkb_hex(iso_m, srid=4326)
+    blob = bytes.fromhex(h)
+    code = struct.unpack_from("<I", blob, 1)[0]
+    assert code & 0x40000000  # M flag kept
+    assert not code & 0x80000000  # no phantom Z
+    assert ewkb_srid(blob) == 4326
+    # EWKB M-flag input passes through
+    ewkb_m = (b"\x01" + struct.pack("<I", 1 | 0x40000000)
+              + struct.pack("<3d", 1.0, 2.0, 7.0))
+    code2 = struct.unpack_from("<I", bytes.fromhex(
+        wkb_to_ewkb_hex(ewkb_m, srid=0)), 1)[0]
+    assert code2 & 0x40000000 and (code2 & 0xFF) == 1
+    # ISO ZM (3001): both flags
+    iso_zm = (b"\x01" + struct.pack("<I", 3001)
+              + struct.pack("<4d", 1.0, 2.0, 3.0, 7.0))
+    code3 = struct.unpack_from("<I", bytes.fromhex(
+        wkb_to_ewkb_hex(iso_zm, srid=0)), 1)[0]
+    assert code3 & 0x40000000 and code3 & 0x80000000
+
+
 def test_sql_roundtrip_matches_geoparquet_path(spark, tmp_path):
     """DB write -> DB read reproduces the exact canonical WKB bytes the
     engine's other sources emit (hash-identical column)."""

@@ -37,9 +37,18 @@ os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
 
 N_POINTS = int(os.environ.get("SCALING_N_POINTS", "2000000"))
 N_RECTS = int(os.environ.get("SCALING_N_RECTS", "200000"))
+N_DOCS = int(os.environ.get("SCALING_N_DOCS", "300000"))
+N_VECS = int(os.environ.get("SCALING_N_VECS", "1000000"))
 SIDE_SCALE = float(os.environ.get("SCALING_SIDE_SCALE", "1.0"))
 _M32 = 4294967296
 _HA, _HB = 2654435761, 2246822519
+
+# The full BENCH.md table: the two north-rule sjoin jobs plus the two
+# LLM-pipeline representatives (VERDICT r3 item 8 — minhash/IVF had no
+# scaling evidence). Custom SCALING_JOBS selections write
+# BENCH_PARTIAL.md instead so they can't clobber this table.
+DEFAULT_JOBS = ("sjoin_intersects", "sjoin_nearest_knn",
+                "minhash_near_dups", "ivf_topk")
 
 
 def _build_inputs(spark, n_points: int, n_rects: int):
@@ -128,18 +137,60 @@ def run_level(cpus: int, job: str | None = None) -> dict:
         return df.withColumn("geometry", st_geomfromtext(wkt)).select("rid", "geometry")
 
     out = {"cpus": cpus, "n_points": N_POINTS, "n_rects": N_RECTS,
+           "n_docs": N_DOCS, "n_vecs": N_VECS,
            "host_calib_mips": round(calibrate(cpus), 1)}
 
-    pts, rects = _build_inputs(spark, N_POINTS, N_RECTS)
-    pts = pts.persist()
-    rgeo = rect_geom(rects).persist()
-    centers = rects.select(
-        "rid", st_point(F.col("minx") + F.col("side") / 2,
-                        F.col("miny") + F.col("side") / 2).alias("geometry")
-    ).persist()
-    pts.count()
-    rgeo.count()
-    centers.count()
+    wanted = set(DEFAULT_JOBS) if job is None else {job}
+
+    # inputs build lazily per selected job family so a --job run doesn't
+    # pay for the others' synthesis
+    pts = rgeo = centers = docs = vecs = qvecs = None
+    if wanted & {"sjoin_intersects", "sjoin_nearest_knn"}:
+        pts, rects = _build_inputs(spark, N_POINTS, N_RECTS)
+        pts = pts.persist()
+        rgeo = rect_geom(rects).persist()
+        centers = rects.select(
+            "rid", st_point(F.col("minx") + F.col("side") / 2,
+                            F.col("miny") + F.col("side") / 2).alias("geometry")
+        ).persist()
+        pts.count()
+        rgeo.count()
+        centers.count()
+    if "minhash_near_dups" in wanted:
+        # deterministic near-dup corpus: docs 2i / 2i+1 share a 40-word
+        # base text keyed on i; the odd doc mutates one word -> at
+        # shingle k=5 the pair's exact Jaccard ~= 31/41 ~ 0.76 >= 0.7,
+        # so every pair is one verified near-dup. No RNG, no files.
+        base = (F.col("did") / 2).cast("long") + 1
+        words = [F.concat(F.lit("w"),
+                          F.pmod(base * (k + 1) * _HA, F.lit(50021)))
+                 for k in range(40)]
+        arr = F.array(*words)
+        mut_pos = F.pmod(F.col("did"), F.lit(7)) * 5 + 3  # word 3..33
+        arr = F.when(
+            F.pmod(F.col("did"), F.lit(2)) == 1,
+            F.transform(arr, lambda w, i: F.when(
+                i.cast("long") == mut_pos, F.lit("zq")).otherwise(w)),
+        ).otherwise(arr)
+        docs = (
+            spark.range(N_DOCS).withColumnRenamed("id", "did")
+            .select(F.col("did").alias("doc_id"),
+                    F.concat_ws(" ", arr).alias("text"))
+        ).persist()
+        docs.count()
+    if "ivf_topk" in wanted:
+        dim = 64
+        comps = [
+            (F.pmod((F.col("vid") + 1) * ((j + 17) * _HA % _M32), F.lit(_M32))
+             / F.lit(float(_M32)) - 0.5).cast("float")
+            for j in range(dim)]
+        vecs = (
+            spark.range(N_VECS).withColumnRenamed("id", "vid")
+            .select(F.col("vid").alias("vec_id"), F.array(*comps).alias("embedding"))
+        ).persist()
+        vecs.count()
+        qvecs = vecs.filter(F.col("vec_id") < 64).persist()
+        qvecs.count()
 
     def run_sjoin():
         return sjoin(pts, rgeo, how="inner", predicate="intersects",
@@ -149,14 +200,27 @@ def run_level(cpus: int, job: str | None = None) -> dict:
         return sjoin_nearest(pts, centers, how="inner", left_id="pid",
                              right_id="rid").count()
 
+    def run_minhash():
+        from geopandas_spark.operators.dedup import minhash_lsh
+
+        return minhash_lsh(docs, text_col="text", id_col="doc_id",
+                           num_perm=64, bands=16, shingle=5,
+                           threshold=0.7).count()
+
+    def run_ivf():
+        from geopandas_spark.operators.similarity import ivf_topk
+
+        return ivf_topk(vecs, qvecs, k=10, n_centroids=64, n_probe=8,
+                        iters=3).count()
+
     # one full-size untimed warmup pass per job (page-fault + JIT tax of
     # this lazily-provisioned-VM sandbox, disclosed in BENCH.md), then
     # best-of-N timed passes: wall-clock noise here is +-3x, min is the
     # standard noise-robust estimator
     reps = int(os.environ.get("SCALING_REPS", "2"))
-    jobs = (("sjoin_intersects", run_sjoin), ("sjoin_nearest_knn", run_knn))
-    if job is not None:
-        jobs = tuple(j for j in jobs if j[0] == job)
+    jobs = (("sjoin_intersects", run_sjoin), ("sjoin_nearest_knn", run_knn),
+            ("minhash_near_dups", run_minhash), ("ivf_topk", run_ivf))
+    jobs = tuple(j for j in jobs if j[0] in wanted)
     for name, fn in jobs:
         fn()  # warmup
         best = None
@@ -192,7 +256,7 @@ def main():
     # best pass per (job, level) is kept (shared-host noise windows).
     rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
     jobs = tuple(os.environ.get(
-        "SCALING_JOBS", "sjoin_intersects,sjoin_nearest_knn").split(","))
+        "SCALING_JOBS", ",".join(DEFAULT_JOBS)).split(","))
     # Two N->4N pairs: 8->32 saturates this oversubscribed host (the
     # calibration shows only ~2.8x more compute at 32 lanes), so it can
     # never evidence linear scaling no matter how good the plan is.
@@ -221,8 +285,11 @@ def main():
                                                   r["host_calib_mips"])
                     if job not in prev or r[job]["sec"] < prev[job]["sec"]:
                         prev[job] = r[job]
-    # partial job selections must not clobber the full BENCH.md table
-    fname = "BENCH.md" if len(jobs) == 2 else "BENCH_PARTIAL.md"
+    # partial job selections must not clobber the full BENCH.md table:
+    # compare against the actual default set, not a count — any custom
+    # SCALING_JOBS goes to BENCH_PARTIAL.md
+    fname = ("BENCH.md" if tuple(sorted(jobs)) == tuple(sorted(DEFAULT_JOBS))
+             else "BENCH_PARTIAL.md")
     report(results, fname)
 
 
@@ -235,7 +302,9 @@ def report(results: dict, fname: str = "BENCH.md") -> None:
         "SAME deterministic synthetic input; efficiency = (T_N / T_4N) / 4.",
         f"Input: {N_POINTS:,} hashed points x {N_RECTS:,} hashed rectangles",
         "(unit square, no external data, no RNG; polygons are irregular 12-gons",
-        "so the refine stage is compute-weighted). One FULL-SIZE untimed warmup",
+        f"so the refine stage is compute-weighted); {N_DOCS:,} deterministic",
+        f"near-dup documents (minhash job) and {N_VECS:,} 64-d hashed embeddings",
+        "(IVF job). One FULL-SIZE untimed warmup",
         "pass per job absorbs the sandbox's lazy-VM page-fault tax (see",
         "bench.py); timed value = best of SCALING_REPS passes per level across",
         "SCALING_ROUNDS interleaved rounds (shared-host wall-clock noise is",
@@ -263,7 +332,7 @@ def report(results: dict, fname: str = "BENCH.md") -> None:
             "| efficiency vs host compute |",
             "|---|---|---|---|---|---|---|---|",
         ]
-        for job in ("sjoin_intersects", "sjoin_nearest_knn"):
+        for job in DEFAULT_JOBS:
             if job not in results[lo] or job not in results[hi]:
                 continue
             ra = results[lo][job]
