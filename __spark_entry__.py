@@ -1180,6 +1180,27 @@ def q_laea_transform(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_albers_transform(spark, sf_dir) -> DataFrame:
+    """to_crs 4326 -> EPSG:5070 (NAD83 Conus Albers, EPSG method 9822;
+    geoseries.py:878 arbitrary-CRS path, round-4 registry). Points
+    mapped into the CONUS window; oracle = the closed-form AEA forward
+    formulas in SQL (iteration-free), GRS80 constants inlined."""
+    from geopandas_spark.functions.st import st_point, st_transform, st_x, st_y
+
+    c = _load(spark, sf_dir, "customer")
+    pts = (
+        c.withColumn("lon", _x_expr("c_custkey") * 45 - 120)
+        .withColumn("lat", _y_expr("c_custkey") * 23 + 25)
+        .withColumn("geometry", st_point("lon", "lat"))
+    )
+    t = pts.withColumn("g", st_transform("geometry", 4326, 5070))
+    return t.select(
+        "c_custkey",
+        (F.round(st_x("g"), 3) + F.lit(0.0)).alias("ex"),
+        (F.round(st_y("g"), 3) + F.lit(0.0)).alias("ny"),
+    )
+
+
 def q_utm_zone_estimate(spark, sf_dir) -> DataFrame:
     """estimate_utm_crs (array.py:456) per nation: world-spread customer
     points grouped by nation, bounds aggregated, UTM EPSG picked from the
@@ -1237,7 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "laea_transform": q_laea_transform,
         "utm_zone_estimate": q_utm_zone_estimate,
         # -- new in round 4
-        # (albers_transform, fgb_roundtrip, overlay_star_pairs inserted here)
+        "albers_transform": q_albers_transform,
         # -- checked in r3, keep under the gate
         "sjoin_points_in_rects": q_sjoin_points_in_rects,
         "sjoin_count_by_rect": q_sjoin_count_by_rect,
@@ -1376,6 +1397,55 @@ def _laea_sql() -> str:
                round(3210000.0 + (b / {d!r}) * ({cb0!r} * sin(beta)
                      - {sb0!r} * cos(beta) * cos(lam)), 3) + 0.0 AS ny
         FROM bb
+    """
+
+
+def _aea_sql() -> str:
+    """Albers Equal Area (EPSG method 9822, EPSG:5070 parameters) forward
+    formulas in SQL — EPSG Guidance Note 7-2, iteration-free. GRS80
+    projection constants inlined as IEEE-double literals computed with
+    the same formulas the engine kernel uses (geom/crs.py)."""
+    import math
+
+    a = 6378137.0
+    f = 1.0 / 298.257222101  # GRS80
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+
+    def q_of(phi):
+        s = math.sin(phi)
+        return (1 - e2) * (s / (1 - e2 * s * s)
+                           - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+
+    p0, p1, p2 = (math.radians(v) for v in (23.0, 29.5, 45.5))
+    m1 = math.cos(p1) / math.sqrt(1 - e2 * math.sin(p1) ** 2)
+    m2 = math.cos(p2) / math.sqrt(1 - e2 * math.sin(p2) ** 2)
+    q0, q1, q2 = q_of(p0), q_of(p1), q_of(p2)
+    n = (m1 ** 2 - m2 ** 2) / (q2 - q1)
+    c = m1 ** 2 + n * q1
+    rho0 = a * math.sqrt(c - n * q0) / n
+    lon0 = math.radians(-96.0)
+    return f"""
+        WITH pts AS (
+            SELECT c_custkey,
+                   (c_custkey * {_HA} % {_M32}) / {_M32}.0 * 45 - 120 AS lon,
+                   (c_custkey * {_HB} % {_M32}) / {_M32}.0 * 23 + 25 AS lat
+            FROM customer),
+        t AS (
+            SELECT c_custkey,
+                   {n!r} * (radians(lon) - {lon0!r}) AS theta,
+                   sin(radians(lat)) AS s
+            FROM pts),
+        r AS (
+            SELECT c_custkey, theta,
+                   {a!r} * sqrt({c!r} - {n!r} * ({1 - e2!r} * (s / (1 - {e2!r} * s * s)
+                        - {1 / (2 * e)!r} * ln((1 - {e!r} * s) / (1 + {e!r} * s)))))
+                        / {n!r} AS rho
+            FROM t)
+        SELECT c_custkey,
+               round(rho * sin(theta), 3) + 0.0 AS ex,
+               round({rho0!r} - rho * cos(theta), 3) + 0.0 AS ny
+        FROM r
     """
 
 
@@ -1863,6 +1933,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE sqrt((x - cx) * (x - cx) + (y - cy) * (y - cy)) <= 0.025
         """,
         "laea_transform": _laea_sql(),
+        "albers_transform": _aea_sql(),
         "utm_zone_estimate": f"""
             WITH pts AS (
                 SELECT c_nationkey,

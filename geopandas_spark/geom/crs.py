@@ -220,19 +220,288 @@ def lcc_to_lonlat(x, y, lon0, lat0, lat1, lat2, fe, fn):
     return np.degrees(lam), np.degrees(phi)
 
 
+# ---------------------------------------------------------------------------
+# Generic parameterized projections (round 4): Albers Equal Area (EPSG
+# method 9822), Transverse Mercator with arbitrary origin/scale/ellipsoid
+# (9807 via Kruger series), plus a 7-parameter Helmert datum shift for
+# non-WGS84 datums (OSGB36). Formulas: EPSG Guidance Note 7-2 and
+# Karney (2011), both public.
+
+# ellipsoid name -> (semi-major a, flattening f)
+_ELLIPSOIDS = {
+    "WGS84": (6378137.0, 1 / 298.257223563),
+    "GRS80": (6378137.0, 1 / 298.257222101),
+    "airy": (6377563.396, 1 / 299.3249646),
+    "intl": (6378388.0, 1 / 297.0),
+}
+
+# datum -> Helmert params TO WGS84: (tx, ty, tz [m], rx, ry, rz [arcsec],
+# ds [ppm]); position-vector convention (EPSG 9606). OSGB36 from the
+# OS national standard transformation (~2 m accuracy, the published
+# single-Helmert figure).
+_DATUM_TO_WGS84 = {
+    "OSGB36": (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894),
+}
+
+
+def _geodetic_to_xyz(lon, lat, a, f):
+    e2 = f * (2 - f)
+    phi = np.radians(lat)
+    lam = np.radians(lon)
+    nu = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+    x = nu * np.cos(phi) * np.cos(lam)
+    y = nu * np.cos(phi) * np.sin(lam)
+    z = nu * (1 - e2) * np.sin(phi)
+    return x, y, z
+
+
+def _xyz_to_geodetic(x, y, z, a, f):
+    e2 = f * (2 - f)
+    lam = np.arctan2(y, x)
+    p = np.hypot(x, y)
+    phi = np.arctan2(z, p * (1 - e2))
+    for _ in range(6):
+        nu = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        phi = np.arctan2(z + e2 * nu * np.sin(phi), p)
+    return np.degrees(lam), np.degrees(phi)
+
+
+def _helmert(x, y, z, p, inverse=False):
+    tx, ty, tz, rx, ry, rz, ds = p
+    rx, ry, rz = (np.radians(v / 3600.0) for v in (rx, ry, rz))
+    s = 1 + ds * 1e-6
+    if inverse:
+        # exact inverse of the position-vector transform
+        xs = (np.asarray(x) - tx)
+        ys = (np.asarray(y) - ty)
+        zs = (np.asarray(z) - tz)
+        x2 = (xs + rz * ys - ry * zs) / s
+        y2 = (-rz * xs + ys + rx * zs) / s
+        z2 = (ry * xs - rx * ys + zs) / s
+        return x2, y2, z2
+    x2 = tx + s * (np.asarray(x) - rz * y + ry * z)
+    y2 = ty + s * (rz * np.asarray(x) + y - rx * z)
+    z2 = tz + s * (-ry * np.asarray(x) + rx * y + z)
+    return x2, y2, z2
+
+
+def _datum_to_wgs84(lon, lat, datum, a, f):
+    if datum is None:
+        return lon, lat
+    x, y, z = _geodetic_to_xyz(lon, lat, a, f)
+    x, y, z = _helmert(x, y, z, _DATUM_TO_WGS84[datum])
+    return _xyz_to_geodetic(x, y, z, *_ELLIPSOIDS["WGS84"])
+
+
+def _wgs84_to_datum(lon, lat, datum, a, f):
+    if datum is None:
+        return lon, lat
+    x, y, z = _geodetic_to_xyz(lon, lat, *_ELLIPSOIDS["WGS84"])
+    x, y, z = _helmert(x, y, z, _DATUM_TO_WGS84[datum], inverse=True)
+    return _xyz_to_geodetic(x, y, z, a, f)
+
+
+def _kruger_consts(a, f):
+    """Kruger series constants (A_CAP, alpha[4], beta[4]) for an
+    arbitrary ellipsoid — same series the module-level WGS84 constants
+    are built from."""
+    n = f / (2 - f)
+    a_cap = a / (1 + n) * (1 + n ** 2 / 4 + n ** 4 / 64)
+    alpha = np.array([
+        n / 2 - 2 * n ** 2 / 3 + 5 * n ** 3 / 16 + 41 * n ** 4 / 180,
+        13 * n ** 2 / 48 - 3 * n ** 3 / 5 + 557 * n ** 4 / 1440,
+        61 * n ** 3 / 240 - 103 * n ** 4 / 140,
+        49561 * n ** 4 / 161280,
+    ])
+    beta = np.array([
+        n / 2 - 2 * n ** 2 / 3 + 37 * n ** 3 / 96 - n ** 4 / 360,
+        n ** 2 / 48 + n ** 3 / 15 - 437 * n ** 4 / 1440,
+        17 * n ** 3 / 480 - 37 * n ** 4 / 840,
+        4397 * n ** 4 / 161280,
+    ])
+    return a_cap, alpha, beta
+
+
+def _tm_xi_eta(lon, lat, lon0, e2, alpha):
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    e = np.sqrt(e2)
+    t = np.sinh(np.arctanh(np.sin(phi)) - e * np.arctanh(e * np.sin(phi)))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j in range(4):
+        xi = xi + alpha[j] * np.sin(2 * (j + 1) * xi_p) * np.cosh(2 * (j + 1) * eta_p)
+        eta = eta + alpha[j] * np.cos(2 * (j + 1) * xi_p) * np.sinh(2 * (j + 1) * eta_p)
+    return xi, eta
+
+
+def lonlat_to_tm_generic(lon, lat, lon0, lat0, k0, fe, fn,
+                         ellps="WGS84"):
+    a, f = _ELLIPSOIDS[ellps]
+    e2 = f * (2 - f)
+    a_cap, alpha, _ = _kruger_consts(a, f)
+    xi, eta = _tm_xi_eta(lon, lat, lon0, e2, alpha)
+    # natural-origin offset: the meridian arc to lat0 (xi at lam=0)
+    m0 = 0.0
+    if lat0:
+        xi0, _ = _tm_xi_eta(np.array([lon0]), np.array([lat0]), lon0,
+                            e2, alpha)
+        m0 = float(k0 * a_cap * xi0[0])
+    return k0 * a_cap * eta + fe, k0 * a_cap * xi - m0 + fn
+
+
+def tm_generic_to_lonlat(x, y, lon0, lat0, k0, fe, fn, ellps="WGS84"):
+    a, f = _ELLIPSOIDS[ellps]
+    e2 = f * (2 - f)
+    a_cap, alpha, beta = _kruger_consts(a, f)
+    m0 = 0.0
+    if lat0:
+        xi0, _ = _tm_xi_eta(np.array([lon0]), np.array([lat0]), lon0,
+                            e2, alpha)
+        m0 = float(k0 * a_cap * xi0[0])
+    eta = (np.asarray(x, dtype=np.float64) - fe) / (k0 * a_cap)
+    xi = (np.asarray(y, dtype=np.float64) - fn + m0) / (k0 * a_cap)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j in range(4):
+        xi_p = xi_p - beta[j] * np.sin(2 * (j + 1) * xi) * np.cosh(2 * (j + 1) * eta)
+        eta_p = eta_p - beta[j] * np.cos(2 * (j + 1) * xi) * np.sinh(2 * (j + 1) * eta)
+    e = np.sqrt(e2)
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    psi = np.arctanh(np.sin(chi))
+    phi = chi.copy()
+    for _ in range(8):
+        phi = np.arcsin(np.tanh(psi + e * np.arctanh(e * np.sin(phi))))
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    return np.degrees(lam) + lon0, np.degrees(phi)
+
+
+def _authalic_q_e(phi, e2):
+    e = np.sqrt(e2)
+    s = np.sin(phi)
+    return (1 - e2) * (s / (1 - e2 * s * s)
+                       - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s)))
+
+
+def lonlat_to_aea(lon, lat, lon0, lat0, lat1, lat2, fe, fn,
+                  ellps="GRS80"):
+    """Albers Equal Area forward (EPSG method 9822)."""
+    a, f = _ELLIPSOIDS[ellps]
+    e2 = f * (2 - f)
+    p0, p1, p2 = (np.radians(v) for v in (lat0, lat1, lat2))
+    m1 = np.cos(p1) / np.sqrt(1 - e2 * np.sin(p1) ** 2)
+    m2 = np.cos(p2) / np.sqrt(1 - e2 * np.sin(p2) ** 2)
+    q0, q1, q2 = (_authalic_q_e(p, e2) for p in (p0, p1, p2))
+    n = (m1 ** 2 - m2 ** 2) / (q2 - q1)
+    c = m1 ** 2 + n * q1
+    rho0 = a * np.sqrt(c - n * q0) / n
+    q = _authalic_q_e(np.radians(np.asarray(lat, dtype=np.float64)), e2)
+    rho = a * np.sqrt(np.clip(c - n * q, 0, None)) / n
+    th = n * np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+
+def aea_to_lonlat(x, y, lon0, lat0, lat1, lat2, fe, fn, ellps="GRS80"):
+    """Albers Equal Area inverse (EPSG method 9822)."""
+    a, f = _ELLIPSOIDS[ellps]
+    e2 = f * (2 - f)
+    e = np.sqrt(e2)
+    p0, p1, p2 = (np.radians(v) for v in (lat0, lat1, lat2))
+    m1 = np.cos(p1) / np.sqrt(1 - e2 * np.sin(p1) ** 2)
+    m2 = np.cos(p2) / np.sqrt(1 - e2 * np.sin(p2) ** 2)
+    q0, q1, q2 = (_authalic_q_e(p, e2) for p in (p0, p1, p2))
+    n = (m1 ** 2 - m2 ** 2) / (q2 - q1)
+    c = m1 ** 2 + n * q1
+    rho0 = a * np.sqrt(c - n * q0) / n
+    xs = np.asarray(x, dtype=np.float64) - fe
+    ys = rho0 - (np.asarray(y, dtype=np.float64) - fn)
+    rho = np.hypot(xs, ys)
+    if n < 0:
+        rho = -rho
+        xs, ys = -xs, -ys
+    theta = np.arctan2(xs, ys)
+    q = (c - (rho * n / a) ** 2) / n
+    phi = np.arcsin(np.clip(q / 2, -1, 1))  # spherical start
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = phi + ((1 - e2 * s * s) ** 2 / (2 * np.cos(phi))) * (
+            q / (1 - e2) - s / (1 - e2 * s * s)
+            + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s)))
+    return np.degrees(theta / n) + lon0, np.degrees(phi)
+
+
 # EPSG registry of non-UTM projected CRSs the engine supports natively.
-# Datum note: ETRS89 / RGF93 / NAD83 are treated as WGS84 (sub-decimeter
-# at continental scale — the same shortcut pyproj-free pipelines use).
+# Datum note: ETRS89 / RGF93 / NAD83 / GDA94 / NZGD2000 are treated as
+# WGS84 (sub-decimeter at continental scale — the same shortcut
+# pyproj-free pipelines use); OSGB36 gets a real Helmert shift. The
+# legacy 3035/2154 entries keep the module-level WGS84-constant kernels
+# (bit-stable against the existing SQL oracles); new entries use the
+# generic parameterized kernels.
 _PROJ_REGISTRY = {
     3035: ("laea", dict(lon0=10.0, lat0=52.0, fe=4321000.0, fn=3210000.0)),
     2154: ("lcc", dict(lon0=3.0, lat0=46.5, lat1=49.0, lat2=44.0,
                        fe=700000.0, fn=6600000.0)),
-    5070: ("aea_unsupported", None),  # Albers: not yet implemented
+    # NAD83 / Conus Albers
+    5070: ("aea", dict(lon0=-96.0, lat0=23.0, lat1=29.5, lat2=45.5,
+                       fe=0.0, fn=0.0, ellps="GRS80"), None),
+    # NAD83 / California Albers
+    3310: ("aea", dict(lon0=-120.0, lat0=0.0, lat1=34.0, lat2=40.5,
+                       fe=0.0, fn=-4000000.0, ellps="GRS80"), None),
+    # GDA94 / Australian Albers
+    3577: ("aea", dict(lon0=132.0, lat0=0.0, lat1=-18.0, lat2=-36.0,
+                       fe=0.0, fn=0.0, ellps="GRS80"), None),
+    # OSGB36 / British National Grid (Airy ellipsoid + Helmert datum)
+    27700: ("tm", dict(lon0=-2.0, lat0=49.0, k0=0.9996012717,
+                       fe=400000.0, fn=-100000.0, ellps="airy"), "OSGB36"),
+    # NZGD2000 / New Zealand Transverse Mercator
+    2193: ("tm", dict(lon0=173.0, lat0=0.0, k0=0.9996,
+                      fe=1600000.0, fn=10000000.0, ellps="GRS80"), None),
 }
+
+_SUPPORTED_MSG = ("4326, 3857, WGS84 UTM 326xx/327xx, ETRS89 UTM 258xx, "
+                  "3035 LAEA, 2154 LCC, Albers 5070/3310/3577, "
+                  "27700 BNG, 2193 NZTM")
+
+
+def _registry_inverse(s, x, y):
+    entry = _PROJ_REGISTRY[s]
+    kind, p = entry[0], entry[1]
+    datum = entry[2] if len(entry) > 2 else None
+    if kind == "laea":
+        return laea_to_lonlat(x, y, **p)
+    if kind == "lcc":
+        return lcc_to_lonlat(x, y, **p)
+    if kind == "aea":
+        lon, lat = aea_to_lonlat(x, y, **p)
+    elif kind == "tm":
+        lon, lat = tm_generic_to_lonlat(x, y, **p)
+    else:  # pragma: no cover
+        raise ValueError(kind)
+    a, f = _ELLIPSOIDS[p.get("ellps", "WGS84")]
+    return _datum_to_wgs84(lon, lat, datum, a, f)
+
+
+def _registry_forward(d, lon, lat):
+    entry = _PROJ_REGISTRY[d]
+    kind, p = entry[0], entry[1]
+    datum = entry[2] if len(entry) > 2 else None
+    if kind == "laea":
+        return lonlat_to_laea(lon, lat, **p)
+    if kind == "lcc":
+        return lonlat_to_lcc(lon, lat, **p)
+    a, f = _ELLIPSOIDS[p.get("ellps", "WGS84")]
+    lon, lat = _wgs84_to_datum(lon, lat, datum, a, f)
+    if kind == "aea":
+        return lonlat_to_aea(lon, lat, **p)
+    if kind == "tm":
+        return lonlat_to_tm_generic(lon, lat, **p)
+    raise ValueError(kind)  # pragma: no cover
 
 
 def _to_lonlat(s, x, y):
-    if s == 4326:
+    if s in (4326, 4258, 4269):  # ETRS89/NAD83 geographic ~ WGS84
         return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
     if s == 3857:
         return webmercator_to_lonlat(x, y)
@@ -240,17 +509,16 @@ def _to_lonlat(s, x, y):
         zone = s % 100
         lon0 = -183.0 + 6 * zone
         return tm_to_lonlat(x, y, lon0, s >= 32701)
-    kind, p = _PROJ_REGISTRY.get(s, (None, None))
-    if kind == "laea":
-        return laea_to_lonlat(x, y, **p)
-    if kind == "lcc":
-        return lcc_to_lonlat(x, y, **p)
-    raise ValueError(f"unsupported source CRS EPSG:{s} (supported: 4326, "
-                     "3857, WGS84 UTM, 3035 LAEA, 2154 LCC)")
+    if 25828 <= s <= 25838:  # ETRS89 / UTM zone 28N-38N (GRS80 ~ WGS84)
+        return tm_to_lonlat(x, y, -183.0 + 6 * (s - 25800), False)
+    if s in _PROJ_REGISTRY:
+        return _registry_inverse(s, x, y)
+    raise ValueError(
+        f"unsupported source CRS EPSG:{s} (supported: {_SUPPORTED_MSG})")
 
 
 def _from_lonlat(d, lon, lat):
-    if d == 4326:
+    if d in (4326, 4258, 4269):
         return lon, lat
     if d == 3857:
         return lonlat_to_webmercator(lon, lat)
@@ -258,13 +526,12 @@ def _from_lonlat(d, lon, lat):
         zone = d % 100
         lon0 = -183.0 + 6 * zone
         return lonlat_to_tm(lon, lat, lon0, d >= 32701)
-    kind, p = _PROJ_REGISTRY.get(d, (None, None))
-    if kind == "laea":
-        return lonlat_to_laea(lon, lat, **p)
-    if kind == "lcc":
-        return lonlat_to_lcc(lon, lat, **p)
-    raise ValueError(f"unsupported target CRS EPSG:{d} (supported: 4326, "
-                     "3857, WGS84 UTM, 3035 LAEA, 2154 LCC)")
+    if 25828 <= d <= 25838:
+        return lonlat_to_tm(lon, lat, -183.0 + 6 * (d - 25800), False)
+    if d in _PROJ_REGISTRY:
+        return _registry_forward(d, lon, lat)
+    raise ValueError(
+        f"unsupported target CRS EPSG:{d} (supported: {_SUPPORTED_MSG})")
 
 
 def transform_xy(x, y, src, dst):

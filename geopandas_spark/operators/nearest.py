@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 from pyspark.sql.functions import pandas_udf
 
-from ..functions.st import st_bounds, st_cells_from_bbox, st_distance
+from ..functions.st import st_bounds, st_cells_from_bbox
 from ..index.cells import DOMAIN_UNIT, MAX_RES, cell_size, pick_resolution
 from .sjoin import _prep_side, _suffix_columns
 
@@ -360,28 +360,34 @@ def _chebyshev_dt(occ: np.ndarray) -> np.ndarray:
     return D
 
 
-def _nocand_tail(nanrows, rxp, _raw_pairs, _disk_probe, resolution, domain,
-                 min_cell, k_cap, max_distance, exclusive=False):
-    """Tail probes for rows with NO phase-1 candidate (sparse
+def _nocand_probes(nanrows, rxp, _disk_probe, resolution, min_cell,
+                   k_cap, max_distance):
+    """Probe-cell rows for lefts with NO phase-1 candidate (sparse
     neighborhoods). A Chebyshev distance-transform bitmap of the right
     side's non-empty cells (built ONCE on the driver, broadcast as a
-    2^res x 2^res int32 grid) gives each row an optimistic bound
-    B = sqrt(2) * (D+1) * cell — the worst-case distance into its nearest
-    non-empty cell. The candidate set found under B yields an exact best
-    distance d* which IS a valid upper bound, so a second probe at radius
-    d* guarantees the true nearest (ADVICE round-1 fix — an optimistic
-    bound alone can exclude the true nearest's cells).
+    2^res x 2^res int32 grid) gives each row the cell-distance D to its
+    nearest occupied cell; B = sqrt(2) * (D+1) * cell is a WORST-CASE
+    upper bound on the true nearest distance (the far corner of that
+    occupied cell), so ONE probe at radius B is already exhaustive —
+    it provably contains the true nearest and all ties.
 
-    Round-3: the previous exact per-cell directory scan was
-    O(rows x |directory|) of DRAM-streaming matrix work inside the UDF —
-    it dominated the whole join on this path and stopped scaling with
-    cores. The bitmap lookup is O(1) per row; the slightly looser bound
-    only widens the first probe disk, and the d* re-probe restores
-    tightness. Falls back to a coarse-grid transform when the full-res
-    bitmap would be too large."""
-    parts = []
+    Round-4 (north-rule profile): rounds 1-3 probed optimistically at D
+    then re-probed at the realized d*, which cost a per-pair distance
+    UDF pass, a groupBy, a broadcast join back and a SECOND explode+join
+    — four extra jobs and two broadcast builds of serial driver work per
+    call. Probing the worst-case bound once replaces all of it; the disk
+    is at most ~sqrt(2)x wider per axis and the rows on this path are
+    <2% of the input by construction. Round-3 note still applies: the
+    bitmap lookup is O(1)/row vs the O(rows x |directory|) scan it
+    replaced. Falls back to a coarse-grid transform (whose bound is
+    likewise a worst-case far-corner distance, hence also single-probe
+    exhaustive) when the full-res bitmap would be too large."""
     bitmap_max = 1 << 20  # full-res bitmap up to res 10 (1M cells, 4 MB)
     grid_n = 1 << resolution
+    if max_distance is not None:
+        # hard search bound: ONE probe at the max_distance radius is
+        # already exhaustive for rows that can match at all
+        return [_disk_probe(nanrows, F.lit(float(max_distance)))]
     if grid_n * grid_n <= bitmap_max:
         from ..index import cells as C
 
@@ -396,39 +402,21 @@ def _nocand_tail(nanrows, rxp, _raw_pairs, _disk_probe, resolution, domain,
         spark = nanrows.sparkSession
         bc_D = spark.sparkContext.broadcast(D)
 
-        @pandas_udf("long")
-        def _bitmap_k(cell0: pd.Series) -> pd.Series:
+        @pandas_udf("double")
+        def _bitmap_bound(cell0: pd.Series) -> pd.Series:
             from ..index import cells as C2
 
             _, li, lj = C2.cell_ij(cell0.to_numpy(dtype=np.int64))
-            d = bc_D.value[li, lj].astype(np.int64)
-            return pd.Series(np.minimum(np.maximum(d, 1), k_cap))
+            d = bc_D.value[li, lj].astype(np.float64)
+            # cap: disk probes clamp at k_cap cells anyway (full grid)
+            d = np.minimum(d, float(k_cap))
+            return pd.Series(np.sqrt(2.0) * (d + 1) * min_cell)
 
-        if max_distance is not None:
-            # hard search bound: ONE probe at the max_distance radius is
-            # already exhaustive for rows that can match at all
-            parts.append(_raw_pairs(_disk_probe(
-                nanrows, F.lit(float(max_distance)))))
-            return parts
-        # first probe at radius exactly D: the disk(D) of the row's cell
-        # contains its nearest occupied cell by construction, so SOME
-        # candidate is found and its exact distance d* is a valid upper
-        # bound; the second probe at d* then guarantees the true nearest
-        # + ties (round-1 ADVICE pattern). Probing at D instead of a
-        # distance-converted sqrt(2)(D+1) disk cuts first-probe volume
-        # ~5x on dense-directory data.
-        src = nanrows.withColumn("__k", _bitmap_k(F.col("__cell0")))
-        probe1 = src.select(
-            "__xlid", "__lgeom",
-            F.explode(_disk_cells_var_udf()(
-                F.col("__cell0"), F.col("__k"))).alias("__cell"))
-        cand = _raw_pairs(probe1)
-        parts.append(cand)
-        parts.append(_dstar_reprobe(cand, nanrows, _raw_pairs, _disk_probe,
-                                    exclusive))
-        return parts
+        return [_disk_probe(
+            nanrows.withColumn("__B", _bitmap_bound(F.col("__cell0"))),
+            F.col("__B"))]
 
-    # huge grid: coarse-directory bound + disk expansion
+    # huge grid: coarse-directory worst-case bound
     cres = max(0, resolution - 6)
     shift = resolution - cres
     coarse_ids = np.array(
@@ -454,34 +442,9 @@ def _nocand_tail(nanrows, rxp, _raw_pairs, _disk_probe, resolution, domain,
         bound = np.sqrt(2.0) * (D + 1) * (1 << shift) * min_cell
         return pd.Series(bound)
 
-    cand = _raw_pairs(_disk_probe(
+    return [_disk_probe(
         nanrows.withColumn("__B", _nocand_bound(F.col("__cell0"))),
-        F.col("__B")))
-    parts.append(cand)
-    # the coarse bound is always optimistic -> validate with d*
-    parts.append(_dstar_reprobe(cand, nanrows, _raw_pairs, _disk_probe,
-                                exclusive))
-    return parts
-
-
-def _dstar_reprobe(raw_cand, nanrows, _raw_pairs, _disk_probe,
-                   exclusive: bool):
-    """Second probe at each row's realized best distance d*: the exact
-    distance to SOME found candidate is a valid upper bound on the true
-    nearest, so a disk at that radius provably contains it and all ties.
-    Distances here are computed only for the d* aggregate (the caller's
-    single shared dedup+distance pass re-computes them on the deduped
-    union — cheaper than a dedup shuffle per probe)."""
-    from ..functions.st import st_distance as _dist
-
-    d1 = raw_cand
-    if exclusive:
-        # a self-match would yield d*=0 and an empty re-probe disk
-        d1 = d1.filter(F.col("__lgeom") != F.col("__rgeom"))
-    dstar = (d1.withColumn("__d", _dist("__lgeom", "__rgeom"))
-             .groupBy("__xlid").agg(F.min("__d").alias("__B2")))
-    src2 = nanrows.join(dstar, on="__xlid", how="inner")
-    return _raw_pairs(_disk_probe(src2, F.col("__B2")))
+        F.col("__B"))]
 
 
 def sjoin_nearest(
@@ -624,7 +587,7 @@ def sjoin_nearest(
         F.col("__tcell").alias("__cell0"), F.col("__trad").alias("__lrad"),
         F.col("__d").alias("__dbest"),
     )
-    tail_parts = []
+    tail_probes = []
     # ONE action sizes both tail classes (round 1 ran isEmpty twice — two
     # extra serial jobs per call)
     _nan_pred = F.col("__dbest").isNull() | F.isnan("__dbest")
@@ -637,7 +600,7 @@ def sjoin_nearest(
         # a valid upper bound — so they probe a small exact-radius disk:
         # O(k^2) cells per row with k ~ ceil(dbest/cell). Only rows with
         # NO candidate (sparse neighborhoods, rare) need the directory
-        # scan below; round-2 change — the directory probe was O(rows x
+        # bitmap below; round-2 change — the directory probe was O(rows x
         # |directory|) and dominated the whole join on dense data.
         have_d = unresolved.filter(~_nan_pred)
         nanrows = unresolved.filter(_nan_pred)
@@ -652,42 +615,101 @@ def sjoin_nearest(
                 F.explode(_disk_cells_var_udf()(
                     F.col("__cell0"), F.col("__k"))).alias("__cell"))
 
-        def _raw_pairs(lx_):
-            # candidate pairs WITHOUT dedup/distance: duplicates (same
-            # pair reached via several probed cells) survive to the ONE
-            # shared dropDuplicates below — round-3: each probe used to
-            # pay its own dedup shuffle + distance pass (3x the tail's
-            # shuffle stages for <3% of the rows)
-            return (lx_.join(rxp, on="__cell", how="inner")
-                    .select("__xlid", "__xrid", "__lgeom", "__rgeom"))
-
         bcol = F.col("__dbest")
         if max_distance is not None:
             bcol = F.least(bcol, F.lit(float(max_distance)))
-        tail_parts.append(_raw_pairs(_disk_probe(have_d, bcol)))
+        tail_probes.append(_disk_probe(have_d, bcol))
 
         if n_nan:
-            tail_parts.extend(_nocand_tail(
-                nanrows, rxp, _raw_pairs, _disk_probe, resolution, domain,
-                min_cell, k_cap, max_distance, exclusive))
-    if tail_parts:
-        tail_pairs = tail_parts[0]
-        for pdf_ in tail_parts[1:]:
-            tail_pairs = tail_pairs.unionByName(pdf_)
-        tail_pairs = tail_pairs.dropDuplicates(["__xlid", "__xrid"])
-        if exclusive:
-            tail_pairs = tail_pairs.filter(
-                F.col("__lgeom") != F.col("__rgeom"))
-        tail_pairs = tail_pairs.withColumn(
-            "__d", st_distance("__lgeom", "__rgeom"))
-        if max_distance is not None:
-            tail_pairs = tail_pairs.filter(
-                F.col("__d") <= float(max_distance))
+            tail_probes.extend(_nocand_probes(
+                nanrows, rxp, _disk_probe, resolution, min_cell,
+                k_cap, max_distance))
+    if tail_probes:
+        # union ALL probe-cell rows first, then ONE join against the
+        # right cell table (round-4: per-probe joins each built their
+        # own broadcast relation — serial single-task driver stages)
+        probe_rows = tail_probes[0]
+        for pdf_ in tail_probes[1:]:
+            probe_rows = probe_rows.unionByName(pdf_)
+        tail_pairs = (probe_rows.join(rxp, on="__cell", how="inner")
+                      .select("__xlid", "__xrid", "__lgeom", "__rgeom"))
+        # Round-4 restructure (north-rule profile, tools/knn_profile.py):
+        # the tail used to materialize EVERY candidate pair into a
+        # dropDuplicates (SortAggregate + full-pair exchange), a per-pair
+        # st_distance ArrowEvalPython, and a window over a second
+        # full-pair exchange — on a 2M x 200k run that is ~2.9M pairs /
+        # ~126 MB of exchanges for ~30k tail rows, and those shuffle
+        # stages are precisely what stops scaling under memory-bandwidth
+        # contention. The candidate pairs stream out of a broadcast hash
+        # join, so instead ONE mapInPandas kernel consumes them batch by
+        # batch with NO preceding exchange: distances are computed
+        # vectorized (same pairwise_distance kernel as st_distance — bit
+        # parity), and only each batch's per-left minimum ties survive.
+        # Duplicate pairs (nanrows probe twice) collapse in the final
+        # tiny dedup; the global min + ties resolve in a window over the
+        # ~per-batch-minima rows (~1-2 per left per batch), not the pairs.
+        emit_geom = narrow
+        mdist = max_distance
+        excl = exclusive
+
+        def _tail_best(it):
+            from ..geom.predicates import pairwise_distance
+            from ..geom.wkb import from_wkb
+            from ..geom.ragged import POINT as _PT
+
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                lg = pdf["__lgeom"]
+                rg = pdf["__rgeom"]
+                lb = from_wkb(lg)
+                rb = from_wkb(rg)
+                if ((lb.types == _PT).all() and (rb.types == _PT).all()
+                        and (lb.n_coords_per_geom() == 1).all()
+                        and (rb.n_coords_per_geom() == 1).all()):
+                    dx = lb.coords[:, 0] - rb.coords[:, 0]
+                    dy = lb.coords[:, 1] - rb.coords[:, 1]
+                    d = np.sqrt(dx * dx + dy * dy)
+                else:
+                    d = pairwise_distance(lb, rb)
+                if excl:
+                    lgv = lg.to_numpy(dtype=object)
+                    rgv = rg.to_numpy(dtype=object)
+                    eq = np.fromiter((a == b for a, b in zip(lgv, rgv)),
+                                     dtype=bool, count=len(lgv))
+                    d = np.where(eq, np.inf, d)
+                if mdist is not None:
+                    d = np.where(d > mdist, np.inf, d)
+                d = np.where(np.isnan(d), np.inf, d)
+                lidv = pdf["__xlid"].to_numpy()
+                order = np.argsort(lidv, kind="stable")
+                lid_s = lidv[order]
+                d_s = d[order]
+                seg_start = np.nonzero(
+                    np.r_[True, lid_s[1:] != lid_s[:-1]])[0]
+                dmin = np.minimum.reduceat(d_s, seg_start)
+                seg_id = np.cumsum(np.r_[True, lid_s[1:] != lid_s[:-1]]) - 1
+                keep = np.isfinite(d_s) & (d_s == dmin[seg_id])
+                src = order[keep]
+                out = {
+                    "__xlid": lidv[src],
+                    "__xrid": pdf["__xrid"].to_numpy()[src],
+                    "__d": d[src],
+                }
+                if emit_geom:
+                    out["__lgeom"] = lg.to_numpy(dtype=object)[src]
+                yield pd.DataFrame(out)
+
+        tb_schema = f"__xlid {lid_t}, __xrid {rid_t}, __d double"
+        if emit_geom:
+            tb_schema += ", __lgeom binary"
+        best = tail_pairs.mapInPandas(_tail_best, schema=tb_schema)
         w = Window.partitionBy("__xlid")
         tcols = ["__xlid", "__xrid", "__d"] + (["__lgeom"] if narrow else [])
         tail_matched = (
-            tail_pairs.withColumn("__dmin", F.min("__d").over(w))
+            best.withColumn("__dmin", F.min("__d").over(w))
             .filter(F.col("__d") == F.col("__dmin"))
+            .dropDuplicates(["__xlid", "__xrid"])
             .select(*tcols)
         )
         matched = done.unionByName(tail_matched)

@@ -179,3 +179,63 @@ def test_crs_laea_lcc_utm():
                         3035, 2154)
     lon, lat = transform_xy(x, y, 2154, 4326)
     assert abs(lon[0] - 5.0) < 1e-6 and abs(lat[0] - 50.0) < 1e-6
+
+
+def test_crs_generic_registry_round4():
+    """Round-4 CRS additions (ref geoseries.py:878 arbitrary-CRS to_crs):
+    Albers 5070/3310/3577 (EPSG method 9822), OSGB 27700 (TM on Airy +
+    Helmert datum shift — pinned to the OS worked example), NZTM 2193,
+    ETRS89 UTM 258xx."""
+    import numpy as np
+    from geopandas_spark.geom.crs import (
+        _ELLIPSOIDS, lonlat_to_tm_generic, transform_xy)
+
+    # OS worked example (projection only, OSGB36 geographic in, Airy):
+    # 52d39'27.2531"N 1d43'4.5177"E -> E 651409.903 N 313177.270
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    E, N = lonlat_to_tm_generic(
+        np.array([lon]), np.array([lat]), lon0=-2.0, lat0=49.0,
+        k0=0.9996012717, fe=400000.0, fn=-100000.0, ellps="airy")
+    assert abs(E[0] - 651409.903) < 0.01
+    assert abs(N[0] - 313177.270) < 0.01
+
+    # Albers natural origin maps exactly to (FE, FN)
+    x, y = transform_xy(np.array([-96.0]), np.array([23.0]), 4326, 5070)
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+
+    # equal-area property: numeric Jacobian == ellipsoidal area element
+    a_, f_ = _ELLIPSOIDS["GRS80"]
+    e2 = f_ * (2 - f_)
+    h = 1e-6
+
+    def fwd(lo, la):
+        return transform_xy(np.array([lo]), np.array([la]), 4326, 5070)
+
+    x0, y0 = fwd(-100.0, 40.0)
+    xl, yl = fwd(-100.0 + h, 40.0)
+    xp, yp = fwd(-100.0, 40.0 + h)
+    J = abs((xl[0] - x0[0]) * (yp[0] - y0[0])
+            - (xp[0] - x0[0]) * (yl[0] - y0[0])) / np.radians(h) ** 2
+    phi = np.radians(40.0)
+    M = a_ * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+    Nr = a_ / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+    assert abs(J / (M * Nr * np.cos(phi)) - 1) < 1e-6
+
+    # round-trips on every new code (incl. southern-hemisphere Albers
+    # where n < 0, and the Helmert-shifted 27700)
+    for code, (lo, la) in [(5070, (-75.0, 35.0)), (3310, (-120.5, 36.0)),
+                           (3577, (145.0, -30.0)), (27700, (-0.1278, 51.5074)),
+                           (2193, (174.78, -41.29)), (25832, (9.0, 52.0))]:
+        x, y = transform_xy(np.array([lo]), np.array([la]), 4326, code)
+        lon2, lat2 = transform_xy(x, y, code, 4326)
+        assert abs(lon2[0] - lo) < 1e-7 and abs(lat2[0] - la) < 1e-7, code
+
+    # ETRS89 UTM == WGS84 UTM (GRS80 ~ WGS84 shortcut, documented)
+    a1 = transform_xy(np.array([9.5]), np.array([50.0]), 4326, 25832)
+    b1 = transform_xy(np.array([9.5]), np.array([50.0]), 4326, 32632)
+    assert abs(a1[0][0] - b1[0][0]) < 1e-9 and abs(a1[1][0] - b1[1][0]) < 1e-9
+
+    # geographic aliases pass through
+    x, y = transform_xy(np.array([7.0]), np.array([46.0]), 4269, 4326)
+    assert x[0] == 7.0 and y[0] == 46.0
