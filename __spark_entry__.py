@@ -516,6 +516,27 @@ def q_gpkg_roundtrip(spark, sf_dir) -> DataFrame:
                        st_y("geometry").alias("y"))
 
 
+
+def q_fgb_roundtrip(spark, sf_dir) -> DataFrame:
+    """FlatGeobuf out/in through the GDAL-free .fgb driver
+    (io/file.py:28-34 'FlatGeobuf'; sources/flatgeobuf.py): write customer
+    points to one .fgb with the packed R-tree index, read back distributed
+    (index leaf offsets -> per-task byte ranges); coordinates and keys
+    survive exactly. Oracle = the original x/y."""
+    import os
+    import tempfile
+
+    from geopandas_spark.functions.st import st_x, st_y
+    from geopandas_spark.sources.file import read_file, to_file
+
+    pts = _customer_points(spark, sf_dir).select("c_custkey", "geometry")
+    path = os.path.join(tempfile.mkdtemp(prefix="gs_fgb_"), "pts.fgb")
+    to_file(pts, path)
+    back = read_file(spark, path)
+    return back.select("c_custkey", st_x("geometry").alias("x"),
+                       st_y("geometry").alias("y"))
+
+
 def q_shapefile_roundtrip(spark, sf_dir) -> DataFrame:
     """Shapefile out/in through the pure-numpy .shp/.shx/.dbf driver
     (io/file.py:28-34 'ESRI Shapefile'; sources/shapefile.py): part
@@ -1259,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "utm_zone_estimate": q_utm_zone_estimate,
         # -- new in round 4
         "albers_transform": q_albers_transform,
+        "fgb_roundtrip": q_fgb_roundtrip,
         # -- checked in r3, keep under the gate
         "sjoin_points_in_rects": q_sjoin_points_in_rects,
         "sjoin_count_by_rect": q_sjoin_count_by_rect,
@@ -1681,6 +1703,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, x, y FROM pts
         """,
         "gpkg_roundtrip": f"""
+            WITH pts AS ({_PTS_SQL})
+            SELECT c_custkey, x, y FROM pts
+        """,
+        "fgb_roundtrip": f"""
             WITH pts AS ({_PTS_SQL})
             SELECT c_custkey, x, y FROM pts
         """,

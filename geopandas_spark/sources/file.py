@@ -38,7 +38,7 @@ _UNSUPPORTED = {
     ".bna": "BNA", ".dxf": "DXF", ".gml": "GML", ".xml": "GML",
     ".gpx": "GPX", ".gtm": "GPSTrackMaker", ".gtz": "GPSTrackMaker",
     ".tab": "MapInfo File", ".mif": "MapInfo File", ".mid": "MapInfo File",
-    ".dgn": "DGN", ".fgb": "FlatGeobuf",
+    ".dgn": "DGN",
 }
 
 
@@ -168,6 +168,14 @@ def read_file(spark: SparkSession, path: str, bbox=None, mask=None,
 
         df, _meta = read_geoparquet(spark, path)
         return _apply_common(df, geom, bbox, mask, columns, rows)
+    if ext == ".fgb":
+        from .flatgeobuf import read_flatgeobuf
+
+        # the FGB reader pushes bbox into the per-record envelope test
+        # and columns/rows into the range plan (like the shapefile path)
+        df = read_flatgeobuf(spark, path, bbox=bbox, columns=columns,
+                             rows=rows, geom=geom, **kwargs)
+        return _bbox_mask_filter(df, geom, None, mask)
     if ext in (".feather", ".arrow"):
         from .feather import read_feather
 
@@ -218,6 +226,11 @@ def to_file(df: DataFrame, path: str, geom: str = "geometry",
 
         write_geoparquet(df, path, geom=geom, mode=mode, **kwargs)
         return None
+    if ext == ".fgb":
+        from .flatgeobuf import write_flatgeobuf
+
+        return write_flatgeobuf(df, path, geom=geom,
+                                name=layer or None, **kwargs)
     if ext in (".feather", ".arrow"):
         from .feather import write_feather
 
