@@ -102,6 +102,34 @@ _RECT_SQL = f"""
 _PTS_SQL = f"SELECT c_custkey, {_PT_SQL_X} AS x, {_PT_SQL_Y} AS y FROM customer"
 
 
+def _star_bbox_sql() -> str:
+    """Closed-form SQL for the star polygons' bounding boxes: the radius
+    pattern in ``_star_polys`` is fixed across rows, so vertex k sits at
+    center + (half * R_k) * (cos_k, sin_k) with R_k, cos_k, sin_k
+    compile-time constants. The expressions below replicate the engine's
+    float op ORDER (cx + (half*R)*C, left-associative) so the bounds are
+    bit-identical, making the bbox-overlap predicate and envelope areas
+    exactly reproducible."""
+    import math
+
+    xt, yt = [], []
+    for k in range(12):
+        a = 2 * math.pi * k / 12
+        r = 0.7 + 0.3 * ((k * 2654435761 % 7) / 7.0)
+        xt.append(f"(c_x + ((h * {r!r}) * ({math.cos(a)!r})))")
+        yt.append(f"(c_y + ((h * {r!r}) * ({math.sin(a)!r})))")
+    return f"""
+        SELECT p_partkey,
+               least({', '.join(xt)}) AS bminx,
+               greatest({', '.join(xt)}) AS bmaxx,
+               least({', '.join(yt)}) AS bminy,
+               greatest({', '.join(yt)}) AS bmaxy
+        FROM (SELECT p_partkey, (minx + maxx) / 2 AS c_x,
+                     (miny + maxy) / 2 AS c_y, (maxx - minx) / 2 AS h
+              FROM r)
+    """
+
+
 def _simhash_sql() -> str:
     """Closed-form simhash oracle (generated, like the hilbert bit SQL):
     md5-based 64-bit token hash -> per-bit weighted vote -> signature ->
@@ -756,6 +784,29 @@ def q_overlay_star_intersection(spark, sf_dir) -> DataFrame:
                       F.round(st_area("geometry"), 9).alias("ia"))
 
 
+def q_overlay_star_candidates(spark, sf_dir) -> DataFrame:
+    """Hash-checked audit of the star overlay's candidate machinery
+    (VERDICT r3 item 7): the bbox-overlap pair set of the SAME star
+    inputs as ``overlay_star_intersection`` IS closed-form (the star
+    radius pattern is fixed, so each bbox is the rect center plus fixed
+    multiples of the half-width), and ``overlay_candidates`` runs the
+    same cover/resolution/ancestor-chain/cell-join plan as ``overlay``
+    but stops at the envelope test. Emits per pair the envelope
+    intersection area — fully SQL-reproducible; the non-closed-form GH
+    intersection areas stay pinned by the GH-vs-sweep pytest parity."""
+    from geopandas_spark.operators.overlay import overlay_candidates
+
+    stars = _star_polys(spark, sf_dir)
+    a = stars.filter(F.col("p_partkey") % 2 == 0)
+    b = (stars.filter(F.col("p_partkey") % 2 == 1)
+         .withColumnRenamed("p_partkey", "q_partkey"))
+    out = overlay_candidates(a, b, id1="p_partkey", id2="q_partkey")
+    return out.select(
+        "p_partkey", "q_partkey",
+        F.round((F.col("imaxx") - F.col("iminx"))
+                * (F.col("imaxy") - F.col("iminy")), 9).alias("env_ia"))
+
+
 def q_overlay_dart_intersection(spark, sf_dir) -> DataFrame:
     """General-polygon overlay with a CLOSED-FORM oracle: two interlocking
     non-convex quads ('darts') per part row. The configuration is rigid up
@@ -1281,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4
         "albers_transform": q_albers_transform,
         "fgb_roundtrip": q_fgb_roundtrip,
+        "overlay_star_candidates": q_overlay_star_candidates,
         # -- checked in r3, keep under the gate
         "sjoin_points_in_rects": q_sjoin_points_in_rects,
         "sjoin_count_by_rect": q_sjoin_count_by_rect,
@@ -1709,6 +1761,18 @@ def oracle_sql() -> dict[str, str]:
         "fgb_roundtrip": f"""
             WITH pts AS ({_PTS_SQL})
             SELECT c_custkey, x, y FROM pts
+        """,
+        "overlay_star_candidates": f"""
+            WITH r AS ({_RECT_SQL}),
+            b AS ({_star_bbox_sql()})
+            SELECT a.p_partkey, q.p_partkey AS q_partkey,
+                   round((least(a.bmaxx, q.bmaxx) - greatest(a.bminx, q.bminx))
+                       * (least(a.bmaxy, q.bmaxy) - greatest(a.bminy, q.bminy)),
+                         9) AS env_ia
+            FROM b a JOIN b q
+              ON a.p_partkey % 2 = 0 AND q.p_partkey % 2 = 1
+             AND a.bminx <= q.bmaxx AND q.bminx <= a.bmaxx
+             AND a.bminy <= q.bmaxy AND q.bminy <= a.bmaxy
         """,
         "shapefile_roundtrip": """
             SELECT p_partkey,

@@ -323,6 +323,76 @@ def _difference_vs_union_udf():
     return _f
 
 
+def overlay_candidates(
+    df1: DataFrame,
+    df2: DataFrame,
+    geom: str = "geometry",
+    id1: str | None = None,
+    id2: str | None = None,
+    resolution: int | None = None,
+    domain=DOMAIN_UNIT,
+) -> DataFrame:
+    """Exact bbox-overlap candidate pair set of an overlay — the
+    SQL-reproducible stage of the overlay plan.
+
+    Runs the same prep, bbox-stats, resolution pick, cover generation and
+    min-res ancestor chains as ``overlay`` but stops at the envelope
+    test: one row per (df1, df2) pair whose bounding boxes overlap or
+    touch, with the envelope-intersection bounds
+    (``iminx/iminy/imaxx/imaxy``). Every emitted value is closed-form
+    over the input bboxes, so an external SQL engine can reproduce the
+    full result hash — auditing the candidate machinery (cover
+    resolution, ancestor chains, the distributed cell equi-join) that
+    the general-polygon intersection kernel rides on; the intersection
+    areas themselves have no closed form and stay pinned by the
+    GH-vs-sweep parity tests (tests/test_unary_binary.py).
+
+    Scale: the shuffle carries (id, bbox struct, cell) rows only — no
+    geometry WKB moves — and the final pair set is deduped on the id
+    pair (the candidate multiplicity per pair is bounded by the
+    ancestor-chain depth, a small constant).
+    """
+    from ..functions.st import st_cells_from_bbox
+    from .sjoin import _ancestors_udf, _bbox_stats, _min_cover_res
+
+    df1p, i1 = _prep_side(df1, geom, id1, "o1")
+    df2p, i2 = _prep_side(df2, geom, id2, "o2")
+    stats = _bbox_stats(df1p, df2p)
+    if resolution is None:
+        resolution = _estimate_resolution(stats, domain)
+    min1 = _min_cover_res(stats[0], resolution, domain)
+    min2 = _min_cover_res(stats[1], resolution, domain)
+
+    def _cov(df):
+        return st_cells_from_bbox("__bb.minx", "__bb.miny", "__bb.maxx",
+                                  "__bb.maxy", resolution, domain=domain)
+
+    c1, c2 = _cov(df1p), _cov(df2p)
+    if min2 < resolution:
+        c1 = _ancestors_udf(min2)(c1)
+    if min1 < resolution:
+        c2 = _ancestors_udf(min1)(c2)
+    l1 = df1p.select(F.col(i1), F.col("__bb").alias("__bb1"),
+                     F.explode(c1).alias("__cell"))
+    l2 = df2p.select(F.col(i2), F.col("__bb").alias("__bb2"),
+                     F.explode(c2).alias("__cell"))
+    pairs = (
+        l1.join(l2, on="__cell", how="inner")
+        .filter((F.col("__bb1.minx") <= F.col("__bb2.maxx"))
+                & (F.col("__bb2.minx") <= F.col("__bb1.maxx"))
+                & (F.col("__bb1.miny") <= F.col("__bb2.maxy"))
+                & (F.col("__bb2.miny") <= F.col("__bb1.maxy")))
+        .dropDuplicates([i1, i2])
+    )
+    return pairs.select(
+        F.col(i1), F.col(i2),
+        F.greatest("__bb1.minx", "__bb2.minx").alias("iminx"),
+        F.greatest("__bb1.miny", "__bb2.miny").alias("iminy"),
+        F.least("__bb1.maxx", "__bb2.maxx").alias("imaxx"),
+        F.least("__bb1.maxy", "__bb2.maxy").alias("imaxy"),
+    )
+
+
 def _residuals(src: DataFrame, pairs: DataFrame, src_id: str, other_geom_col: str,
                own_id_col: str, geom: str) -> DataFrame:
     """src rows minus the union of their intersecting counterparts; rows

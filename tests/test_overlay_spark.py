@@ -72,3 +72,48 @@ def test_overlay_union_attr_padding(frames, spark):
     out = overlay(df1, df2, how="union").toPandas()
     assert out.col1.isna().sum() == 2  # df2 residuals
     assert out.col2.isna().sum() == 2  # df1 residuals
+
+
+def test_overlay_candidates_matches_brute_force(spark):
+    """overlay_candidates == the exact bbox-overlap pair set (brute
+    force over all bboxes), including touching bboxes, mixed sizes that
+    force min-res ancestor chains, and empty geometries (dropped)."""
+    from geopandas_spark.operators.overlay import overlay_candidates
+
+    rng = np.random.RandomState(7)
+    def rect(x0, y0, w, h):
+        return f"POLYGON (({x0} {y0}, {x0+w} {y0}, {x0+w} {y0+h}, {x0} {y0+h}, {x0} {y0}))"
+
+    boxes1, boxes2 = [], []
+    for i in range(40):
+        x, y = rng.rand(2) * 0.8
+        w = 0.01 + 0.5 * (i == 0)  # one huge bbox -> coarse cover row
+        boxes1.append((x, y, w, 0.01 + 0.2 * (i == 1)))
+    for j in range(40):
+        x, y = rng.rand(2) * 0.8
+        boxes2.append((x, y, 0.02, 0.02))
+    # a guaranteed exactly-touching pair
+    boxes1.append((0.9, 0.9, 0.05, 0.05))
+    boxes2.append((0.95, 0.9, 0.05, 0.05))
+    wkt1 = [rect(*b) for b in boxes1] + ["POLYGON EMPTY"]
+    wkt2 = [rect(*b) for b in boxes2]
+    df1 = spark.createDataFrame(pd.DataFrame({
+        "i": range(len(wkt1)),
+        "geometry": list(B.to_wkb(W.from_wkt(wkt1)))}))
+    df2 = spark.createDataFrame(pd.DataFrame({
+        "j": range(len(wkt2)),
+        "geometry": list(B.to_wkb(W.from_wkt(wkt2)))}))
+    got = {(r["i"], r["j"]) for r in
+           overlay_candidates(df1, df2, id1="i", id2="j").collect()}
+    want = set()
+    for i, (x1, y1, w1, h1) in enumerate(boxes1):
+        for j, (x2, y2, w2, h2) in enumerate(boxes2):
+            if x1 <= x2 + w2 and x2 <= x1 + w1 and y1 <= y2 + h2 and y2 <= y1 + h1:
+                want.add((i, j))
+    assert got == want
+    assert (len(boxes1) - 1, 40) in got  # the touching pair survived
+    # envelope-intersection bounds are the pairwise max/min of the bboxes
+    row = (overlay_candidates(df1, df2, id1="i", id2="j")
+           .filter((F.col("i") == len(boxes1) - 1) & (F.col("j") == 40))
+           .collect()[0])
+    assert row["iminx"] == pytest.approx(0.95) and row["imaxx"] == pytest.approx(0.95)
