@@ -10,29 +10,35 @@ sindex.nearest, sindex.py:220-311):
 * ``distance_col`` optionally emits the exact distance;
 * ``exclusive=True`` drops matches whose geometry equals the left geometry.
 
-Distributed algorithm (single-shuffle cell kNN + bounded tail):
+Two physical plans behind one operator (decided by a right-side stats
+agg, mirroring sjoin — UDF-derived sizes defeat AQE's own estimation):
 
-1. Right side covers its bbox cells at resolution R, then replicates each
-   row to the Chebyshev disk(1) of its cover cells (the classic
-   "replicate build side to neighbor cells" trick — one map-side pUDF).
-2. Left rows take the cell of their bbox midpoint. Both sides are union-
-   tagged and hash-partitioned by cell; ONE ``mapInPandas`` pass computes,
-   per cell, exact distances of every (left, right-candidate) combo with
-   the vectorized numpy kernels, entirely segment-vectorized across the
-   cells of a partition (no per-cell Python loop).
-3. A left row is *certified* inside the same pass when its best distance
-   d satisfies d + lrad < cell_size: any unsearched geometry is provably
-   farther, and all ties are provably inside the searched disk. >99% of
-   rows certify here on uniform-ish data, so the whole join is one
-   shuffle + one Arrow pass.
-4. The uncertified tail (sparse neighborhoods) goes through bounded disk
-   expansion: rows with a candidate probe once more at their exact radius
-   ceil((d+lrad)/cell); rows with none escalate geometrically. Tie filter
-   rank==1 over exact distance (keeps ties, unlike row_number).
+**Broadcast path** (right side's exploded cover under
+BROADCAST_EXPLODED_ROWS — the common case; round-4 north-rule
+restructure): the right side is Arrow-collected once, the driver builds
+a row-major (cellkey -> build row) flat index with vectorized
+bbox_cover, and the WHOLE join is ONE ``mapInPandas`` over the left.
+Per probe batch, a Chebyshev-k disk is (2k+1) contiguous searchsorted
+column ranges over the sorted keys; certified rows (best d + lrad <
+cell) emit ties immediately, the uncertified tail escalates its disk
+geometrically IN-KERNEL and finishes with one exhaustive probe at
+ceil((d+lrad)/cell)+1 — no union, no shuffle, no tail joins. Giant
+build rows whose cover overflows max_cells ride along as unconditional
+candidates of every probe ("always-rows"). 3 Spark jobs total; the
+probe stage is embarrassingly parallel (measured 2->8 scaling moved
+from 0.22 to the sjoin-class regime, tools/knn_profile.py).
 
-Scale notes: the phase-1 shuffle carries each side once (right ~9x cell
-replication, offset by carrying no join-duplicate pairs and needing no
-dropDuplicates); the tail touches only unresolved rows.
+**Shuffle path** (huge right side): right covers its bbox cells at
+resolution R and replicates each row to the Chebyshev disk(1) of its
+cover; left rows take their bbox-midpoint cell; both sides union-tag,
+hash-partition by cell, and ONE ``mapInPandas`` pass computes exact
+per-cell distances (segment-vectorized, streaming). Certified rows (d +
+lrad < cell) finish there; the tail probes a directory-driven exact
+radius. The grid clamps to the largest bbox's full-res cover so no
+build row hides behind the coarse-cover fallback.
+
+Both plans share the same certify/probe maths, so results are
+bit-identical (pinned by test_broadcast_vs_shuffle_parity).
 """
 
 from __future__ import annotations
@@ -46,7 +52,9 @@ from pyspark.sql.functions import pandas_udf
 
 from ..functions.st import st_bounds, st_cells_from_bbox
 from ..index.cells import DOMAIN_UNIT, MAX_RES, cell_size, pick_resolution
-from .sjoin import _prep_side, _suffix_columns
+from .sjoin import (BROADCAST_EXPLODED_ROWS, _BUILD_CACHE_MAX,
+                    _est_exploded, _min_cover_res, _prep_side,
+                    _suffix_columns)
 
 
 def _disk_cells_udf(k: int):
@@ -447,43 +455,353 @@ def _nocand_probes(nanrows, rxp, _disk_probe, resolution, min_cell,
         F.col("__B"))]
 
 
-def sjoin_nearest(
-    left: DataFrame,
-    right: DataFrame,
-    how: str = "inner",
-    max_distance: float | None = None,
-    lsuffix: str = "left",
-    rsuffix: str = "right",
-    distance_col: str | None = None,
-    exclusive: bool = False,
-    left_geom: str = "geometry",
-    right_geom: str = "geometry",
-    left_id: str | None = None,
-    right_id: str | None = None,
-    resolution: int | None = None,
-    domain=DOMAIN_UNIT,
-    max_iters: int = 8,
-) -> DataFrame:
-    if how not in ("inner", "left"):
-        raise ValueError("sjoin_nearest supports how in ('inner','left')")
+# ---------------------------------------------------------------------------
+# broadcast kNN path (round 4, north-rule restructure)
+#
+# The shuffle plan below unions BOTH sides into one exchange (95 MB /
+# 3.8 M rows on the 2M x 200k scaling input), sorts within partitions,
+# and needs a barrier agg + two tail joins — per-stage attribution
+# (tools/knn_profile.py) showed the exchange/sort stage's executor time
+# blowing up 20x from local[2] to local[8] on this memory-bandwidth-
+# starved substrate (GC 0.2s -> 44.5s, shuffle-write time 0.2s -> 45s for
+# the same bytes), flattening 2->8 scaling to ~0.22 while sjoin's
+# broadcast-CSR probe path scaled at 0.83-0.93 on the same host. When
+# the right side is broadcastable (same stats-job decision as sjoin),
+# the whole join is ONE mapInPandas over the left: the right cover ships
+# once per worker as a row-major (cellkey -> build row) flat index, and
+# every left row — including the uncertified tail — resolves in-kernel
+# via block-range scans and bounded disk escalation. No union, no
+# repartition+sort, no localCheckpoints, no tail joins: 11 Spark jobs
+# become 3, and the probe stage is embarrassingly parallel.
+# ---------------------------------------------------------------------------
 
-    left, lid = _prep_side(left, left_geom, left_id, "l")
-    right, rid = _prep_side(right, right_geom, right_id, "r")
+_KNN_BUILD_CACHE: dict = {}
 
-    if resolution is None:
-        n_right = right.count()
-        if max_distance is not None:
-            resolution = pick_resolution(max_distance, max_distance,
-                                         domain=domain, target_cells=1.0)
-        else:
-            # ~8 right geometries per cell: dense enough that the k=1 disk
-            # usually holds the true nearest neighbor AND certifies it
-            resolution = int(np.clip(
-                int(np.ceil(np.log2(max(n_right / 8.0, 1)) / 2)), 1, MAX_RES))
-    min_cell = min(cell_size(resolution, domain))
 
-    rcells = st_cells_from_bbox("__bb.minx", "__bb.miny", "__bb.maxx",
-                                "__bb.maxy", resolution, domain=domain)
+def _collect_knn_build(right: DataFrame, rid: str, right_geom: str,
+                       resolution: int, domain):
+    """Arrow-collect the build side as (rid, wkb, bbox) and build the
+    row-major (cellkey -> build row) flat index ON THE DRIVER with
+    vectorized bbox_cover. The first cut computed the cover with the
+    st_cells_from_bbox pandas UDF inside the collect job — per-row
+    Python list building that cost ~15 core-seconds for 200k rows
+    (knn_profile stage attribution), i.e. 3x the whole probe stage.
+    Bounds stay Spark-side (__bb is already computed for the stats agg);
+    the driver only runs numpy over the collected numeric columns.
+    Returns (cache_key, broadcast, nb, rid_vals)."""
+    import uuid
+
+    from ..index import cells as C
+
+    spark = right.sparkSession
+    tbl = (right.select(F.col(rid).alias("i"),
+                        F.col(right_geom).alias("g"),
+                        F.col("__bb.minx").alias("x0"),
+                        F.col("__bb.miny").alias("y0"),
+                        F.col("__bb.maxx").alias("x1"),
+                        F.col("__bb.maxy").alias("y1"))
+           .toArrow().combine_chunks())
+    nb = tbl.num_rows
+    rid_vals = np.asarray(tbl["i"].to_pandas(), dtype=object)
+    rwkb: list = tbl["g"].to_pylist()
+    bb = np.column_stack([
+        np.nan_to_num(tbl[c].to_numpy(zero_copy_only=False)
+                      .astype(np.float64, copy=False))
+        for c in ("x0", "y0", "x1", "y1")])
+    # flat (rowmajor cellkey, build row) pairs, FULLY vectorized — the
+    # first cut called bbox_cover here, whose per-row Python fill loop
+    # cost ~12 s of driver-serial time for 200k rows (knn_profile gap
+    # attribution); this is the same cover, built with one expand.
+    g = np.int64(1 << resolution)
+    i0b, j0b = C._grid_ij(bb[:, 0], bb[:, 1], resolution, domain)
+    i1b, j1b = C._grid_ij(bb[:, 2], bb[:, 3], resolution, domain)
+    ni = i1b - i0b + 1
+    nj = j1b - j0b + 1
+    cnt = ni * nj
+    # rows spanning more than max_cells fine cells don't fit the fine-res
+    # key space (bbox_cover's coarse fallback); such (rare, giant) build
+    # rows become unconditional candidates of every probe — exact
+    # distance still decides, and the disk bounds stay valid because
+    # always-rows are searched in every probe. (The shuffle path instead
+    # clamps the grid to the max bbox's cover res.)
+    giant = cnt > 4096
+    if giant.any():
+        always = np.nonzero(giant)[0].astype(np.int64)
+        cnt = np.where(giant, 0, cnt)
+    else:
+        always = np.empty(0, dtype=np.int64)
+    total = int(cnt.sum())
+    rows = np.repeat(np.arange(nb, dtype=np.int64), cnt)
+    within = (np.arange(total, dtype=np.int64)
+              - np.repeat(np.cumsum(cnt) - cnt, cnt))
+    di = within // nj[rows]
+    dj = within - di * nj[rows]
+    keys = (i0b[rows] + di) * g + (j0b[rows] + dj)
+    order = np.argsort(keys, kind="stable")
+    # ship WKB as ONE buffer + offsets: pickling 200k separate bytes
+    # objects is driver-serial time the workers re-pay on unpickle
+    lens_w = np.fromiter((len(w) for w in rwkb), dtype=np.int64,
+                         count=nb)
+    woff = np.zeros(nb + 1, dtype=np.int64)
+    np.cumsum(lens_w, out=woff[1:])
+    wbuf = b"".join(rwkb)
+    cache_key = uuid.uuid4().hex
+    bc = spark.sparkContext.broadcast(
+        {"wbuf": wbuf, "woff": woff, "ks": keys[order], "rs": rows[order],
+         "al": always})
+    return cache_key, bc, nb, rid_vals
+
+
+def _load_knn_build(cache_key: str, bc):
+    """Worker-side: decoded build batch + the row-major flat index from
+    the broadcast, cached per worker process (mirrors sjoin's
+    _BUILD_CACHE). The i-major key order makes a Chebyshev-k disk
+    (2k+1) contiguous searchsorted ranges instead of (2k+1)^2 cell
+    probes."""
+    got = _KNN_BUILD_CACHE.get(cache_key)
+    if got is None:
+        from ..geom.ragged import POINT as _PT
+        from ..geom.wkb import from_wkb
+
+        v = bc.value
+        wbuf, woff = v["wbuf"], v["woff"]
+        rwkb = [wbuf[woff[i]:woff[i + 1]] for i in range(len(woff) - 1)]
+        rb_all = from_wkb(pd.Series(rwkb))
+        rpuntal = bool(len(rb_all.types) and (rb_all.types == _PT).all()
+                       and (rb_all.n_coords_per_geom() == 1).all())
+        got = (rb_all, v["ks"], v["rs"], rpuntal,
+               np.array(rwkb, dtype=object), v["al"])
+        if len(_KNN_BUILD_CACHE) >= _BUILD_CACHE_MAX:
+            _KNN_BUILD_CACHE.pop(next(iter(_KNN_BUILD_CACHE)))
+        _KNN_BUILD_CACHE[cache_key] = got
+    return got
+
+
+def _broadcast_knn(probe: DataFrame, right: DataFrame, rid: str,
+                   right_geom: str, resolution: int, domain,
+                   min_cell: float, k_cap: int,
+                   max_distance: float | None, exclusive: bool,
+                   emit_geom: bool, lid_t: str, rid_t: str) -> DataFrame:
+    """k=1 nearest (ties kept) as a single probe-side mapInPandas pass
+    against a broadcast right side. Same certify/escalate/exact-probe
+    maths as the shuffle path (disk(1) certify at d + lrad < cell;
+    exhaustive re-probe at ceil((d+lrad)/cell)+1), so results are
+    bit-identical — only the execution plan changes."""
+    cache_key, bc, nb, rid_vals = _collect_knn_build(
+        right, rid, right_geom, resolution, domain)
+    g = 1 << resolution
+    COMBO_CAP = 262_144  # keep per-block temporaries L2/L3-resident
+    mdist = max_distance
+    excl = exclusive
+
+    def fn(it):
+        from ..geom.kernels import bounds as _bounds
+        from ..geom.predicates import pairwise_distance
+        from ..geom.ragged import POINT as _PT
+        from ..geom.ragged import _expand_ranges
+        from ..geom.wkb import from_wkb
+        from ..index.cells import _grid_ij
+
+        rb_all, ks, rs, rpuntal, rwkb_arr, al = _load_knn_build(
+            cache_key, bc)
+        rc = rb_all.coords if rpuntal else None
+        nal = len(al)
+
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            lids = pdf["__xlid"].to_numpy()
+            lgv = pdf["__lgeom"].to_numpy(dtype=object)
+            lb = from_wkb(pdf["__lgeom"])
+            lbb = _bounds(lb)
+            ok_row = np.isfinite(lbb[:, 0])
+            lbb = np.nan_to_num(lbb)
+            mx = (lbb[:, 0] + lbb[:, 2]) / 2
+            my = (lbb[:, 1] + lbb[:, 3]) / 2
+            lrad = np.maximum(lbb[:, 2] - lbb[:, 0],
+                              lbb[:, 3] - lbb[:, 1]) / 2
+            lpuntal = bool(len(lb.types) and (lb.types == _PT).all()
+                           and (lb.n_coords_per_geom() == 1).all())
+            lc = lb.coords if lpuntal else None
+            i0, j0 = _grid_ij(mx, my, resolution, domain)
+
+            o_l: list = []
+            o_r: list = []
+            o_d: list = []
+
+            def _probe(rows, kk, want_ties, cert_only):
+                """Exact distances of every (row, build) combo whose build
+                cover touches the (2kk+1)^2 block around the row's cell.
+                Returns per-row best distance; when ``want_ties``, emits
+                all tie rows (d == dmin, deduped) for rows passing the
+                certification filter. Fully vectorized; rows never span
+                chunks so per-chunk minima are final."""
+                kk = int(kk)
+                dmin = np.full(len(rows), np.inf)
+                if (len(ks) == 0 and nal == 0) or len(rows) == 0:
+                    return dmin
+
+                def _dist(gpos, bi):
+                    if lpuntal and rpuntal:
+                        dx = lc[gpos, 0] - rc[bi, 0]
+                        dy = lc[gpos, 1] - rc[bi, 1]
+                        # sqrt(dx^2+dy^2), NOT hypot — bit parity with
+                        # pairwise_distance and the SQL oracles
+                        d = np.sqrt(dx * dx + dy * dy)
+                    else:
+                        d = pairwise_distance(lb.take(gpos),
+                                              rb_all.take(bi))
+                    if excl:
+                        eq = np.fromiter(
+                            (a == b for a, b in
+                             zip(lgv[gpos], rwkb_arr[bi])),
+                            dtype=bool, count=len(gpos))
+                        d = np.where(eq, np.inf, d)
+                    if mdist is not None:
+                        d = np.where(d > mdist, np.inf, d)
+                    return np.where(np.isnan(d), np.inf, d)
+
+                cols = 2 * kk + 1
+                CCHUNK = max(1, COMBO_CAP // max(cols, nal))
+                for s0 in range(0, len(rows), CCHUNK):
+                    rr = rows[s0:s0 + CCHUNK]
+                    m = len(rr)
+                    ii = i0[rr][:, None] + np.arange(-kk, kk + 1)[None, :]
+                    valid = (ii >= 0) & (ii < g)
+                    jlo = np.clip(j0[rr] - kk, 0, g - 1)[:, None]
+                    jhi = np.clip(j0[rr] + kk, 0, g - 1)[:, None]
+                    klo = (ii * g + jlo).ravel()
+                    khi = (ii * g + jhi + 1).ravel()
+                    lo = np.searchsorted(ks, klo)
+                    hi = np.searchsorted(ks, khi)
+                    vr = valid.ravel()
+                    lo[~vr] = 0
+                    hi[~vr] = 0
+                    lo2d = lo.reshape(m, cols)
+                    hi2d = hi.reshape(m, cols)
+                    rcnt = (hi2d - lo2d).sum(axis=1)
+                    csum = np.cumsum(rcnt)
+                    gb = [0]
+                    while gb[-1] < m:
+                        prev = csum[gb[-1] - 1] if gb[-1] else 0
+                        j = int(np.searchsorted(
+                            csum, prev + COMBO_CAP, side="left")) + 1
+                        gb.append(min(max(j, gb[-1] + 1), m))
+                    for ga, gz in zip(gb[:-1], gb[1:]):
+                        mm = gz - ga
+                        rcc = rcnt[ga:gz]
+                        dloc = np.full(mm, np.inf)
+                        have = bool(rcc.sum())
+                        if have:
+                            slots = _expand_ranges(lo2d[ga:gz].ravel(),
+                                                   hi2d[ga:gz].ravel())
+                            bi = rs[slots]
+                            li = np.repeat(np.arange(mm), rcc)
+                            gpos = rr[ga + li]
+                            d = _dist(gpos, bi)
+                            nz = rcc > 0
+                            nnz = int(nz.sum())
+                            starts = np.zeros(nnz, dtype=np.int64)
+                            np.cumsum(rcc[nz][:-1], out=starts[1:])
+                            dloc[nz] = np.minimum.reduceat(d, starts)
+                        if nal:
+                            # giant-bbox build rows: candidates of EVERY
+                            # probe (their cover overflowed the fine grid)
+                            li_a = np.repeat(np.arange(mm), nal)
+                            bi_a = np.tile(al, mm)
+                            d_a = _dist(rr[ga + li_a], bi_a)
+                            dloc = np.minimum(
+                                dloc, d_a.reshape(mm, nal).min(axis=1))
+                        tgt = s0 + np.arange(ga, gz)
+                        dmin[tgt] = dloc
+                        if want_ties:
+                            ok_r = np.isfinite(dloc)
+                            if cert_only:
+                                ok_r &= (dloc + lrad[rows[tgt]]) < min_cell
+                            if have:
+                                tie = (ok_r[li] & np.isfinite(d)
+                                       & (d == dloc[li]))
+                                if tie.any():
+                                    tl = gpos[tie]
+                                    tb = bi[tie]
+                                    td = d[tie]
+                                    # multi-cell build covers can surface
+                                    # the same pair via several columns —
+                                    # dedup on the (row, build) key
+                                    key = (tl.astype(np.int64)
+                                           * np.int64(nb) + tb)
+                                    _, ui = np.unique(key, return_index=True)
+                                    o_l.append(tl[ui])
+                                    o_r.append(tb[ui])
+                                    o_d.append(td[ui])
+                            if nal:
+                                tie = (ok_r[li_a] & np.isfinite(d_a)
+                                       & (d_a == dloc[li_a]))
+                                if tie.any():
+                                    o_l.append(rr[ga + li_a[tie]])
+                                    o_r.append(bi_a[tie])
+                                    o_d.append(d_a[tie])
+                return dmin
+
+            rows_all = np.nonzero(ok_row)[0].astype(np.int64)
+            if len(rows_all):
+                dmin1 = _probe(rows_all, 1, want_ties=True, cert_only=True)
+                cert = (dmin1 + lrad[rows_all]) < min_cell
+                unc = rows_all[~cert]
+                if len(unc) and (len(ks) or nal):
+                    dk = dmin1[~cert].copy()
+                    # sparse neighborhoods: geometric disk escalation until
+                    # SOME candidate bounds the search (<2% of rows on
+                    # uniform-ish data; the exact probe below certifies)
+                    pend = np.nonzero(~np.isfinite(dk))[0]
+                    kk = 2
+                    while len(pend):
+                        kcur = min(kk, k_cap)
+                        dd = _probe(unc[pend], kcur,
+                                    want_ties=False, cert_only=False)
+                        fnd = np.isfinite(dd)
+                        dk[pend[fnd]] = dd[fnd]
+                        pend = pend[~fnd]
+                        if kcur >= k_cap:
+                            break  # exhausted the search bound
+                        kk *= 2
+                    # ONE exhaustive probe per row at its exact radius:
+                    # disk(ceil((d+lrad)/cell)+1) provably contains the
+                    # true nearest and all ties (same bound as the
+                    # shuffle-path tail)
+                    fin = np.isfinite(dk)
+                    if fin.any():
+                        k2 = np.minimum(
+                            np.ceil((dk[fin] + lrad[unc[fin]]) / min_cell)
+                            .astype(np.int64) + 1, k_cap)
+                        ur = unc[fin]
+                        for kv in np.unique(k2):
+                            _probe(ur[k2 == kv], int(kv),
+                                   want_ties=True, cert_only=False)
+            if o_l:
+                tl = np.concatenate(o_l)
+                tb = np.concatenate(o_r)
+                out = {"__xlid": lids[tl], "__xrid": rid_vals[tb],
+                       "__d": np.concatenate(o_d)}
+                if emit_geom:
+                    out["__lgeom"] = lgv[tl]
+                yield pd.DataFrame(out)
+
+    schema = f"__xlid {lid_t}, __xrid {rid_t}, __d double"
+    if emit_geom:
+        schema += ", __lgeom binary"
+    return probe.mapInPandas(fn, schema=schema)
+
+
+def _shuffle_knn_matched(left, right, lid, rid, left_geom, right_geom,
+                         rcells, resolution, domain, min_cell, k_cap,
+                         grid_n, max_distance, exclusive, narrow,
+                         lid_t, rid_t):
+    """Big-right fallback: the original union-shuffle cell kNN pass plus
+    directory-driven tail (see module docstring). Used when the right
+    side is too large to broadcast; returns matched
+    (__xlid, __xrid, __d[, __lgeom])."""
     # ONE cover computation (WKB decode + bbox_cover), lazily checkpointed:
     # both phase 1 (disk-replicated build side) and the tail (exact cell
     # join) derive from it — round-2 profile showed the decode->cover UDF
@@ -515,18 +833,6 @@ def sjoin_nearest(
                     F.col("__bb.maxy") - F.col("__bb.miny")) / 2).alias("__lrad"),
     ).filter(F.col("__cell0").isNotNull())
 
-    # narrow fast path (mirrors sjoin): when both sides carry nothing
-    # beyond (id, geometry) and how='inner', the pass output IS the join
-    # output — certified rows carry the left WKB so BOTH assembly joins
-    # (two |result|-row shuffles) are skipped
-    auto_l = left_id is None
-    auto_r = right_id is None
-    _ldata = [c for c in left.columns
-              if c != "__bb" and not (auto_l and c == lid)]
-    _rdata = [c for c in right.columns
-              if c != "__bb" and c != right_geom and not (auto_r and c == rid)]
-    narrow = (how == "inner" and set(_ldata) <= {lid, left_geom}
-              and set(_rdata) <= {rid})
 
     # ---- phase 1: single-shuffle cell kNN pass ---------------------------
     rrep = rcov.select(
@@ -538,8 +844,6 @@ def sjoin_nearest(
         F.col("__cell0").alias("__cell"), "__lrad",
     ).withColumn("__side", F.lit(1))
 
-    lid_t = dict(lbase.dtypes)["__xlid"]
-    rid_t = dict(rx.dtypes)["__xrid"]
     # hash-partition by cell, then sort within the partition so the kNN
     # pass can stream chunk-by-chunk (complete cells processed as they
     # arrive) instead of materializing whole partitions in pandas
@@ -563,10 +867,6 @@ def sjoin_nearest(
     else:
         done = p1.filter(F.col("__ok")).select("__xlid", "__xrid", "__d")
 
-    grid_n = 1 << resolution
-    k_cap = grid_n  # full-grid disk == brute force
-    if max_distance is not None:
-        k_cap = min(k_cap, int(np.ceil(max_distance / min_cell)) + 1)
 
     # rx reads from the rcov checkpoint — no second cover computation
     rxp = rx
@@ -715,6 +1015,120 @@ def sjoin_nearest(
         matched = done.unionByName(tail_matched)
     else:
         matched = done
+    return matched
+
+
+def sjoin_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    how: str = "inner",
+    max_distance: float | None = None,
+    lsuffix: str = "left",
+    rsuffix: str = "right",
+    distance_col: str | None = None,
+    exclusive: bool = False,
+    left_geom: str = "geometry",
+    right_geom: str = "geometry",
+    left_id: str | None = None,
+    right_id: str | None = None,
+    resolution: int | None = None,
+    domain=DOMAIN_UNIT,
+    max_iters: int = 8,
+    broadcast_right: bool | None = None,
+) -> DataFrame:
+    if how not in ("inner", "left"):
+        raise ValueError("sjoin_nearest supports how in ('inner','left')")
+
+    left, lid = _prep_side(left, left_geom, left_id, "l")
+    right, rid = _prep_side(right, right_geom, right_id, "r")
+
+    # ONE tiny agg job sizes the grid AND decides the broadcast path
+    # (UDF-derived sizes defeat AQE's auto-broadcast estimation, so the
+    # operator decides from stats, mirroring sjoin). Skipped only when
+    # the caller pinned both decisions.
+    n_right = -1
+    rstats = None
+    if resolution is None or broadcast_right is None:
+        r = right.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col("__bb.maxx") - F.col("__bb.minx")).alias("aw"),
+            F.avg(F.col("__bb.maxy") - F.col("__bb.miny")).alias("ah"),
+            F.max(F.col("__bb.maxx") - F.col("__bb.minx")).alias("mw"),
+            F.max(F.col("__bb.maxy") - F.col("__bb.miny")).alias("mh"),
+        ).collect()[0]
+        n_right = int(r["n"] or 0)
+        rstats = {"n": n_right, "aw": float(r["aw"] or 0.0),
+                  "ah": float(r["ah"] or 0.0),
+                  "mw": float(r["mw"] or 0.0), "mh": float(r["mh"] or 0.0)}
+    if resolution is None:
+        if max_distance is not None:
+            resolution = pick_resolution(max_distance, max_distance,
+                                         domain=domain, target_cells=1.0)
+        else:
+            # ~8 right geometries per cell: dense enough that the k=1 disk
+            # usually holds the true nearest neighbor AND certifies it
+            resolution = int(np.clip(
+                int(np.ceil(np.log2(max(n_right / 8.0, 1)) / 2)), 1, MAX_RES))
+    min_cell = min(cell_size(resolution, domain))
+    if broadcast_right is None:
+        broadcast_right = (
+            n_right > 0
+            and _est_exploded(rstats, resolution, domain)
+            <= BROADCAST_EXPLODED_ROWS)
+    if not broadcast_right:
+        # shuffle path joins on exact fine-res cell equality, so a build
+        # row whose cover fell back to coarser cells (bbox > max_cells
+        # fine cells) would be invisible — clamp the grid to the res the
+        # LARGEST bbox still covers at full res. (The broadcast path
+        # keeps the fine grid and treats giants as always-candidates.)
+        # Correctness must not depend on the caller's resolution hint, so
+        # the max-extent stats run even when both hints were explicit.
+        if rstats is None:
+            r = right.agg(
+                F.max(F.col("__bb.maxx") - F.col("__bb.minx")).alias("mw"),
+                F.max(F.col("__bb.maxy") - F.col("__bb.miny")).alias("mh"),
+            ).collect()[0]
+            rstats = {"mw": float(r["mw"] or 0.0),
+                      "mh": float(r["mh"] or 0.0)}
+        rres_min = _min_cover_res(rstats, resolution, domain)
+        if rres_min < resolution:
+            resolution = rres_min
+            min_cell = min(cell_size(resolution, domain))
+
+    rcells = st_cells_from_bbox("__bb.minx", "__bb.miny", "__bb.maxx",
+                                "__bb.maxy", resolution, domain=domain)
+
+    # narrow fast path (mirrors sjoin): when both sides carry nothing
+    # beyond (id, geometry) and how='inner', the pass output IS the join
+    # output — certified rows carry the left WKB so BOTH assembly joins
+    # (two |result|-row shuffles) are skipped
+    auto_l = left_id is None
+    auto_r = right_id is None
+    _ldata = [c for c in left.columns
+              if c != "__bb" and not (auto_l and c == lid)]
+    _rdata = [c for c in right.columns
+              if c != "__bb" and c != right_geom and not (auto_r and c == rid)]
+    narrow = (how == "inner" and set(_ldata) <= {lid, left_geom}
+              and set(_rdata) <= {rid})
+
+    grid_n = 1 << resolution
+    k_cap = grid_n  # full-grid disk == brute force
+    if max_distance is not None:
+        k_cap = min(k_cap, int(np.ceil(max_distance / min_cell)) + 1)
+    lid_t = dict(left.dtypes)[lid]
+    rid_t = dict(right.dtypes)[rid]
+
+    if broadcast_right:
+        probe = left.select(F.col(lid).alias("__xlid"),
+                            F.col(left_geom).alias("__lgeom"))
+        matched = _broadcast_knn(probe, right, rid, right_geom, resolution,
+                                 domain, min_cell, k_cap, max_distance,
+                                 exclusive, narrow, lid_t, rid_t)
+    else:
+        matched = _shuffle_knn_matched(
+            left, right, lid, rid, left_geom, right_geom, rcells,
+            resolution, domain, min_cell, k_cap, grid_n, max_distance,
+            exclusive, narrow, lid_t, rid_t)
 
     if narrow:
         # zero-join output: ids + left geometry + distance straight from

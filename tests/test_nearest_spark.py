@@ -117,3 +117,91 @@ def test_nearest_lines_empty_corner_cells(spark):
     assert got == exp
     m = out.set_index("pid").dist.to_dict()
     assert all(abs(m[i] - dmin[i]) < 1e-12 for i in range(nl))
+
+
+def test_broadcast_vs_shuffle_parity(spark):
+    """The broadcast kNN kernel (round 4) and the union-shuffle plan are
+    two physical strategies for the same operator — results must be
+    identical pair-for-pair, including ties, max_distance cut-offs,
+    sparse-neighborhood escalation, and non-puntal geometries."""
+    from pyspark.sql import functions as F
+
+    from geopandas_spark.functions.st import st_geomfromtext, st_point
+
+    M32, HA, HB = 4294967296, 2654435761, 2246822519
+    pts = (spark.range(4000).withColumnRenamed("id", "pid")
+           .withColumn("x", (F.col("pid") + 1) * HA % M32 / float(M32))
+           .withColumn("y", (F.col("pid") + 1) * HB % M32 / float(M32))
+           .withColumn("geometry", st_point("x", "y"))
+           .select("pid", "geometry"))
+    # right side confined to one quadrant -> 3/4 of probes escalate
+    ctr = (spark.range(200).withColumnRenamed("id", "rid")
+           .withColumn("x", (F.col("rid") + 1) * HB % M32 / float(M32) * 0.5)
+           .withColumn("y", (F.col("rid") + 1) * HA % M32 / float(M32) * 0.5)
+           .withColumn("geometry", st_point("x", "y"))
+           .select("rid", "geometry"))
+    lines = (
+        spark.range(150).withColumnRenamed("id", "rid")
+        .withColumn("x", (F.col("rid") + 1) * HB % M32 / float(M32) * 0.4)
+        .withColumn("y", (F.col("rid") + 1) * HA % M32 / float(M32) * 0.4)
+        .withColumn("geometry", st_geomfromtext(F.concat(
+            F.lit("LINESTRING ("), F.col("x"), F.lit(" "), F.col("y"),
+            F.lit(", "), F.col("x") + 0.03, F.lit(" "), F.col("y") + 0.02,
+            F.lit(")"))))
+        .select("rid", "geometry"))
+
+    def both(right, **kw):
+        out = []
+        for bcast in (True, False):
+            j = sjoin_nearest(pts, right, distance_col="d", left_id="pid",
+                              right_id="rid", broadcast_right=bcast, **kw)
+            out.append(sorted(map(tuple, j.select(
+                "pid", "rid", F.round("d", 12)).collect())))
+        return out
+
+    for kw in ({}, {"max_distance": 0.02}, {"how": "left"}):
+        a, b = both(ctr, **kw)
+        assert a == b and len(a) >= 4000 * (0 if kw.get("max_distance") else 1)
+    a, b = both(lines)
+    assert a == b and len(a) == 4000
+
+
+def test_giant_right_geometry(spark):
+    """A build row whose bbox cover overflows max_cells at the working
+    resolution must still be findable: the broadcast path carries it as
+    an always-candidate, the shuffle path clamps the grid to the largest
+    bbox's full-res cover. Brute-force oracle over the engine's own
+    pairwise kernel isolates the candidate-set logic."""
+    from pyspark.sql import functions as F
+
+    from geopandas_spark.functions.st import st_point
+    from geopandas_spark.geom import wkt as W
+    from geopandas_spark.geom.predicates import pairwise_distance
+    from geopandas_spark.geom.wkb import from_wkb
+
+    r = np.random.default_rng(23)
+    nl, nr = 400, 25
+    lx, ly = r.random(nl), r.random(nl)
+    # 24 tiny rects + one giant one spanning half the domain
+    x0, y0 = r.random(nr - 1) * 0.9, r.random(nr - 1) * 0.9
+    wkts = [f"POLYGON (({a} {b}, {a + 0.01} {b}, {a + 0.01} {b + 0.01}, "
+            f"{a} {b + 0.01}, {a} {b}))" for a, b in zip(x0, y0)]
+    wkts.append("POLYGON ((0.2 0.2, 0.85 0.2, 0.85 0.85, 0.2 0.85, 0.2 0.2))")
+    rb = W.from_wkt(wkts)
+    lb = from_wkb(pd.Series(list(B.to_wkb(points_batch(lx, ly)))))
+    li = np.repeat(np.arange(nl), nr)
+    ri = np.tile(np.arange(nr), nl)
+    d = pairwise_distance(lb.take(li), rb.take(ri)).reshape(nl, nr)
+    dmin = d.min(axis=1)
+    exp = {(i, j) for i in range(nl) for j in np.nonzero(d[i] == dmin[i])[0]}
+
+    ldf = spark.createDataFrame(pd.DataFrame(
+        {"pid": np.arange(nl),
+         "geometry": list(B.to_wkb(points_batch(lx, ly)))}))
+    rdf = spark.createDataFrame(pd.DataFrame(
+        {"tid": np.arange(nr), "geometry": list(B.to_wkb(rb))}))
+    for bcast in (True, False):
+        out = sjoin_nearest(ldf, rdf, left_id="pid", right_id="tid",
+                            resolution=10, broadcast_right=bcast).toPandas()
+        got = set(zip(out.pid.astype(int), out.index_right.astype(int)))
+        assert got == exp, f"broadcast={bcast}"

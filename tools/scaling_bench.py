@@ -36,6 +36,12 @@ os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
 os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
 
 N_POINTS = int(os.environ.get("SCALING_N_POINTS", "2000000"))
+# the round-4 broadcast kNN is ~5x faster per row than the round-3 plan,
+# so at 2M points the job finishes in ~3 s at 8 lanes and the ~1.5 s
+# per-call floor (stats agg, build collect, broadcast, plan compile)
+# dominates the ratio — size the kNN job so it stays compute-bound, per
+# this harness's own sizing rule above
+N_POINTS_KNN = int(os.environ.get("SCALING_N_POINTS_KNN", "8000000"))
 N_RECTS = int(os.environ.get("SCALING_N_RECTS", "200000"))
 N_DOCS = int(os.environ.get("SCALING_N_DOCS", "300000"))
 N_VECS = int(os.environ.get("SCALING_N_VECS", "1000000"))
@@ -136,7 +142,8 @@ def run_level(cpus: int, job: str | None = None) -> dict:
         wkt = F.concat(*parts)
         return df.withColumn("geometry", st_geomfromtext(wkt)).select("rid", "geometry")
 
-    out = {"cpus": cpus, "n_points": N_POINTS, "n_rects": N_RECTS,
+    out = {"cpus": cpus, "n_points": N_POINTS, "n_points_knn": N_POINTS_KNN,
+           "n_rects": N_RECTS,
            "n_docs": N_DOCS, "n_vecs": N_VECS,
            "host_calib_mips": round(calibrate(cpus), 1)}
 
@@ -145,16 +152,21 @@ def run_level(cpus: int, job: str | None = None) -> dict:
     # inputs build lazily per selected job family so a --job run doesn't
     # pay for the others' synthesis
     pts = rgeo = centers = docs = vecs = qvecs = None
-    if wanted & {"sjoin_intersects", "sjoin_nearest_knn"}:
+    pts_knn = None
+    if "sjoin_intersects" in wanted:
         pts, rects = _build_inputs(spark, N_POINTS, N_RECTS)
         pts = pts.persist()
         rgeo = rect_geom(rects).persist()
-        centers = rects.select(
+        pts.count()
+        rgeo.count()
+    if "sjoin_nearest_knn" in wanted:
+        pts_knn, rects_k = _build_inputs(spark, N_POINTS_KNN, N_RECTS)
+        pts_knn = pts_knn.persist()
+        centers = rects_k.select(
             "rid", st_point(F.col("minx") + F.col("side") / 2,
                             F.col("miny") + F.col("side") / 2).alias("geometry")
         ).persist()
-        pts.count()
-        rgeo.count()
+        pts_knn.count()
         centers.count()
     if "minhash_near_dups" in wanted:
         # deterministic near-dup corpus: docs 2i / 2i+1 share a 40-word
@@ -197,7 +209,7 @@ def run_level(cpus: int, job: str | None = None) -> dict:
                      left_id="pid", right_id="rid").count()
 
     def run_knn():
-        return sjoin_nearest(pts, centers, how="inner", left_id="pid",
+        return sjoin_nearest(pts_knn, centers, how="inner", left_id="pid",
                              right_id="rid").count()
 
     def run_minhash():
@@ -302,7 +314,10 @@ def report(results: dict, fname: str = "BENCH.md") -> None:
         "SAME deterministic synthetic input; efficiency = (T_N / T_4N) / 4.",
         f"Input: {N_POINTS:,} hashed points x {N_RECTS:,} hashed rectangles",
         "(unit square, no external data, no RNG; polygons are irregular 12-gons",
-        f"so the refine stage is compute-weighted); {N_DOCS:,} deterministic",
+        f"so the refine stage is compute-weighted); {N_POINTS_KNN:,} points x",
+        f"{N_RECTS:,} rect centers for the kNN job (sized so the ~5x-faster",
+        "round-4 broadcast kNN stays compute-bound rather than floor-bound);",
+        f"{N_DOCS:,} deterministic",
         f"near-dup documents (minhash job) and {N_VECS:,} 64-d hashed embeddings",
         "(IVF job). One FULL-SIZE untimed warmup",
         "pass per job absorbs the sandbox's lazy-VM page-fault tax (see",
