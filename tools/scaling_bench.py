@@ -41,7 +41,7 @@ N_POINTS = int(os.environ.get("SCALING_N_POINTS", "2000000"))
 # per-call floor (stats agg, build collect, broadcast, plan compile)
 # dominates the ratio — size the kNN job so it stays compute-bound, per
 # this harness's own sizing rule above
-N_POINTS_KNN = int(os.environ.get("SCALING_N_POINTS_KNN", "8000000"))
+N_POINTS_KNN = int(os.environ.get("SCALING_N_POINTS_KNN", "16000000"))
 N_RECTS = int(os.environ.get("SCALING_N_RECTS", "200000"))
 N_DOCS = int(os.environ.get("SCALING_N_DOCS", "300000"))
 N_VECS = int(os.environ.get("SCALING_N_VECS", "1000000"))
