@@ -12,7 +12,8 @@ from .conf import setup_malloc_env
 setup_malloc_env()
 
 __all__ = ["GeoFrame", "read_geoparquet", "read_file", "read_postgis",
-           "sjoin", "sjoin_nearest", "overlay", "dissolve", "clip"]
+           "sjoin", "sjoin_nearest", "overlay", "dissolve", "clip",
+           "register_crs"]
 
 
 def __getattr__(name):  # lazy: keep bare import light
@@ -24,6 +25,10 @@ def __getattr__(name):  # lazy: keep bare import light
         from .sources.sql import to_postgis
 
         return to_postgis
+    if name == "register_crs":
+        from .geom.crs import register_crs
+
+        return register_crs
     if name == "sjoin":
         from .operators.sjoin import sjoin
 

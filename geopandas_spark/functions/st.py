@@ -898,14 +898,21 @@ def st_symmetric_difference(a, b) -> Column:
 
 def st_transform(geom, src_crs, dst_crs) -> Column:
     """to_crs (geoseries.py:878, array.py:384) — pyproj-free transforms
-    for EPSG:4326 / 3857 / WGS84-UTM (geom/crs.py)."""
+    (geom/crs.py): 4326/3857/UTM + the projection registry, including
+    CRSs the caller added via :func:`geom.crs.register_crs` (a plan-time
+    snapshot of the user registry rides in this closure so executor
+    processes see driver-side registrations)."""
+    from ..geom.crs import user_registry_snapshot
+
+    _snap = user_registry_snapshot()
 
     @pandas_udf("binary")
     def _f(s: pd.Series) -> pd.Series:
-        from ..geom.crs import transform_xy
+        from ..geom.crs import restore_user_registry, transform_xy
         from ..geom.ragged import GeometryBatch
         from ..geom.wkb import from_wkb, to_wkb
 
+        restore_user_registry(_snap)
         b = from_wkb(s)
         x, y = transform_xy(b.coords[:, 0], b.coords[:, 1], src_crs, dst_crs)
         nb = GeometryBatch(

@@ -462,11 +462,120 @@ _PROJ_REGISTRY = {
 
 _SUPPORTED_MSG = ("4326, 3857, WGS84 UTM 326xx/327xx, ETRS89 UTM 258xx, "
                   "3035 LAEA, 2154 LCC, Albers 5070/3310/3577, "
-                  "27700 BNG, 2193 NZTM")
+                  "27700 BNG, 2193 NZTM, or any projected CRS added via "
+                  "register_crs(code, method, **params)")
+
+# user-registered projected CRSs (register_crs). Kept separate from the
+# built-ins so a snapshot can travel inside UDF closures to the executor
+# processes (the driver-side dict is NOT visible to Spark workers).
+_USER_REGISTRY: dict[int, tuple] = {}
+
+_METHOD_PARAMS = {
+    "tm": ("lon0", "lat0", "k0", "fe", "fn"),
+    "aea": ("lon0", "lat0", "lat1", "lat2", "fe", "fn"),
+    "lcc": ("lon0", "lat0", "lat1", "lat2", "fe", "fn"),
+    "laea": ("lon0", "lat0", "fe", "fn"),
+}
+
+
+def register_crs(code, method: str, datum: str | None = None,
+                 ellps: str = "WGS84", **params) -> None:
+    """Register a projected CRS by EPSG projection method + parameters.
+
+    The reference delegates ``to_crs`` to pyproj's full EPSG database
+    (array.py:384); this engine instead ships the four projection
+    methods that cover the overwhelming majority of projected CRSs in
+    real datasets — Transverse Mercator (EPSG 9807: every UTM /
+    Gauss-Krueger / state-plane-TM / national TM grid), Albers
+    equal-area (9822), Lambert conformal conic (9802) and Lambert
+    azimuthal equal-area (9820) — and lets the user bind any EPSG code
+    to one of them with that code's published parameters:
+
+        register_crs(32633)                      # nothing to do: built in
+        register_crs(26917, "tm", lon0=-81, lat0=0, k0=0.9996,
+                     fe=500000, fn=0, ellps="GRS80")   # NAD83 / UTM 17N
+
+    ``ellps`` is one of the embedded ellipsoids (WGS84/GRS80/airy/intl)
+    and ``datum`` an embedded Helmert shift (currently OSGB36) for
+    ``tm``/``aea``; the ``lcc``/``laea`` kernels are the WGS84-constant
+    ones used by the built-in 2154/3035 entries. Registration validates
+    the parameters with a forward/inverse round-trip probe and raises
+    on disagreement. Worker note: plan-time snapshots of this registry
+    travel inside the transform UDF closures, so registrations made on
+    the driver BEFORE building a plan work on a real cluster; mutations
+    after plan creation only affect new plans.
+    """
+    code = _parse_epsg(code)
+    if method not in _METHOD_PARAMS:
+        raise ValueError(
+            f"unknown projection method {method!r} "
+            f"(supported: {sorted(_METHOD_PARAMS)})")
+    want = _METHOD_PARAMS[method]
+    missing = [k for k in want if k not in params]
+    extra = [k for k in params if k not in want]
+    if missing or extra:
+        raise ValueError(
+            f"register_crs({code}, {method!r}): parameters must be exactly "
+            f"{want} (missing {missing}, unexpected {extra})")
+    if ellps not in _ELLIPSOIDS:
+        raise ValueError(f"unknown ellipsoid {ellps!r} "
+                         f"(embedded: {sorted(_ELLIPSOIDS)})")
+    if datum is not None and datum not in _DATUM_TO_WGS84:
+        raise ValueError(f"unknown datum {datum!r} (embedded Helmert "
+                         f"shifts: {sorted(_DATUM_TO_WGS84)})")
+    if method in ("lcc", "laea") and (ellps != "WGS84" or datum is not None):
+        raise ValueError(
+            f"the {method} kernel is the WGS84-constant one (built-in "
+            "3035/2154 entries); non-WGS84 ellipsoids/datums are only "
+            "implemented for tm/aea")
+    p = dict(params)
+    if method in ("tm", "aea"):
+        p["ellps"] = ellps
+    entry = (method, p, datum)
+    # forward/inverse round-trip probe near the projection center: a
+    # typo'd parameter set fails loudly at registration, not as NaNs in
+    # a distributed job
+    if method in ("aea", "lcc"):
+        lat_probe = (float(params["lat1"]) + float(params["lat2"])) / 2.0
+    else:
+        lat_probe = min(80.0, max(-80.0, float(params["lat0"]) + 5.0))
+    lon_probe = float(params["lon0"]) + 1.0
+    lon_a = np.array([lon_probe])
+    lat_a = np.array([lat_probe])
+    _USER_REGISTRY[code] = entry
+    try:
+        x, y = _from_lonlat(code, lon_a, lat_a)
+        lon2, lat2 = _to_lonlat(code, x, y)
+        if (not np.all(np.isfinite([x, y, lon2, lat2]))
+                or abs(float(lon2[0]) - lon_probe) > 1e-6
+                or abs(float(lat2[0]) - lat_probe) > 1e-6):
+            raise ValueError(
+                f"register_crs({code}): forward/inverse round-trip "
+                f"disagrees at ({lon_probe}, {lat_probe}) -> "
+                f"({float(lon2[0])}, {float(lat2[0])}) — check parameters")
+    except Exception:
+        _USER_REGISTRY.pop(code, None)
+        raise
+
+
+def user_registry_snapshot() -> dict:
+    """Plan-time snapshot of user registrations, for UDF closures."""
+    return dict(_USER_REGISTRY)
+
+
+def restore_user_registry(snap: dict) -> None:
+    """Worker-side: merge a plan-time snapshot into this process."""
+    if snap:
+        _USER_REGISTRY.update(snap)
+
+
+def _registry_entry(code):
+    got = _PROJ_REGISTRY.get(code)
+    return got if got is not None else _USER_REGISTRY.get(code)
 
 
 def _registry_inverse(s, x, y):
-    entry = _PROJ_REGISTRY[s]
+    entry = _registry_entry(s)
     kind, p = entry[0], entry[1]
     datum = entry[2] if len(entry) > 2 else None
     if kind == "laea":
@@ -484,7 +593,7 @@ def _registry_inverse(s, x, y):
 
 
 def _registry_forward(d, lon, lat):
-    entry = _PROJ_REGISTRY[d]
+    entry = _registry_entry(d)
     kind, p = entry[0], entry[1]
     datum = entry[2] if len(entry) > 2 else None
     if kind == "laea":
@@ -511,7 +620,7 @@ def _to_lonlat(s, x, y):
         return tm_to_lonlat(x, y, lon0, s >= 32701)
     if 25828 <= s <= 25838:  # ETRS89 / UTM zone 28N-38N (GRS80 ~ WGS84)
         return tm_to_lonlat(x, y, -183.0 + 6 * (s - 25800), False)
-    if s in _PROJ_REGISTRY:
+    if s in _PROJ_REGISTRY or s in _USER_REGISTRY:
         return _registry_inverse(s, x, y)
     raise ValueError(
         f"unsupported source CRS EPSG:{s} (supported: {_SUPPORTED_MSG})")
@@ -528,7 +637,7 @@ def _from_lonlat(d, lon, lat):
         return lonlat_to_tm(lon, lat, lon0, d >= 32701)
     if 25828 <= d <= 25838:
         return lonlat_to_tm(lon, lat, -183.0 + 6 * (d - 25800), False)
-    if d in _PROJ_REGISTRY:
+    if d in _PROJ_REGISTRY or d in _USER_REGISTRY:
         return _registry_forward(d, lon, lat)
     raise ValueError(
         f"unsupported target CRS EPSG:{d} (supported: {_SUPPORTED_MSG})")

@@ -239,3 +239,51 @@ def test_crs_generic_registry_round4():
     # geographic aliases pass through
     x, y = transform_xy(np.array([7.0]), np.array([46.0]), 4269, 4326)
     assert x[0] == 7.0 and y[0] == 46.0
+
+
+def test_register_crs():
+    """register_crs (ref geoseries.py:878 arbitrary-CRS to_crs): any
+    projected CRS on the four embedded methods is user-registerable by
+    its published parameters, validated by a round-trip probe."""
+    import numpy as np
+    import pytest
+
+    from geopandas_spark.geom.crs import (
+        _USER_REGISTRY, register_crs, transform_xy)
+
+    # NAD83 / UTM 17N registered as generic TM on GRS80: must agree with
+    # the built-in WGS84 UTM 17N to sub-mm (flattenings differ in the
+    # 9th decimal)
+    register_crs(26917, "tm", lon0=-81.0, lat0=0.0, k0=0.9996,
+                 fe=500000.0, fn=0.0, ellps="GRS80")
+    try:
+        lo, la = np.array([-79.38]), np.array([43.65])  # Toronto
+        xa, ya = transform_xy(lo, la, 4326, 26917)
+        xb, yb = transform_xy(lo, la, 4326, 32617)
+        assert abs(xa[0] - xb[0]) < 1e-3 and abs(ya[0] - yb[0]) < 1e-3
+        lon2, lat2 = transform_xy(xa, ya, 26917, 4326)
+        assert abs(lon2[0] + 79.38) < 1e-7 and abs(lat2[0] - 43.65) < 1e-7
+
+        # Statistics Canada Lambert (EPSG:3347) via the LCC method
+        register_crs(3347, "lcc", lon0=-91.8666667, lat0=63.390675,
+                     lat1=49.0, lat2=77.0, fe=6200000.0, fn=3000000.0)
+        x, y = transform_xy(np.array([-106.0]), np.array([52.0]),
+                            4326, 3347)
+        lon2, lat2 = transform_xy(x, y, 3347, 4326)
+        assert abs(lon2[0] + 106.0) < 1e-7 and abs(lat2[0] - 52.0) < 1e-7
+
+        # parameter validation fails loudly
+        with pytest.raises(ValueError, match="unknown projection method"):
+            register_crs(9999, "mercator", lon0=0.0)
+        with pytest.raises(ValueError, match="must be exactly"):
+            register_crs(9999, "tm", lon0=0.0, lat0=0.0)  # missing k0/fe/fn
+        with pytest.raises(ValueError, match="unknown ellipsoid"):
+            register_crs(9999, "tm", lon0=0.0, lat0=0.0, k0=1.0,
+                         fe=0.0, fn=0.0, ellps="bessel-not-embedded")
+        with pytest.raises(ValueError, match="WGS84-constant"):
+            register_crs(9999, "lcc", lon0=0.0, lat0=0.0, lat1=30.0,
+                         lat2=60.0, fe=0.0, fn=0.0, ellps="airy")
+        assert 9999 not in _USER_REGISTRY
+    finally:
+        _USER_REGISTRY.pop(26917, None)
+        _USER_REGISTRY.pop(3347, None)

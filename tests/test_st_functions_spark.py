@@ -69,6 +69,38 @@ def test_transform_crs(gdf, spark):
     assert abs(mx - math.radians(0.25) * 6378137.0) < 1e-6
 
 
+def test_transform_registered_crs_spark(spark):
+    """register_crs registrations must reach the EXECUTOR python
+    processes: st_transform snapshots the user registry into its UDF
+    closure at plan time. Pinned against the driver-side kernel."""
+    import numpy as np
+
+    from geopandas_spark.geom.crs import (
+        _USER_REGISTRY, register_crs, transform_xy)
+
+    register_crs(26917, "tm", lon0=-81.0, lat0=0.0, k0=0.9996,
+                 fe=500000.0, fn=0.0, ellps="GRS80")
+    try:
+        pdf = pd.DataFrame({"id": [0, 1],
+                            "wkt": ["POINT (-79.38 43.65)",
+                                    "POINT (-80.5 44.2)"]})
+        df = spark.createDataFrame(pdf).withColumn(
+            "g", st.st_geomfromtext("wkt"))
+        out = df.select(
+            "id",
+            st.st_x(st.st_transform("g", 4326, 26917)).alias("x"),
+            st.st_y(st.st_transform("g", 4326, 26917)).alias("y"),
+        ).collect()
+        got = {r["id"]: (r["x"], r["y"]) for r in out}
+        ex, ey = transform_xy(np.array([-79.38, -80.5]),
+                              np.array([43.65, 44.2]), 4326, 26917)
+        for i in range(2):
+            assert abs(got[i][0] - ex[i]) < 1e-9
+            assert abs(got[i][1] - ey[i]) < 1e-9
+    finally:
+        _USER_REGISTRY.pop(26917, None)
+
+
 def test_pairwise_boolean_spark(gdf, spark):
     pdf = pd.DataFrame({
         "id": [0],
