@@ -13,11 +13,17 @@ extension       driver
 .csv            CSV with a WKT geometry column (OGR CSV driver contract)
 .parquet        GeoParquet (sources/geoparquet.py)
 .feather/.arrow Feather/Arrow IPC (sources/feather.py)
+.fgb            FlatGeobuf (pure numpy, sources/flatgeobuf.py)
+.gml/.xml       GML 2/3 (stdlib ElementTree, sources/gml.py)
+.gpx            GPX, all five OGR layers (sources/gpx.py)
+.mif/.mid       MapInfo interchange text twin (sources/mapinfo.py)
+.bna            Atlas BNA (sources/bna.py)
 ==============  =======================================================
 
-Other reference extensions (.fgb, .gml, .gpx, .tab, .dxf, ...) need the
-GDAL binary driver matrix and raise NotImplementedError naming the OGR
-driver, so callers see the same driver string the reference would use.
+The remaining reference extensions (.tab binary MapInfo, .dxf, .dgn,
+.gtm) need the GDAL binary driver matrix and raise NotImplementedError
+naming the OGR driver, so callers see the same driver string the
+reference would use.
 
 ``bbox``, ``mask``, ``columns`` and ``rows`` follow io/file.py:61-85:
 bbox/mask keep features whose envelope intersects (bbox) or that
@@ -35,10 +41,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _UNSUPPORTED = {
-    ".bna": "BNA", ".dxf": "DXF", ".gml": "GML", ".xml": "GML",
-    ".gpx": "GPX", ".gtm": "GPSTrackMaker", ".gtz": "GPSTrackMaker",
-    ".tab": "MapInfo File", ".mif": "MapInfo File", ".mid": "MapInfo File",
-    ".dgn": "DGN",
+    ".dxf": "DXF", ".gtm": "GPSTrackMaker", ".gtz": "GPSTrackMaker",
+    ".tab": "MapInfo File", ".dgn": "DGN",
 }
 
 
@@ -181,6 +185,27 @@ def read_file(spark: SparkSession, path: str, bbox=None, mask=None,
 
         df, _meta = read_feather(spark, path)
         return _apply_common(df, geom, bbox, mask, columns, rows)
+    if ext in (".gml", ".xml"):
+        from .gml import read_gml
+
+        df = read_gml(spark, path, geom)
+        return _apply_common(df, geom, bbox, mask, columns, rows)
+    if ext == ".gpx":
+        from .gpx import read_gpx
+
+        df = read_gpx(spark, path, layer=layer or "waypoints", geom=geom)
+        return _apply_common(df, geom, bbox, mask, columns, rows)
+    if ext in (".mif", ".mid"):
+        from .mapinfo import read_mif
+
+        mif = path[:-4] + ".mif" if ext == ".mid" else path
+        df = read_mif(spark, mif, geom)
+        return _apply_common(df, geom, bbox, mask, columns, rows)
+    if ext == ".bna":
+        from .bna import read_bna
+
+        df = read_bna(spark, path, geom)
+        return _apply_common(df, geom, bbox, mask, columns, rows)
     raise NotImplementedError(
         f"no driver for {ext!r} (reference io/file.py:28-34)")
 
@@ -236,5 +261,22 @@ def to_file(df: DataFrame, path: str, geom: str = "geometry",
 
         write_feather(df, path, geom=geom, **kwargs)
         return None
+    if ext in (".gml", ".xml"):
+        from .gml import write_gml
+
+        return write_gml(df, path, geom=geom, layer=layer or "features")
+    if ext == ".gpx":
+        from .gpx import write_gpx
+
+        return write_gpx(df, path, geom=geom)
+    if ext in (".mif", ".mid"):
+        from .mapinfo import write_mif
+
+        mif = path[:-4] + ".mif" if ext == ".mid" else path
+        return write_mif(df, mif, geom=geom)
+    if ext == ".bna":
+        from .bna import write_bna
+
+        return write_bna(df, path, geom=geom)
     raise NotImplementedError(
         f"no driver for {ext!r} (reference io/file.py:28-34)")

@@ -60,6 +60,11 @@ def list_layers(path: str) -> list[tuple[str, str]]:
               "GEOMETRYCOLLECTION": "GeometryCollection"}
         return [(name, up.get(gtype.upper(), "Unknown"))
                 for name, gtype in gpkg_layers(path)]
+    if path.endswith(".gpx"):
+        # the five fixed OGR GPX layers (sources/gpx.py)
+        return [("waypoints", "Point"), ("routes", "LineString"),
+                ("tracks", "MultiLineString"), ("route_points", "Point"),
+                ("track_points", "Point")]
     if path.endswith(".shp"):
         import struct
 
