@@ -35,14 +35,20 @@ os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
 os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
 
-N_POINTS = int(os.environ.get("SCALING_N_POINTS", "2000000"))
-# the round-4 broadcast kNN is ~5x faster per row than the round-3 plan,
-# so at 2M points the job finishes in ~3 s at 8 lanes and the ~1.5 s
-# per-call floor (stats agg, build collect, broadcast, plan compile)
-# dominates the ratio — size the kNN job so it stays compute-bound, per
-# this harness's own sizing rule above
+# sjoin job: the published protocol (1M x 100k yields a ~10.8M-row
+# result; larger inputs push the OUTPUT past ~40M rows where the
+# count() consumption becomes bandwidth-bound on this one-memory-system
+# box and the ratio stops measuring the join plan — round-3 measurement)
+N_POINTS = int(os.environ.get("SCALING_N_POINTS", "1000000"))
+N_RECTS = int(os.environ.get("SCALING_N_RECTS", "100000"))
+# kNN job: the round-4 broadcast kNN is ~5x faster per row than the
+# round-3 plan, so at 2M points the job finishes in ~3 s at 8 lanes and
+# the ~1.5 s per-call floor (stats agg, build collect, broadcast, plan
+# compile) dominates the ratio — 16M probe rows keeps it compute-bound
+# (kNN output is 1 row/probe, so big inputs do NOT hit the sjoin job's
+# output-bandwidth wall)
 N_POINTS_KNN = int(os.environ.get("SCALING_N_POINTS_KNN", "16000000"))
-N_RECTS = int(os.environ.get("SCALING_N_RECTS", "200000"))
+N_RECTS_KNN = int(os.environ.get("SCALING_N_RECTS_KNN", "200000"))
 N_DOCS = int(os.environ.get("SCALING_N_DOCS", "300000"))
 N_VECS = int(os.environ.get("SCALING_N_VECS", "1000000"))
 SIDE_SCALE = float(os.environ.get("SCALING_SIDE_SCALE", "1.0"))
@@ -143,7 +149,7 @@ def run_level(cpus: int, job: str | None = None) -> dict:
         return df.withColumn("geometry", st_geomfromtext(wkt)).select("rid", "geometry")
 
     out = {"cpus": cpus, "n_points": N_POINTS, "n_points_knn": N_POINTS_KNN,
-           "n_rects": N_RECTS,
+           "n_rects": N_RECTS, "n_rects_knn": N_RECTS_KNN,
            "n_docs": N_DOCS, "n_vecs": N_VECS,
            "host_calib_mips": round(calibrate(cpus), 1)}
 
@@ -160,7 +166,7 @@ def run_level(cpus: int, job: str | None = None) -> dict:
         pts.count()
         rgeo.count()
     if "sjoin_nearest_knn" in wanted:
-        pts_knn, rects_k = _build_inputs(spark, N_POINTS_KNN, N_RECTS)
+        pts_knn, rects_k = _build_inputs(spark, N_POINTS_KNN, N_RECTS_KNN)
         pts_knn = pts_knn.persist()
         centers = rects_k.select(
             "rid", st_point(F.col("minx") + F.col("side") / 2,
@@ -315,7 +321,7 @@ def report(results: dict, fname: str = "BENCH.md") -> None:
         f"Input: {N_POINTS:,} hashed points x {N_RECTS:,} hashed rectangles",
         "(unit square, no external data, no RNG; polygons are irregular 12-gons",
         f"so the refine stage is compute-weighted); {N_POINTS_KNN:,} points x",
-        f"{N_RECTS:,} rect centers for the kNN job (sized so the ~5x-faster",
+        f"{N_RECTS_KNN:,} rect centers for the kNN job (sized so the ~5x-faster",
         "round-4 broadcast kNN stays compute-bound rather than floor-bound);",
         f"{N_DOCS:,} deterministic",
         f"near-dup documents (minhash job) and {N_VECS:,} 64-d hashed embeddings",
