@@ -565,6 +565,29 @@ def q_fgb_roundtrip(spark, sf_dir) -> DataFrame:
                        st_y("geometry").alias("y"))
 
 
+def q_gml_mif_roundtrip(spark, sf_dir) -> DataFrame:
+    """Chained round-trip through two text OGR drivers (io/file.py:28-34
+    'GML' and 'MapInfo File'; sources/gml.py, sources/mapinfo.py): write
+    customer points to .gml, read back, write that to .mif/.mid, read
+    back; coordinates (repr round-trip) and the integer key survive both
+    containers exactly. Oracle = the original x/y."""
+    import os
+    import tempfile
+
+    from geopandas_spark.functions.st import st_x, st_y
+    from geopandas_spark.sources.file import read_file, to_file
+
+    pts = _customer_points(spark, sf_dir).select("geometry", "c_custkey")
+    d = tempfile.mkdtemp(prefix="gs_txt_")
+    gml = os.path.join(d, "pts.gml")
+    to_file(pts, gml)
+    mif = os.path.join(d, "pts.mif")
+    to_file(read_file(spark, gml), mif)
+    back = read_file(spark, mif)
+    return back.select("c_custkey", st_x("geometry").alias("x"),
+                       st_y("geometry").alias("y"))
+
+
 def q_shapefile_roundtrip(spark, sf_dir) -> DataFrame:
     """Shapefile out/in through the pure-numpy .shp/.shx/.dbf driver
     (io/file.py:28-34 'ESRI Shapefile'; sources/shapefile.py): part
@@ -1332,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4
         "albers_transform": q_albers_transform,
         "fgb_roundtrip": q_fgb_roundtrip,
+        "gml_mif_roundtrip": q_gml_mif_roundtrip,
         "overlay_star_candidates": q_overlay_star_candidates,
         # -- checked in r3, keep under the gate
         "sjoin_points_in_rects": q_sjoin_points_in_rects,
@@ -1759,6 +1783,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, x, y FROM pts
         """,
         "fgb_roundtrip": f"""
+            WITH pts AS ({_PTS_SQL})
+            SELECT c_custkey, x, y FROM pts
+        """,
+        "gml_mif_roundtrip": f"""
             WITH pts AS ({_PTS_SQL})
             SELECT c_custkey, x, y FROM pts
         """,
