@@ -478,6 +478,22 @@ def _nocand_probes(nanrows, rxp, _disk_probe, resolution, min_cell,
 _KNN_BUILD_CACHE: dict = {}
 
 
+def _all_lineal_headers(prefixes: list[str]) -> bool:
+    """True iff every distinct 5-byte WKB header (hex) in the build side
+    decodes to a (Multi)LineString type code — ISO Z/M offsets and EWKB
+    flags stripped. Empty set (no non-null geometries) -> False."""
+    if not prefixes:
+        return False
+    for h in prefixes:
+        if len(h) < 10:
+            return False
+        b = bytes.fromhex(h)
+        raw = int.from_bytes(b[1:5], "little" if b[0] == 1 else "big")
+        if (raw & 0x0FFFFFFF) % 1000 not in (2, 5):
+            return False
+    return True
+
+
 def _collect_knn_build(right: DataFrame, rid: str, right_geom: str,
                        resolution: int, domain):
     """Arrow-collect the build side as (rid, wkb, bbox) and build the
@@ -557,9 +573,21 @@ def _load_knn_build(cache_key: str, bc):
     the broadcast, cached per worker process (mirrors sjoin's
     _BUILD_CACHE). The i-major key order makes a Chebyshev-k disk
     (2k+1) contiguous searchsorted ranges instead of (2k+1)^2 cell
-    probes."""
+    probes.
+
+    All-lineal builds additionally get a flat SEGMENT SOUP
+    (per-geometry CSR over one (ax, ay, dx, dy, L2) array set): the
+    point-probe distance then runs as one vectorized point-to-segment
+    pass instead of the general ragged pairwise kernel, which pays a
+    batch ``take`` + per-group Python per candidate block (measured 4x
+    slower end-to-end on the nearest_line shape). The formula is
+    point_segment_dist2's, so distances stay bit-identical to
+    pairwise_distance for lineal rights (0-on-the-line included)."""
     got = _KNN_BUILD_CACHE.get(cache_key)
     if got is None:
+        from ..geom.predicates import _pair_edges
+        from ..geom.ragged import LINESTRING as _LS
+        from ..geom.ragged import MULTILINESTRING as _MLS
         from ..geom.ragged import POINT as _PT
         from ..geom.wkb import from_wkb
 
@@ -569,8 +597,22 @@ def _load_knn_build(cache_key: str, bc):
         rb_all = from_wkb(pd.Series(rwkb))
         rpuntal = bool(len(rb_all.types) and (rb_all.types == _PT).all()
                        and (rb_all.n_coords_per_geom() == 1).all())
+        rsegs = None
+        if (len(rb_all.types)
+                and np.isin(rb_all.types, (_LS, _MLS)).all()
+                and not rb_all.is_missing().any()
+                and not rb_all.is_empty().any()):
+            nb = len(rb_all.types)
+            x0, y0, x1, y1, e_geom = _pair_edges(
+                rb_all, np.arange(nb, dtype=np.int64))
+            segoff = np.zeros(nb + 1, dtype=np.int64)
+            np.cumsum(np.bincount(e_geom, minlength=nb), out=segoff[1:])
+            sdx = x1 - x0
+            sdy = y1 - y0
+            rsegs = (np.ascontiguousarray(x0), np.ascontiguousarray(y0),
+                     sdx, sdy, sdx * sdx + sdy * sdy, segoff)
         got = (rb_all, v["ks"], v["rs"], rpuntal,
-               np.array(rwkb, dtype=object), v["al"])
+               np.array(rwkb, dtype=object), v["al"], rsegs)
         if len(_KNN_BUILD_CACHE) >= _BUILD_CACHE_MAX:
             _KNN_BUILD_CACHE.pop(next(iter(_KNN_BUILD_CACHE)))
         _KNN_BUILD_CACHE[cache_key] = got
@@ -602,7 +644,7 @@ def _broadcast_knn(probe: DataFrame, right: DataFrame, rid: str,
         from ..geom.wkb import from_wkb
         from ..index.cells import _grid_ij
 
-        rb_all, ks, rs, rpuntal, rwkb_arr, al = _load_knn_build(
+        rb_all, ks, rs, rpuntal, rwkb_arr, al, rsegs = _load_knn_build(
             cache_key, bc)
         rc = rb_all.coords if rpuntal else None
         nal = len(al)
@@ -649,6 +691,38 @@ def _broadcast_knn(probe: DataFrame, right: DataFrame, rid: str,
                         # sqrt(dx^2+dy^2), NOT hypot — bit parity with
                         # pairwise_distance and the SQL oracles
                         d = np.sqrt(dx * dx + dy * dy)
+                    elif lpuntal and rsegs is not None:
+                        # point probe vs lineal build: one vectorized
+                        # point-to-segment pass over the segment soup —
+                        # point_segment_dist2's exact formula, then
+                        # sqrt(min), matching pairwise_distance bit for
+                        # bit (a point ON the line yields d2 == 0.0)
+                        sax, say, sdx, sdy, sL2, segoff = rsegs
+                        cnt = segoff[bi + 1] - segoff[bi]
+                        slots = _expand_ranges(segoff[bi], segoff[bi + 1])
+                        pr = np.repeat(
+                            np.arange(len(bi), dtype=np.int64), cnt)
+                        gl = gpos[pr]
+                        L2 = sL2[slots]
+                        wx = lc[gl, 0] - sax[slots]
+                        wy = lc[gl, 1] - say[slots]
+                        dx = sdx[slots]
+                        dy = sdy[slots]
+                        with np.errstate(divide="ignore",
+                                         invalid="ignore"):
+                            t = (wx * dx + wy * dy) / np.where(
+                                L2 == 0, 1.0, L2)
+                        t = np.clip(np.where(L2 == 0, 0.0, t), 0.0, 1.0)
+                        ex = wx - t * dx
+                        ey = wy - t * dy
+                        d2 = ex * ex + ey * ey
+                        best = np.full(len(bi), np.inf)
+                        nzc = cnt > 0
+                        if d2.size:
+                            st = np.zeros(len(bi), dtype=np.int64)
+                            np.cumsum(cnt[:-1], out=st[1:])
+                            best[nzc] = np.minimum.reduceat(d2, st[nzc])
+                        d = np.sqrt(best)
                     else:
                         d = pairwise_distance(lb.take(gpos),
                                               rb_all.take(bi))
@@ -1055,11 +1129,16 @@ def sjoin_nearest(
             F.avg(F.col("__bb.maxy") - F.col("__bb.miny")).alias("ah"),
             F.max(F.col("__bb.maxx") - F.col("__bb.minx")).alias("mw"),
             F.max(F.col("__bb.maxy") - F.col("__bb.miny")).alias("mh"),
+            # JVM-only geometry-type sniff: the 5-byte WKB header
+            # (endian + type code) distinct set — no UDF, no extra job
+            F.collect_set(
+                F.hex(F.substring(F.col(right_geom), 1, 5))).alias("tp"),
         ).collect()[0]
         n_right = int(r["n"] or 0)
         rstats = {"n": n_right, "aw": float(r["aw"] or 0.0),
                   "ah": float(r["ah"] or 0.0),
-                  "mw": float(r["mw"] or 0.0), "mh": float(r["mh"] or 0.0)}
+                  "mw": float(r["mw"] or 0.0), "mh": float(r["mh"] or 0.0),
+                  "tp": list(r["tp"] or [])}
     if resolution is None:
         if max_distance is not None:
             resolution = pick_resolution(max_distance, max_distance,
@@ -1071,8 +1150,20 @@ def sjoin_nearest(
                 int(np.ceil(np.log2(max(n_right / 8.0, 1)) / 2)), 1, MAX_RES))
     min_cell = min(cell_size(resolution, domain))
     if broadcast_right is None:
+        # plan choice, not correctness (plans are pinned bit-identical):
+        # the broadcast kernel's per-candidate distance is vectorized
+        # only for puntal (sqrt math) and lineal (segment-soup) builds;
+        # an areal/mixed build pays the general ragged pairwise kernel
+        # per (2k+1)^2-cell candidate block, measured 4-5x slower than
+        # the shuffle plan's one-cell phase-1 on the nearest_line shape
+        # (sf0.1: 28.8 s vs 7.6 s) — keep those on the shuffle plan.
+        # Puntal == zero bbox extents; lineal == every distinct 5-byte
+        # WKB header is a (Multi)LineString code. Both come out of the
+        # one stats agg — no extra job.
+        rpuntal = rstats["mw"] == 0.0 and rstats["mh"] == 0.0
         broadcast_right = (
             n_right > 0
+            and (rpuntal or _all_lineal_headers(rstats["tp"]))
             and _est_exploded(rstats, resolution, domain)
             <= BROADCAST_EXPLODED_ROWS)
     if not broadcast_right:
