@@ -18,12 +18,13 @@ extension       driver
 .gpx            GPX, all five OGR layers (sources/gpx.py)
 .mif/.mid       MapInfo interchange text twin (sources/mapinfo.py)
 .bna            Atlas BNA (sources/bna.py)
+.dxf            DXF ENTITIES, point/line entities (sources/dxf.py)
 ==============  =======================================================
 
-The remaining reference extensions (.tab binary MapInfo, .dxf, .dgn,
-.gtm) need the GDAL binary driver matrix and raise NotImplementedError
-naming the OGR driver, so callers see the same driver string the
-reference would use.
+The remaining reference extensions (.tab binary MapInfo, .dgn, .gtm)
+are binary formats that need the GDAL driver matrix and raise
+NotImplementedError naming the OGR driver, so callers see the same
+driver string the reference would use.
 
 ``bbox``, ``mask``, ``columns`` and ``rows`` follow io/file.py:61-85:
 bbox/mask keep features whose envelope intersects (bbox) or that
@@ -41,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _UNSUPPORTED = {
-    ".dxf": "DXF", ".gtm": "GPSTrackMaker", ".gtz": "GPSTrackMaker",
+    ".gtm": "GPSTrackMaker", ".gtz": "GPSTrackMaker",
     ".tab": "MapInfo File", ".dgn": "DGN",
 }
 
@@ -206,6 +207,11 @@ def read_file(spark: SparkSession, path: str, bbox=None, mask=None,
 
         df = read_bna(spark, path, geom)
         return _apply_common(df, geom, bbox, mask, columns, rows)
+    if ext == ".dxf":
+        from .dxf import read_dxf
+
+        df = read_dxf(spark, path, geom, **kwargs)
+        return _apply_common(df, geom, bbox, mask, columns, rows)
     raise NotImplementedError(
         f"no driver for {ext!r} (reference io/file.py:28-34)")
 
@@ -278,5 +284,9 @@ def to_file(df: DataFrame, path: str, geom: str = "geometry",
         from .bna import write_bna
 
         return write_bna(df, path, geom=geom)
+    if ext == ".dxf":
+        from .dxf import write_dxf
+
+        return write_dxf(df, path, geom=geom)
     raise NotImplementedError(
         f"no driver for {ext!r} (reference io/file.py:28-34)")

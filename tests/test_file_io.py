@@ -197,8 +197,8 @@ class TestReadToFileDispatch:
                       mask="POINT (0 0)")
 
     def test_unsupported_driver_names_ogr(self, spark, tmp_path):
-        with pytest.raises(NotImplementedError, match="DXF"):
-            read_file(spark, "a.dxf")
+        with pytest.raises(NotImplementedError, match="DGN"):
+            read_file(spark, "a.dgn")
         with pytest.raises(NotImplementedError, match="MapInfo"):
             to_file(_df(spark, ["POINT (0 0)"]), str(tmp_path / "a.tab"))
 

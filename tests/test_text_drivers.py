@@ -240,6 +240,50 @@ class TestBNA:
             read_file(spark, p)
 
 
+class TestDXF:
+    def test_roundtrip_points_lines(self, spark, tmp_path):
+        wkts = ["POINT (1 2)", "LINESTRING (0 0, 1 1, 2 0)",
+                "MULTILINESTRING ((0 0, 1 0), (2 0, 3 1))"]
+        df = _df(spark, wkts, Layer=["a", "b", "c"])
+        p = str(tmp_path / "d.dxf")
+        to_file(df, p)
+        back = read_file(spark, p)
+        got = _wkts(back)
+        assert "POINT (1 2)" in got
+        assert "LINESTRING (0 0, 1 1, 2 0)" in got
+        # MultiLineString splits into one LWPOLYLINE per part (OGR model)
+        assert "LINESTRING (0 0, 1 0)" in got and len(got) == 4
+        pdf = back.toPandas()
+        assert set(pdf["Layer"]) == {"a", "b", "c"}
+        assert pdf["EntityHandle"].notna().all()
+
+    def test_closed_ring_and_polygon_write(self, spark, tmp_path):
+        # polygon writes one closed LWPOLYLINE per ring; the reader
+        # returns closed rings as LineStrings (OGR's DXF model: POLYGON
+        # only ever comes from HATCH)
+        p = str(tmp_path / "r.dxf")
+        to_file(_df(spark, ["POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"]), p)
+        assert _wkts(read_file(spark, p)) == [
+            "LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)"]
+
+    def test_polyline_vertex_seqend_and_skip(self, spark, tmp_path):
+        doc = ("0\nSECTION\n2\nENTITIES\n"
+               "0\nPOLYLINE\n8\nroads\n70\n0\n"
+               "0\nVERTEX\n10\n0.0\n20\n0.0\n"
+               "0\nVERTEX\n10\n1.0\n20\n2.0\n"
+               "0\nSEQEND\n"
+               "0\nTEXT\n8\nlabels\n10\n5.0\n20\n5.0\n1\nhello\n"
+               "0\nENDSEC\n0\nEOF\n")
+        p = str(tmp_path / "p.dxf")
+        with open(p, "w") as f:
+            f.write(doc)
+        with pytest.raises(NotImplementedError, match="TEXT"):
+            read_file(spark, p)
+        back = read_file(spark, p, on_unsupported="skip")
+        assert _wkts(back) == ["LINESTRING (0 0, 1 2)"]
+        assert back.toPandas()["Layer"].iloc[0] == "roads"
+
+
 class TestDispatchCommon:
     def test_bbox_columns_rows_on_gml(self, spark, tmp_path):
         df = _df(spark, [f"POINT ({i} {i})" for i in range(10)],
