@@ -1110,8 +1110,24 @@ def sjoin_nearest(
     max_iters: int = 8,
     broadcast_right: bool | None = None,
 ) -> DataFrame:
+    if how == "right":
+        # reference contract (tools/sjoin.py:341,365 + the how='right'
+        # docstring example): each RIGHT row finds its nearest LEFT rows
+        # (ties kept), all right rows retained, right geometry kept,
+        # index_left names the matched left keys. That is exactly the
+        # reversed left join with the suffixes swapped; column order
+        # (right data first) matches the engine's sjoin right join.
+        out = sjoin_nearest(
+            right, left, how="left", max_distance=max_distance,
+            lsuffix=rsuffix, rsuffix=lsuffix, distance_col=distance_col,
+            exclusive=exclusive, left_geom=right_geom,
+            right_geom=left_geom, left_id=right_id, right_id=left_id,
+            resolution=resolution, domain=domain, max_iters=max_iters,
+            broadcast_right=broadcast_right)
+        return out.withColumnRenamed("index_right", "index_left")
     if how not in ("inner", "left"):
-        raise ValueError("sjoin_nearest supports how in ('inner','left')")
+        raise ValueError(
+            "sjoin_nearest supports how in ('inner','left','right')")
 
     left, lid = _prep_side(left, left_geom, left_id, "l")
     right, rid = _prep_side(right, right_geom, right_id, "r")

@@ -205,3 +205,26 @@ def test_giant_right_geometry(spark):
                             resolution=10, broadcast_right=bcast).toPandas()
         got = set(zip(out.pid.astype(int), out.index_right.astype(int)))
         assert got == exp, f"broadcast={bcast}"
+
+
+def test_nearest_how_right(data, spark):
+    """how='right' (tools/sjoin.py:365 + the Uptown docstring example):
+    each RIGHT row finds its nearest LEFT rows (ties kept), all right
+    rows retained, index_left carries the matched left keys."""
+    ldf, rdf, d = data
+    dmin_r = d.min(axis=0)
+    exp = {(int(i), j) for j in range(NR)
+           for i in np.nonzero(d[:, j] == dmin_r[j])[0]}
+    out = sjoin_nearest(ldf, rdf, how="right", distance_col="dist",
+                        left_id="pid", right_id="tid").toPandas()
+    got = set(zip(out.index_left.astype(int), out.tid.astype(int)))
+    assert got == exp
+    m = out.set_index("tid").dist.to_dict()
+    assert all(m[j] == dmin_r[j] for j in range(NR))
+    # right data leads, matching the engine's sjoin right-join order
+    assert list(out.columns)[0] == "tid"
+    # max_distance keeps unmatched RIGHT rows padded
+    out2 = sjoin_nearest(ldf, rdf, how="right", max_distance=1e-9,
+                         distance_col="dist",
+                         left_id="pid", right_id="tid").toPandas()
+    assert len(out2) == NR and out2.index_left.isna().all()
