@@ -519,7 +519,10 @@ def _collect_knn_build(right: DataFrame, rid: str, right_geom: str,
            .toArrow().combine_chunks())
     nb = tbl.num_rows
     rid_vals = np.asarray(tbl["i"].to_pandas(), dtype=object)
-    rwkb: list = tbl["g"].to_pylist()
+    # NULL geometries ship as zero-length ranges in the packed buffer
+    # (len(None) crashed here); the worker restores them to None
+    rwkb: list = [w if w is not None else b""
+                  for w in tbl["g"].to_pylist()]
     bb = np.column_stack([
         np.nan_to_num(tbl[c].to_numpy(zero_copy_only=False)
                       .astype(np.float64, copy=False))
@@ -593,15 +596,19 @@ def _load_knn_build(cache_key: str, bc):
 
         v = bc.value
         wbuf, woff = v["wbuf"], v["woff"]
-        rwkb = [wbuf[woff[i]:woff[i + 1]] for i in range(len(woff) - 1)]
+        rwkb = [wbuf[woff[i]:woff[i + 1]] or None
+                for i in range(len(woff) - 1)]
         rb_all = from_wkb(pd.Series(rwkb))
         rpuntal = bool(len(rb_all.types) and (rb_all.types == _PT).all()
                        and (rb_all.n_coords_per_geom() == 1).all())
         rsegs = None
+        # missing (type 0) and EMPTY lineal rows carry zero rings, so
+        # they contribute zero segments and price as inf — exactly what
+        # pairwise_distance's nan -> inf wrap yields; a stray null/empty
+        # row must not knock the whole build onto the general kernel
         if (len(rb_all.types)
-                and np.isin(rb_all.types, (_LS, _MLS)).all()
-                and not rb_all.is_missing().any()
-                and not rb_all.is_empty().any()):
+                and (np.isin(rb_all.types, (_LS, _MLS))
+                     | rb_all.is_missing()).all()):
             nb = len(rb_all.types)
             x0, y0, x1, y1, e_geom = _pair_edges(
                 rb_all, np.arange(nb, dtype=np.int64))
@@ -696,32 +703,50 @@ def _broadcast_knn(probe: DataFrame, right: DataFrame, rid: str,
                         # point-to-segment pass over the segment soup —
                         # point_segment_dist2's exact formula, then
                         # sqrt(min), matching pairwise_distance bit for
-                        # bit (a point ON the line yields d2 == 0.0)
+                        # bit (a point ON the line yields d2 == 0.0).
+                        # Work is sub-chunked by CUMULATIVE SEGMENT
+                        # count, not pair count — COMBO_CAP bounds pairs
+                        # but a vertex-heavy build (10k-point polylines)
+                        # would otherwise expand pairs x segments into
+                        # multi-GB temporaries in one shot.
                         sax, say, sdx, sdy, sL2, segoff = rsegs
                         cnt = segoff[bi + 1] - segoff[bi]
-                        slots = _expand_ranges(segoff[bi], segoff[bi + 1])
-                        pr = np.repeat(
-                            np.arange(len(bi), dtype=np.int64), cnt)
-                        gl = gpos[pr]
-                        L2 = sL2[slots]
-                        wx = lc[gl, 0] - sax[slots]
-                        wy = lc[gl, 1] - say[slots]
-                        dx = sdx[slots]
-                        dy = sdy[slots]
-                        with np.errstate(divide="ignore",
-                                         invalid="ignore"):
-                            t = (wx * dx + wy * dy) / np.where(
-                                L2 == 0, 1.0, L2)
-                        t = np.clip(np.where(L2 == 0, 0.0, t), 0.0, 1.0)
-                        ex = wx - t * dx
-                        ey = wy - t * dy
-                        d2 = ex * ex + ey * ey
                         best = np.full(len(bi), np.inf)
-                        nzc = cnt > 0
-                        if d2.size:
-                            st = np.zeros(len(bi), dtype=np.int64)
-                            np.cumsum(cnt[:-1], out=st[1:])
-                            best[nzc] = np.minimum.reduceat(d2, st[nzc])
+                        csum = np.cumsum(cnt)
+                        sc = 0
+                        while sc < len(bi):
+                            prev = csum[sc - 1] if sc else 0
+                            ec = int(np.searchsorted(
+                                csum, prev + 4_194_304, side="left")) + 1
+                            ec = min(max(ec, sc + 1), len(bi))
+                            bs = bi[sc:ec]
+                            cs = cnt[sc:ec]
+                            slots = _expand_ranges(segoff[bs],
+                                                   segoff[bs] + cs)
+                            pr = np.repeat(
+                                np.arange(ec - sc, dtype=np.int64), cs)
+                            gl = gpos[sc:ec][pr]
+                            L2 = sL2[slots]
+                            wx = lc[gl, 0] - sax[slots]
+                            wy = lc[gl, 1] - say[slots]
+                            dx = sdx[slots]
+                            dy = sdy[slots]
+                            with np.errstate(divide="ignore",
+                                             invalid="ignore"):
+                                t = (wx * dx + wy * dy) / np.where(
+                                    L2 == 0, 1.0, L2)
+                            t = np.clip(
+                                np.where(L2 == 0, 0.0, t), 0.0, 1.0)
+                            ex = wx - t * dx
+                            ey = wy - t * dy
+                            d2 = ex * ex + ey * ey
+                            nzc = cs > 0
+                            if d2.size:
+                                st = np.zeros(ec - sc, dtype=np.int64)
+                                np.cumsum(cs[:-1], out=st[1:])
+                                best[sc:ec][nzc] = np.minimum.reduceat(
+                                    d2, st[nzc])
+                            sc = ec
                         d = np.sqrt(best)
                     else:
                         d = pairwise_distance(lb.take(gpos),
@@ -1110,6 +1135,14 @@ def sjoin_nearest(
     max_iters: int = 8,
     broadcast_right: bool | None = None,
 ) -> DataFrame:
+    # reference _basic_checks (tools/sjoin.py:123-127): pre-existing
+    # index column names would collide with the emitted index column
+    if f"index_{lsuffix}" in left.columns:
+        raise ValueError(
+            f"'index_{lsuffix}' column already exists in left DataFrame")
+    if f"index_{rsuffix}" in right.columns:
+        raise ValueError(
+            f"'index_{rsuffix}' column already exists in right DataFrame")
     if how == "right":
         # reference contract (tools/sjoin.py:341,365 + the how='right'
         # docstring example): each RIGHT row finds its nearest LEFT rows

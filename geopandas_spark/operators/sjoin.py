@@ -711,6 +711,15 @@ def sjoin(
         )
     if predicate == "dwithin" and distance is None:
         raise ValueError("`distance` is required for predicate 'dwithin'")
+    # reference _basic_checks (tools/sjoin.py:123-127): the output's
+    # index column names must not pre-exist, else the join would emit
+    # duplicate column names
+    if f"index_{lsuffix}" in left.columns:
+        raise ValueError(
+            f"'index_{lsuffix}' column already exists in left DataFrame")
+    if f"index_{rsuffix}" in right.columns:
+        raise ValueError(
+            f"'index_{rsuffix}' column already exists in right DataFrame")
     if isinstance(on_attribute, str):
         on_attribute = [on_attribute]
     on_attribute = list(on_attribute or [])

@@ -69,6 +69,13 @@ def _entity_geojson(name: str, codes: list[tuple[int, str]]):
                 pts.append([x, float(v)])
             elif k == 70:
                 closed = bool(int(v) & 1)
+            elif k == 42 and float(v) != 0.0:
+                # bulge = circular-arc segment; flattening it silently
+                # would be wrong geometry, the same boundary as ARC
+                raise NotImplementedError(
+                    "DXF entity 'LWPOLYLINE' with a non-zero bulge "
+                    "(group 42) needs arc tessellation the engine does "
+                    "not provide")
         if closed and pts and pts[0] != pts[-1]:
             pts.append(list(pts[0]))
         return {"type": "LineString", "coordinates": pts}
@@ -118,8 +125,6 @@ def read_dxf(spark: SparkSession, path: str, geom: str = "geometry",
             continue
         if k == 0:
             if v == "ENDSEC":
-                if cur_name:
-                    ents.append((cur_name, cur))
                 break
             if in_polyline:
                 if v == "VERTEX":
@@ -144,13 +149,33 @@ def read_dxf(spark: SparkSession, path: str, geom: str = "geometry",
                 cur = []
         else:
             cur.append((k, v))
+    # flush the pending entity: covers a POLYLINE missing its SEQEND
+    # (some exporters / truncation) and a stream truncated before
+    # ENDSEC — silent data loss either way if dropped
+    if in_polyline:
+        ents.append(("__POLYLINE", [poly_codes, vertices]))
+    elif cur_name:
+        ents.append((cur_name, cur))
 
     geoms: list = []
     attrs: list[dict] = []
     for name, codes in ents:
         if name == "__POLYLINE":
             poly_codes, vertices = codes
-            closed = any(k == 70 and int(v) & 1 for k, v in poly_codes)
+            flags = next((int(v) for k, v in poly_codes if k == 70), 0)
+            curved = bool(flags & 6) or any(
+                k == 42 and float(v) != 0.0
+                for vert in vertices for k, v in vert)
+            if curved:
+                # curve/spline-fit polylines and arc bulges: flattening
+                # silently would be wrong geometry (same boundary as ARC)
+                if on_unsupported == "skip":
+                    continue
+                raise NotImplementedError(
+                    "DXF entity 'POLYLINE' with curve/spline fit or arc "
+                    "bulges needs tessellation the engine does not "
+                    "provide")
+            closed = bool(flags & 1)
             pts = []
             for vert in vertices:
                 d = dict()
@@ -172,7 +197,12 @@ def read_dxf(spark: SparkSession, path: str, geom: str = "geometry",
                 raise NotImplementedError(
                     f"DXF entity {name!r} needs curve tessellation / "
                     "block expansion the engine does not provide")
-            g = _entity_geojson(name, codes)
+            try:
+                g = _entity_geojson(name, codes)
+            except NotImplementedError:
+                if on_unsupported == "skip":
+                    continue
+                raise
             meta = dict()
             for k, v in codes:
                 meta.setdefault(k, v)

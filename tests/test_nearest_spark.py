@@ -228,3 +228,50 @@ def test_nearest_how_right(data, spark):
                          distance_col="dist",
                          left_id="pid", right_id="tid").toPandas()
     assert len(out2) == NR and out2.index_left.isna().all()
+
+
+def test_index_column_guard(data, spark):
+    """Reference _basic_checks (tools/sjoin.py:123-127): pre-existing
+    index_{suffix} columns must raise, not emit duplicate columns."""
+    from pyspark.sql import functions as F
+
+    from geopandas_spark.operators.sjoin import sjoin
+
+    ldf, rdf, _ = data
+    bad_l = ldf.withColumn("index_left", F.col("pid"))
+    bad_r = rdf.withColumn("index_right", F.col("tid"))
+    for op, kw in ((sjoin_nearest, {}), (sjoin_nearest, {"how": "right"}),
+                   (sjoin, {})):
+        with pytest.raises(ValueError, match="index_left"):
+            op(bad_l, rdf, left_id="pid", right_id="tid", **kw)
+        with pytest.raises(ValueError, match="index_right"):
+            op(ldf, bad_r, left_id="pid", right_id="tid", **kw)
+
+
+def test_lineal_build_with_null_and_empty_rows(spark):
+    """A stray null/empty geometry in a lineal build must neither break
+    the segment-soup path nor change results (zero segments -> inf,
+    matching the general kernel's nan -> inf)."""
+    import pandas as pd
+
+    from geopandas_spark.geom import wkt as W
+
+    ldf = spark.createDataFrame(pd.DataFrame(
+        {"pid": [0, 1], "geometry": list(B.to_wkb(points_batch(
+            np.array([0.1, 0.9]), np.array([0.1, 0.9]))))}))
+    rw = list(B.to_wkb(W.from_wkt(
+        ["LINESTRING (0 0, 0.2 0.2)", "LINESTRING EMPTY",
+         "LINESTRING (0.8 0.8, 1 1)"])))
+    rdf = spark.createDataFrame(pd.DataFrame(
+        {"tid": [0, 1, 2], "geometry": [rw[0], None, rw[2]]}))
+    rdf2 = spark.createDataFrame(pd.DataFrame(
+        {"tid": [0, 1, 2], "geometry": rw}))
+    for right in (rdf, rdf2):
+        for bc in (True, False):
+            out = sjoin_nearest(ldf, right, distance_col="d",
+                                left_id="pid", right_id="tid",
+                                broadcast_right=bc).toPandas()
+            got = dict(zip(out.pid.astype(int),
+                           out.index_right.astype(int)))
+            assert got == {0: 0, 1: 2}
+            assert (out.d == 0.0).all()

@@ -266,6 +266,34 @@ class TestDXF:
         assert _wkts(read_file(spark, p)) == [
             "LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)"]
 
+    def test_bulge_raises_or_skips(self, spark, tmp_path):
+        # bulge (group 42) = circular arc: flattening silently would be
+        # wrong geometry, so it raises like ARC (skip drops the entity)
+        doc = ("0\nSECTION\n2\nENTITIES\n"
+               "0\nLWPOLYLINE\n8\n0\n90\n2\n70\n0\n"
+               "10\n0.0\n20\n0.0\n42\n1.0\n10\n1.0\n20\n0.0\n"
+               "0\nPOINT\n8\n0\n10\n5.0\n20\n6.0\n"
+               "0\nENDSEC\n0\nEOF\n")
+        p = str(tmp_path / "b.dxf")
+        with open(p, "w") as f:
+            f.write(doc)
+        with pytest.raises(NotImplementedError, match="bulge"):
+            read_file(spark, p)
+        assert _wkts(read_file(spark, p, on_unsupported="skip")) \
+            == ["POINT (5 6)"]
+
+    def test_unterminated_polyline_flushes(self, spark, tmp_path):
+        # POLYLINE missing its SEQEND (exporter quirk / truncation)
+        # must not silently vanish
+        doc = ("0\nSECTION\n2\nENTITIES\n"
+               "0\nPOLYLINE\n8\n0\n70\n0\n"
+               "0\nVERTEX\n10\n0.0\n20\n0.0\n"
+               "0\nVERTEX\n10\n1.0\n20\n2.0\n")
+        p = str(tmp_path / "u.dxf")
+        with open(p, "w") as f:
+            f.write(doc)
+        assert _wkts(read_file(spark, p)) == ["LINESTRING (0 0, 1 2)"]
+
     def test_polyline_vertex_seqend_and_skip(self, spark, tmp_path):
         doc = ("0\nSECTION\n2\nENTITIES\n"
                "0\nPOLYLINE\n8\nroads\n70\n0\n"
