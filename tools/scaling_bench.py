@@ -51,6 +51,10 @@ N_POINTS_KNN = int(os.environ.get("SCALING_N_POINTS_KNN", "16000000"))
 N_RECTS_KNN = int(os.environ.get("SCALING_N_RECTS_KNN", "200000"))
 N_DOCS = int(os.environ.get("SCALING_N_DOCS", "300000"))
 N_VECS = int(os.environ.get("SCALING_N_VECS", "1000000"))
+# overlay job: two 12-gon layers; ~1-2M bbox-crossing pairs at 60k
+# polygons/side keeps the GH kernel (the compute) dominant over the
+# per-call floor
+N_POLYS = int(os.environ.get("SCALING_N_POLYS", "60000"))
 SIDE_SCALE = float(os.environ.get("SCALING_SIDE_SCALE", "1.0"))
 _M32 = 4294967296
 _HA, _HB = 2654435761, 2246822519
@@ -61,6 +65,9 @@ _HA, _HB = 2654435761, 2246822519
 # BENCH_PARTIAL.md instead so they can't clobber this table.
 DEFAULT_JOBS = ("sjoin_intersects", "sjoin_nearest_knn",
                 "minhash_near_dups", "ivf_topk")
+# optional extra jobs, runnable via SCALING_JOBS (results land in
+# BENCH_PARTIAL.md so the default table stays protected)
+ALL_JOBS = DEFAULT_JOBS + ("overlay_star",)
 
 
 def _build_inputs(spark, n_points: int, n_rects: int):
@@ -150,7 +157,7 @@ def run_level(cpus: int, job: str | None = None) -> dict:
 
     out = {"cpus": cpus, "n_points": N_POINTS, "n_points_knn": N_POINTS_KNN,
            "n_rects": N_RECTS, "n_rects_knn": N_RECTS_KNN,
-           "n_docs": N_DOCS, "n_vecs": N_VECS,
+           "n_docs": N_DOCS, "n_vecs": N_VECS, "n_polys": N_POLYS,
            "host_calib_mips": round(calibrate(cpus), 1)}
 
     wanted = set(DEFAULT_JOBS) if job is None else {job}
@@ -210,9 +217,32 @@ def run_level(cpus: int, job: str | None = None) -> dict:
         qvecs = vecs.filter(F.col("vec_id") < 64).persist()
         qvecs.count()
 
+    polyA = polyB = None
+    if "overlay_star" in wanted:
+        _, ra_ = _build_inputs(spark, 1, N_POLYS)
+        polyA = rect_geom(ra_).withColumnRenamed("rid", "aid").persist()
+        rb_ids = spark.range(N_POLYS).withColumnRenamed("id", "rid")
+        rb_ = (rb_ids
+               .withColumn("minx", (F.col("rid") + 7_000_001) * _HB
+                           % F.lit(_M32) / F.lit(float(_M32)) * 0.98)
+               .withColumn("miny", (F.col("rid") + 7_000_001) * _HA
+                           % F.lit(_M32) / F.lit(float(_M32)) * 0.98)
+               .withColumn("side", (F.lit(0.004)
+                                    + (F.col("rid") % 16) * F.lit(0.0008))
+                           * F.lit(SIDE_SCALE)))
+        polyB = rect_geom(rb_).withColumnRenamed("rid", "bid").persist()
+        polyA.count()
+        polyB.count()
+
     def run_sjoin():
         return sjoin(pts, rgeo, how="inner", predicate="intersects",
                      left_id="pid", right_id="rid").count()
+
+    def run_overlay():
+        from geopandas_spark.operators.overlay import overlay
+
+        return overlay(polyA, polyB, how="intersection",
+                       id1="aid", id2="bid", make_valid=False).count()
 
     def run_knn():
         return sjoin_nearest(pts_knn, centers, how="inner", left_id="pid",
@@ -237,7 +267,8 @@ def run_level(cpus: int, job: str | None = None) -> dict:
     # standard noise-robust estimator
     reps = int(os.environ.get("SCALING_REPS", "2"))
     jobs = (("sjoin_intersects", run_sjoin), ("sjoin_nearest_knn", run_knn),
-            ("minhash_near_dups", run_minhash), ("ivf_topk", run_ivf))
+            ("minhash_near_dups", run_minhash), ("ivf_topk", run_ivf),
+            ("overlay_star", run_overlay))
     jobs = tuple(j for j in jobs if j[0] in wanted)
     for name, fn in jobs:
         fn()  # warmup
@@ -353,7 +384,7 @@ def report(results: dict, fname: str = "BENCH.md") -> None:
             "| efficiency vs host compute |",
             "|---|---|---|---|---|---|---|---|",
         ]
-        for job in DEFAULT_JOBS:
+        for job in ALL_JOBS:
             if job not in results[lo] or job not in results[hi]:
                 continue
             ra = results[lo][job]
