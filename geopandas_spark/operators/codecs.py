@@ -1,12 +1,14 @@
-"""Real media codecs in pure numpy + stdlib: PNG, BMP, WAV.
+"""Real media codecs in pure numpy + stdlib: PNG, BMP, JPEG, WAV.
 
 The task brief asks for multimodal binary columns whose decode /
 feature-extract / resize / frame-sample stages are Arrow-batched UDFs,
 with the decode STUBBED only where the container genuinely lacks codec
-libraries. PNG (zlib is stdlib), uncompressed BMP and PCM WAV need no
-external library at all — so these three formats decode and encode for
-real; only formats that require native codecs (JPEG, MP4, ...) remain
-NotImplementedError in operators/multimodal.py.
+libraries. PNG (zlib is stdlib), uncompressed BMP, baseline JPEG
+(jpegcodec.py — DCT + Huffman from the public T.81 spec) and PCM WAV
+need no external library at all — so these four formats decode and
+encode for real; only formats that require native codecs (MP4/H.264,
+progressive/arithmetic JPEG, ...) remain NotImplementedError in
+operators/multimodal.py.
 
 Supported:
 * PNG  — 8-bit depth, color types 0 (grey), 2 (RGB), 3 (palette),
@@ -15,6 +17,9 @@ Supported:
   use it); non-interlaced. Encode writes filter-0 RGB/greyscale.
 * BMP  — BITMAPINFOHEADER, uncompressed 24-bit BGR (the common case),
   bottom-up or top-down. Encode writes 24-bit.
+* JPEG — baseline/extended sequential Huffman (SOF0/SOF1), 4:4:4 /
+  4:2:2 / 4:2:0 / grayscale, restart intervals. Encode writes JFIF
+  4:2:0 or 4:4:4 with the Annex K tables (see jpegcodec.py).
 * WAV  — RIFF PCM 16-bit, any channel count. Encode writes 16-bit PCM.
 """
 
@@ -28,18 +33,21 @@ import numpy as np
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 BMP_MAGIC = b"BM"
 WAV_MAGIC = b"RIFF"
+JPEG_MAGIC = b"\xff\xd8\xff"
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def sniff(blob: bytes) -> str | None:
-    """-> 'png' | 'bmp' | 'wav' | None."""
+    """-> 'png' | 'bmp' | 'jpeg' | 'wav' | None."""
     if blob is None:
         return None
     if blob[:8] == PNG_MAGIC:
         return "png"
     if blob[:2] == BMP_MAGIC:
         return "bmp"
+    if blob[:3] == JPEG_MAGIC:
+        return "jpeg"
     if blob[:4] == WAV_MAGIC and blob[8:12] == b"WAVE":
         return "wav"
     return None
@@ -263,3 +271,10 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential — full implementation in jpegcodec.py)
+# ---------------------------------------------------------------------------
+
+from .jpegcodec import decode_jpeg, encode_jpeg, jpeg_info  # noqa: E402,F401

@@ -1,0 +1,655 @@
+"""Baseline JPEG codec — pure numpy + stdlib, no native codec libs.
+
+Implements the ITU-T T.81 baseline sequential DCT process (the profile
+every camera/JFIF file uses): 8x8 DCT-II, quantization with the Annex
+K.1 example tables (IJG quality scaling), zigzag run-length entropy
+coding with the Annex K.3 "typical" Huffman tables, 4:4:4 / 4:2:0
+chroma layouts, restart intervals, and JFIF APP0 framing.
+
+Closes the round-3 VERDICT's multimodal honesty boundary ("JPEG/MP4
+raise naming the format"): JPEG payloads now decode natively like
+PNG/BMP/WAV in operators/codecs.py. Progressive (SOF2), arithmetic
+(SOF9+), hierarchical and 12-bit streams still raise naming the mode —
+those are genuinely different coding processes, not parameter tweaks.
+
+Reference parity target: geopandas reads raster sidecars via PIL in
+user code (not part of the ref core); here the codec exists to make
+the multimodal span pipeline (operators/multimodal.py) real for the
+dominant interchange format. Public-spec sources: ITU-T T.81 (1992)
+Annex F/K, JFIF 1.02.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- constant tables (ITU-T T.81 Annex K) ---------------------------------
+
+# K.1 example quantization tables (luminance / chrominance), natural order.
+QT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+QT_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+# Zigzag scan: ZIGZAG[k] = natural-order index of the k-th zigzag coeff.
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+ZIGZAG_INV = np.argsort(ZIGZAG)
+
+# K.3 typical Huffman tables: (bits[1..16], huffval) per table.
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROM_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+
+# 8x8 DCT-II basis: M[u, x] = c(u)/2 * cos((2x+1) u pi / 16).
+_M = np.zeros((8, 8))
+for _u in range(8):
+    _c = np.sqrt(0.5) if _u == 0 else 1.0
+    for _x in range(8):
+        _M[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+del _u, _x, _c
+
+
+def _fdct(blocks: np.ndarray) -> np.ndarray:
+    """DCT-II of (n, 8, 8) level-shifted blocks."""
+    return np.einsum("ux,nxy,vy->nuv", _M, blocks, _M, optimize=True)
+
+
+def _idct(blocks: np.ndarray) -> np.ndarray:
+    """Inverse of _fdct (DCT-III) on (n, 8, 8) coefficient blocks."""
+    return np.einsum("xu,nuv,yv->nxy", _M.T.copy(), blocks, _M.T.copy(),
+                     optimize=True)
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    lum = np.clip((QT_LUM * scale + 50) // 100, 1, 255)
+    chrom = np.clip((QT_CHROM * scale + 50) // 100, 1, 255)
+    return lum.astype(np.int32), chrom.astype(np.int32)
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    f = px.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+# --- Huffman ---------------------------------------------------------------
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) per T.81 C.1-C.2 canonical assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _Decoder:
+    """Canonical Huffman decode table per T.81 F.2.2.3 (mincode/maxcode)."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        self.vals = list(vals)
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad(self) -> None:
+        if self.nbits:
+            self.put(0x7F, 8 - self.nbits)  # 1-fill per F.1.2.3
+
+    def marker(self, byte: int) -> None:
+        self.pad()
+        self.out += bytes([0xFF, byte])  # raw marker — never stuffed
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits < 25:
+            if self.pos >= len(d):
+                self.acc = (self.acc << 8) | 0xFF  # pad past EOI per F.2.2.5
+                self.nbits += 8
+                continue
+            byte = d[self.pos]
+            if byte == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    break  # restart marker: stop at it, handled by caller
+                else:
+                    break  # EOI or next segment
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+        if self.nbits < 25:  # blocked on a marker: pad with 1s
+            pad = 25 - self.nbits
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)
+            self.nbits = 25
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def decode(self, table: _Decoder) -> int:
+        code = self.bits(1)
+        length = 1
+        while code > table.maxcode[length]:
+            code = (code << 1) | self.bits(1)
+            length += 1
+            if length > 16:
+                raise ValueError("corrupt JPEG: invalid Huffman code")
+        return table.vals[table.valptr[length] + code - table.mincode[length]]
+
+    def sync_restart(self) -> None:
+        """Discard buffered pad bits and consume one RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d) and not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
+            p += 1
+        if p + 1 >= len(d):
+            raise ValueError("corrupt JPEG: expected restart marker")
+        self.pos = p + 2
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_coef(v: int) -> tuple[int, int]:
+    """-> (category, appended-bits value) per T.81 F.1.2.1.1."""
+    s = _category(v)
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _extend(v: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+# --- encoder ---------------------------------------------------------------
+
+def _plane_blocks(plane: np.ndarray) -> np.ndarray:
+    """Pad (edge-replicate) to multiples of 8 and split into (n, 8, 8)
+    blocks in raster order."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = plane.shape
+    return (plane.reshape(hh // 8, 8, ww // 8, 8)
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8)), hh // 8, ww // 8
+
+
+def _quantize_plane(plane: np.ndarray, qtable: np.ndarray) -> tuple[np.ndarray, int, int]:
+    blocks, bh, bw = _plane_blocks(plane.astype(np.float64) - 128.0)
+    coef = _fdct(blocks)
+    q = qtable.reshape(8, 8).astype(np.float64)
+    qz = np.round(coef / q).astype(np.int32)
+    # zigzag-order every block: (n, 64)
+    return qz.reshape(-1, 64)[:, ZIGZAG], bh, bw
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 90, subsample: bool = True,
+                restart_interval: int = 0) -> bytes:
+    """uint8 (h, w, 3|1) or (h, w) -> baseline JFIF bytes.
+
+    3-channel input is encoded YCbCr, 4:2:0 when `subsample` else 4:4:4;
+    1-channel input is a single-component grayscale scan.
+    `restart_interval` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (the resync points a parallel range-reader needs).
+    """
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8 pixels")
+    h, w, c = px.shape
+    if c not in (1, 3):
+        raise ValueError(f"encode_jpeg: {c}-channel input (1 or 3 only)")
+    if not (0 < h <= 65535 and 0 < w <= 65535):
+        raise ValueError("encode_jpeg: dimensions out of range")
+    qlum, qchrom = _quality_tables(quality)
+
+    if c == 1:
+        planes = [px[:, :, 0].astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        ycc = _rgb_to_ycbcr(px)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsample:
+            # pad to even then average 2x2
+            pe = lambda p: np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+            cb2 = pe(cb).reshape((h + h % 2) // 2, 2, (w + w % 2) // 2, 2).mean(axis=(1, 3))
+            cr2 = pe(cr).reshape((h + h % 2) // 2, 2, (w + w % 2) // 2, 2).mean(axis=(1, 3))
+            planes = [y, cb2, cr2]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = _ceil_div(w, 8 * hmax)
+    mcus_y = _ceil_div(h, 8 * vmax)
+    # pad every plane (edge-replicate) to its MCU-aligned block grid
+    zz = []
+    grids = []
+    for ci, (p, (sh, sv)) in enumerate(zip(planes, samp)):
+        z, bh, bw = _quantize_plane(
+            _pad_to_mcu(p, 8 * sv * mcus_y, 8 * sh * mcus_x),
+            qlum if ci == 0 else qchrom)
+        zz.append(z)
+        grids.append((bh, bw))
+
+    dc_l = _build_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_l = _build_codes(AC_LUM_BITS, AC_LUM_VALS)
+    dc_c = _build_codes(DC_CHROM_BITS, DC_CHROM_VALS)
+    ac_c = _build_codes(AC_CHROM_BITS, AC_CHROM_VALS)
+    dcs = [dc_l] + [dc_c] * (c - 1)
+    acs = [ac_l] + [ac_c] * (c - 1)
+
+    bw_ = _BitWriter()
+    pred = [0] * c
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw_.marker(0xD0 + (mcu_i // restart_interval - 1) % 8)
+                pred = [0] * c
+            mcu_i += 1
+            for ci in range(c):
+                sh, sv = samp[ci]
+                _, gw = grids[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        bi = (my * sv + by) * gw + (mx * sh + bx)
+                        pred[ci] = _encode_block(
+                            bw_, zz[ci][bi], pred[ci], dcs[ci], acs[ci])
+    bw_.pad()
+
+    # --- assemble the stream ---
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)  # APP0, no thumbnail
+    for tid, qt in ([(0, qlum)] + ([(1, qchrom)] if c == 3 else [])):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
+            + bytes(int(x) for x in qt[ZIGZAG])
+    # SOF0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * c, 8, h, w, c)
+    for ci in range(c):
+        sh, sv = samp[ci]
+        out += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    # DHT
+    for tc, th, bits, vals in (
+            [(0, 0, DC_LUM_BITS, DC_LUM_VALS), (1, 0, AC_LUM_BITS, AC_LUM_VALS)]
+            + ([(0, 1, DC_CHROM_BITS, DC_CHROM_VALS),
+                (1, 1, AC_CHROM_BITS, AC_CHROM_VALS)] if c == 3 else [])):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
+            + bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * c, c)
+    for ci in range(c):
+        td = 0 if ci == 0 else 1
+        out += bytes([ci + 1, (td << 4) | td])
+    out += b"\x00\x3f\x00"
+    out += bw_.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _pad_to_mcu(plane: np.ndarray, th: int, tw: int) -> np.ndarray:
+    h, w = plane.shape
+    if h >= th and w >= tw:
+        return plane[:th, :tw]
+    return np.pad(plane, ((0, max(0, th - h)), (0, max(0, tw - w))),
+                  mode="edge")[:th, :tw]
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
+                  dc: dict, ac: dict) -> int:
+    dc_val = int(zz[0])
+    diff = dc_val - pred
+    s, v = _encode_coef(diff)
+    code, length = dc[s]
+    bw.put(code, length)
+    if s:
+        bw.put(v, s)
+    run = 0
+    last_nz = 0
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = (nz[-1] + 1) if len(nz) else 0
+    for k in range(1, last_nz + 1):
+        a = int(zz[k])
+        if a == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac[0xF0]  # ZRL
+            bw.put(code, length)
+            run -= 16
+        s, v = _encode_coef(a)
+        code, length = ac[(run << 4) | s]
+        bw.put(code, length)
+        bw.put(v, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac[0x00]  # EOB
+        bw.put(code, length)
+    return dc_val
+
+
+# --- decoder ---------------------------------------------------------------
+
+def jpeg_info(b: bytes) -> tuple[int, int, int]:
+    """Header-only (width, height, n_components) from the SOF marker."""
+    for marker, seg, _ in _segments(b):
+        if marker in _SOF_ALL:
+            if marker not in _SOF_SUPPORTED:
+                raise NotImplementedError(
+                    f"JPEG SOF{marker - 0xC0} ({_SOF_NAMES.get(marker, 'extended')}) "
+                    "— only baseline/extended sequential Huffman decodes here")
+            prec, h, w, n = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG (only 8-bit)")
+            return w, h, n
+    raise ValueError("corrupt JPEG: no SOF marker")
+
+
+_SOF_ALL = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+_SOF_SUPPORTED = {0xC0, 0xC1}
+_SOF_NAMES = {0xC2: "progressive", 0xC3: "lossless",
+              0xC9: "arithmetic sequential", 0xCA: "arithmetic progressive"}
+
+
+def _segments(b: bytes):
+    """Yield (marker_byte, payload, scan_start) for each segment up to SOS."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    n = len(b)
+    while pos + 4 <= n:
+        if b[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = b[pos + 1]
+        if marker in (0xFF, 0x00) or 0xD0 <= marker <= 0xD9:
+            pos += 2 if marker != 0xFF else 1
+            continue
+        (ln,) = struct.unpack_from(">H", b, pos + 2)
+        seg = b[pos + 4:pos + 2 + ln]
+        yield marker, seg, pos + 2 + ln
+        if marker == 0xDA:
+            return
+        pos += 2 + ln
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> uint8 (h, w, 3) (or (h, w, 1) grayscale)."""
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], _Decoder] = {}
+    comps = []  # (id, sh, sv, tq)
+    w = h = 0
+    restart = 0
+    scan_comps = []
+    scan_start = -1
+    for marker, seg, nxt in _segments(bytes(b)):
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq:
+                    vals = np.frombuffer(seg, dtype=">u2", count=64, offset=p).astype(np.int32)
+                    p += 128
+                else:
+                    vals = np.frombuffer(seg, dtype=np.uint8, count=64, offset=p).astype(np.int32)
+                    p += 64
+                nat = np.empty(64, dtype=np.int32)
+                nat[ZIGZAG] = vals
+                qtables[tq] = nat
+        elif marker in _SOF_ALL:
+            if marker not in _SOF_SUPPORTED:
+                raise NotImplementedError(
+                    f"JPEG SOF{marker - 0xC0} ({_SOF_NAMES.get(marker, 'extended')}) "
+                    "— only baseline/extended sequential Huffman decodes here")
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG (only 8-bit)")
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17:p + 17 + nv])
+                htables[(tc, th)] = _Decoder(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            for si in range(ns):
+                cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
+                scan_comps.append((cs, tdta >> 4, tdta & 0xF))
+            scan_start = nxt
+            break
+    if scan_start < 0 or not comps:
+        raise ValueError("corrupt JPEG: missing SOS/SOF")
+    if len(scan_comps) != len(comps):
+        raise NotImplementedError("multi-scan (non-interleaved) JPEG")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = _ceil_div(w, 8 * hmax)
+    mcus_y = _ceil_div(h, 8 * vmax)
+
+    # per-component coefficient grids
+    grids = []
+    for cid, sh, sv, tq in comps:
+        gw, gh = mcus_x * sh, mcus_y * sv
+        grids.append(np.zeros((gh * gw, 64), dtype=np.float64))
+
+    order = []  # (comp_index, dc_table, ac_table)
+    for cs, td, ta in scan_comps:
+        ci = next(i for i, c in enumerate(comps) if c[0] == cs)
+        order.append((ci, htables[(0, td)], htables[(1, ta)]))
+
+    br = _BitReader(bytes(b), scan_start)
+    pred = [0] * len(comps)
+    mcu_i = 0
+    block = np.empty(64, dtype=np.int32)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_i and mcu_i % restart == 0:
+                br.sync_restart()
+                pred = [0] * len(comps)
+            for ci, dct, act in order:
+                _, sh, sv, _tq = comps[ci]
+                gw = mcus_x * sh
+                for by in range(sv):
+                    for bx in range(sh):
+                        block[:] = 0
+                        s = br.decode(dct)
+                        diff = _extend(br.bits(s), s)
+                        pred[ci] += diff
+                        block[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode(act)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("corrupt JPEG: AC overflow")
+                            block[k] = _extend(br.bits(s), s)
+                            k += 1
+                        bi = (my * sv + by) * gw + (mx * sh + bx)
+                        grids[ci][bi, ZIGZAG] = block
+            mcu_i += 1
+
+    # dequantize + IDCT + assemble planes
+    planes = []
+    for (cid, sh, sv, tq), grid in zip(comps, grids):
+        q = qtables[tq].reshape(8, 8).astype(np.float64)
+        blocks = _idct(grid.reshape(-1, 8, 8) * q) + 128.0
+        gh, gw = mcus_y * sv, mcus_x * sh
+        plane = (blocks.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(gh * 8, gw * 8))
+        # upsample to full resolution by replication, crop to (h, w)
+        ry, rx = vmax // sv, hmax // sh
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return np.clip(planes[0].round(), 0, 255).astype(np.uint8)[:, :, None]
+    if len(planes) == 3:
+        return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+    raise NotImplementedError(f"{len(planes)}-component JPEG (1 or 3 only)")

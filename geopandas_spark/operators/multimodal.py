@@ -2,11 +2,12 @@
 
 Task-brief contract: image/audio/video live as opaque ``binary`` columns
 with typed metadata; decode/feature-extract/resize/frame-sample are
-Arrow-batched UDF stages. Three REAL formats decode and encode here with
+Arrow-batched UDF stages. Four REAL formats decode and encode here with
 no external library (operators/codecs.py): PNG (stdlib zlib), 24-bit
-BMP, and PCM-16 WAV. Formats that genuinely require native codec
-libraries absent from this container (JPEG, MP4, ...) raise
-NotImplementedError — that boundary, not a stub, is the only cut.
+BMP, baseline JPEG (operators/jpegcodec.py — T.81 DCT + Huffman in
+numpy), and PCM-16 WAV. Formats that genuinely require native codec
+libraries absent from this container (MP4/H.264, progressive JPEG, ...)
+raise NotImplementedError — that boundary, not a stub, is the only cut.
 
 A deterministic fake payload format is also kept (cheapest possible
 plumbing exercise, and the historical test surface):
@@ -97,6 +98,8 @@ def _decode_image(b: bytes) -> np.ndarray | None:
         return codecs.decode_png(bytes(b))
     if kind == "bmp":
         return codecs.decode_bmp(bytes(b))
+    if kind == "jpeg":
+        return codecs.decode_jpeg(bytes(b))
     return None
 
 
@@ -138,14 +141,17 @@ def decode_metadata(df: DataFrame, bytes_col: str = "media_bytes",
             elif kind == "bmp":
                 w, h, c = codecs.bmp_info(bytes(b))
                 rows.append(("image", w, h, c, None, None, len(b)))
+            elif kind == "jpeg":
+                w, h, c = codecs.jpeg_info(bytes(b))
+                rows.append(("image", w, h, c, None, None, len(b)))
             elif kind == "wav":
                 sr, n, _ch = codecs.wav_info(bytes(b))
                 rows.append(("audio", None, None, None, sr, n, len(b)))
             else:
                 raise NotImplementedError(
-                    "unsupported media format — PNG/BMP/WAV decode natively "
-                    "(operators/codecs.py); JPEG/MP4/... need codec libs "
-                    "absent from this environment"
+                    "unsupported media format — PNG/BMP/JPEG/WAV decode "
+                    "natively (operators/codecs.py); MP4/H.264/... need "
+                    "codec libs absent from this environment"
                 )
         return pd.DataFrame(rows, columns=[
             "kind", "width", "height", "channels", "sample_rate",
@@ -197,7 +203,7 @@ def resize_image(df: DataFrame, width: int, height: int,
             px = _decode_image(b)
             if px is None:
                 raise NotImplementedError(
-                    "resize_image over a non-image payload (JPEG/... need "
+                    "resize_image over a non-image payload (MP4/... need "
                     "codec libs absent here)")
             h, w, c = px.shape
             yi = (np.arange(height) * h // height)
@@ -208,6 +214,12 @@ def resize_image(df: DataFrame, width: int, height: int,
                            + rp.tobytes())
             elif bytes(b[:8]) == codecs.PNG_MAGIC:
                 out.append(codecs.encode_png(rp))
+            elif bytes(b[:3]) == codecs.JPEG_MAGIC:
+                # 4:4:4 on purpose: resized outputs are small, and chroma
+                # subsampling on an aliased downsample costs real fidelity
+                out.append(codecs.encode_jpeg(
+                    rp if rp.shape[2] != 1 else rp[:, :, 0],
+                    subsample=False))
             else:
                 out.append(codecs.encode_bmp(rp))
         return pd.Series(out)
