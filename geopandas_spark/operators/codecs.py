@@ -39,7 +39,7 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def sniff(blob: bytes) -> str | None:
-    """-> 'png' | 'bmp' | 'jpeg' | 'wav' | None."""
+    """-> 'png' | 'bmp' | 'jpeg' | 'wav' | 'avi' | None."""
     if blob is None:
         return None
     if blob[:8] == PNG_MAGIC:
@@ -50,6 +50,8 @@ def sniff(blob: bytes) -> str | None:
         return "jpeg"
     if blob[:4] == WAV_MAGIC and blob[8:12] == b"WAVE":
         return "wav"
+    if blob[:4] == WAV_MAGIC and blob[8:12] == b"AVI ":
+        return "avi"
     return None
 
 
@@ -274,7 +276,10 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# JPEG (baseline sequential — full implementation in jpegcodec.py)
+# JPEG (baseline sequential — full implementation in jpegcodec.py) and
+# MJPEG AVI video (avicodec.py)
 # ---------------------------------------------------------------------------
 
 from .jpegcodec import decode_jpeg, encode_jpeg, jpeg_info  # noqa: E402,F401
+from .avicodec import (  # noqa: E402,F401
+    avi_info, decode_avi_frames, encode_avi, iter_avi_frames)

@@ -14,6 +14,8 @@ plumbing exercise, and the historical test surface):
 
     FAKEIMG1 | uint16 width | uint16 height | uint8 channels | pixels...
     FAKEAUD1 | uint32 sample_rate | uint32 n_samples | samples (int16)...
+    FAKEVID1 | uint16 width | uint16 height | uint8 frames | uint8 fps
+             | frame pixels (RGB, frame-major)...
 
 ``synthesize_media(fmt=...)`` generates fake or real payloads
 deterministically from a media_ref so every path tests end-to-end.
@@ -31,6 +33,7 @@ from pyspark.sql.functions import pandas_udf
 
 _IMG_MAGIC = b"FAKEIMG1"
 _AUD_MAGIC = b"FAKEAUD1"
+_VID_MAGIC = b"FAKEVID1"
 
 MEDIA_META_SCHEMA = (
     "kind string, width int, height int, channels int, sample_rate int, "
@@ -69,6 +72,16 @@ def synthesize_media(df: DataFrame, ref_col: str = "media_ref",
                 else:
                     out.append(_AUD_MAGIC + struct.pack("<II", sr, n)
                                + samples.tobytes())
+            elif ref.startswith("vid://"):
+                w, h = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+                nf, fps = int(rng.integers(2, 6)), 10
+                px = rng.integers(0, 256, nf * h * w * 3, dtype=np.uint8)
+                if fmt == "real":
+                    out.append(codecs.encode_avi(
+                        px.reshape(nf, h, w, 3), fps=fps))
+                else:
+                    out.append(_VID_MAGIC + struct.pack("<HHBB", w, h, nf, fps)
+                               + px.tobytes())
             else:
                 w, h, c = int(rng.integers(4, 32)), int(rng.integers(4, 32)), 3
                 px = rng.integers(0, 256, w * h * c, dtype=np.uint8)
@@ -134,6 +147,10 @@ def decode_metadata(df: DataFrame, bytes_col: str = "media_bytes",
                 sr, n = struct.unpack_from("<II", b, 8)
                 rows.append(("audio", None, None, None, sr, n, len(b)))
                 continue
+            if b[:8] == _VID_MAGIC:
+                w, h, nf, fps = struct.unpack_from("<HHBB", b, 8)
+                rows.append(("video", w, h, 3, fps, nf, len(b)))
+                continue
             kind = codecs.sniff(bytes(b))
             if kind == "png":
                 w, h, c = codecs.png_info(bytes(b))
@@ -147,11 +164,14 @@ def decode_metadata(df: DataFrame, bytes_col: str = "media_bytes",
             elif kind == "wav":
                 sr, n, _ch = codecs.wav_info(bytes(b))
                 rows.append(("audio", None, None, None, sr, n, len(b)))
+            elif kind == "avi":
+                w, h, nf, fps = codecs.avi_info(bytes(b))
+                rows.append(("video", w, h, 3, fps, nf, len(b)))
             else:
                 raise NotImplementedError(
-                    "unsupported media format — PNG/BMP/JPEG/WAV decode "
-                    "natively (operators/codecs.py); MP4/H.264/... need "
-                    "codec libs absent from this environment"
+                    "unsupported media format — PNG/BMP/JPEG/WAV/MJPEG-AVI "
+                    "decode natively (operators/codecs.py); MP4/H.264/... "
+                    "need codec libs absent from this environment"
                 )
         return pd.DataFrame(rows, columns=[
             "kind", "width", "height", "channels", "sample_rate",
@@ -268,8 +288,9 @@ def audio_features(df: DataFrame, bytes_col: str = "media_bytes",
 def frame_sample(df: DataFrame, every_n: int = 10,
                  meta_col: str = "media_meta",
                  out_col: str = "frame_indices") -> DataFrame:
-    """Frame sampling plan for audio/video payloads: indices only (decode
-    of real containers is out of scope here)."""
+    """Frame sampling plan for audio/video payloads: indices only — pure
+    Catalyst, no payload decode. Pair with extract_frames to materialize
+    the sampled video frames."""
     n = F.col(f"{meta_col}.n_samples")
     return df.withColumn(
         out_col,
@@ -277,3 +298,40 @@ def frame_sample(df: DataFrame, every_n: int = 10,
                F.sequence(F.lit(0), n - 1, F.lit(int(every_n))))
         .otherwise(F.lit(None)),
     )
+
+
+def extract_frames(df: DataFrame, every_n: int = 1,
+                   bytes_col: str = "media_bytes",
+                   out_col: str = "frames") -> DataFrame:
+    """Materialize every `every_n`-th video frame as JPEG bytes
+    (array<binary>) — the real frame-sample decode stage.
+
+    MJPEG AVI frames are lifted out of the container verbatim (no
+    transcode: each '00dc' chunk IS a baseline JPEG); FAKEVID payloads
+    encode their raw frames through jpegcodec. Non-video payloads map
+    to null."""
+
+    @pandas_udf("array<binary>")
+    def _frames(blobs: pd.Series) -> pd.Series:
+        from . import codecs
+
+        out = []
+        for b in blobs:
+            if b is None:
+                out.append(None)
+                continue
+            if b[:8] == _VID_MAGIC:
+                w, h, nf, _fps = struct.unpack_from("<HHBB", b, 8)
+                px = np.frombuffer(b, dtype=np.uint8, offset=14)
+                px = px.reshape(nf, h, w, 3)
+                out.append([codecs.encode_jpeg(px[i], subsample=False)
+                            for i in range(0, nf, every_n)])
+                continue
+            if codecs.sniff(bytes(b)) == "avi":
+                jpegs = list(codecs.iter_avi_frames(bytes(b)))
+                out.append([jpegs[i] for i in range(0, len(jpegs), every_n)])
+                continue
+            out.append(None)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _frames(F.col(bytes_col)))
