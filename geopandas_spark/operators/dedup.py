@@ -311,7 +311,19 @@ def minhash_lsh(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             out[i] = inter / u if u else 0.0
         return pd.Series(out)
 
-    sh = shingle_sets(df, text_col, id_col, shingle)
+    # Round-4 scale fix: shingle ONLY candidate-pair members. The verify
+    # used to materialize shingle_sets for the WHOLE corpus and shuffle
+    # that (~10x doc bytes) through both joins; candidates are sparse at
+    # corpus scale, so semi-joining the doc table down to pair members
+    # first keeps the shingle stage and both verify joins proportional
+    # to the candidate set, not the corpus. cand is pinned (GC-freed
+    # localCheckpoint) because three branches read it.
+    cand = cand.localCheckpoint(eager=False)
+    ids = (cand.select(F.col("id_a").alias(id_col))
+           .unionByName(cand.select(F.col("id_b").alias(id_col)))
+           .distinct())
+    sh = shingle_sets(df.join(ids, on=id_col, how="left_semi"),
+                      text_col, id_col, shingle)
     cand = (
         cand.join(sh.select(F.col(id_col).alias("id_a"),
                             F.col("__sh").alias("sa")), on="id_a")
