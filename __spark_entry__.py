@@ -31,6 +31,7 @@ os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
 from collections.abc import Callable
 
 import pandas  # noqa: F401 — pandas_udf type hints resolve in module scope
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -586,6 +587,79 @@ def q_gml_mif_roundtrip(spark, sf_dir) -> DataFrame:
     back = read_file(spark, mif)
     return back.select("c_custkey", st_x("geometry").alias("x"),
                        st_y("geometry").alias("y"))
+
+
+def q_media_image_stats(spark, sf_dir) -> DataFrame:
+    """Hash-checked end-to-end run of the REAL image codecs (round 4;
+    the multimodal family was pytest-only before): closed-form patterned
+    pixels -> encode_png (even keys) / encode_bmp (odd keys) in one UDF
+    stage -> opaque binary column -> full decode (zlib inflate + PNG
+    unfilter / BMP row parse) + exact pixel stats in another. The oracle
+    recomputes min/max/mean per key from the pattern alone — a SQL
+    engine with no codec states the exact expected decode output
+    (operators/multimodal.py, operators/codecs.py)."""
+    from geopandas_spark.operators.multimodal import (image_stats,
+                                                      synthesize_patterned_media)
+
+    c = _load(spark, sf_dir, "customer").select("c_custkey")
+    df = synthesize_patterned_media(c, "c_custkey", kind="image")
+    df = image_stats(df)
+    return df.select(
+        "c_custkey", F.col("img_stat.width").alias("w"),
+        F.col("img_stat.height").alias("h"),
+        F.col("img_stat.min_px").alias("min_px"),
+        F.col("img_stat.max_px").alias("max_px"),
+        F.round(F.col("img_stat.mean_px"), 9).alias("mean_px"))
+
+
+def q_media_audio_stats(spark, sf_dir) -> DataFrame:
+    """Hash-checked PCM-16 WAV encode->decode (operators/codecs.py)
+    plus exact audio stats: peak/zero-crossings are integer-exact and
+    rms is dyadic-rational-exact in float64, so the SQL oracle
+    reproduces the decoded values bit-for-bit from the sample pattern."""
+    from geopandas_spark.operators.multimodal import (audio_stats,
+                                                      synthesize_patterned_media)
+
+    c = _load(spark, sf_dir, "customer").select("c_custkey")
+    df = synthesize_patterned_media(c, "c_custkey", kind="audio")
+    df = audio_stats(df)
+    return df.select(
+        "c_custkey", F.col("aud_stat.n_samples").alias("n_samples"),
+        F.col("aud_stat.peak").alias("peak"),
+        F.col("aud_stat.n_zc").alias("n_zc"),
+        F.round(F.col("aud_stat.rms"), 9).alias("rms"))
+
+
+def q_media_video_frames(spark, sf_dir) -> DataFrame:
+    """Hash-checked MJPEG-AVI container path (operators/avicodec.py,
+    jpegcodec.py): patterned frames -> encode_avi -> extract every 2nd
+    frame ('00dc' chunks lifted verbatim) -> JPEG SOF dims of the first
+    frame. Counts and dimensions are closed-form; pixel content is not
+    asserted here (JPEG is lossy — codec fidelity is pinned in pytest)."""
+    from geopandas_spark.operators.codecs import jpeg_info
+    from geopandas_spark.operators.multimodal import (
+        extract_frames, synthesize_patterned_media)
+    from pyspark.sql.functions import pandas_udf
+
+    c = _load(spark, sf_dir, "customer").select("c_custkey")
+    df = synthesize_patterned_media(c, "c_custkey", kind="video")
+    df = extract_frames(df, every_n=2)
+
+    @pandas_udf("w int, h int")
+    def _sof(first: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in first:
+            if b is None:
+                rows.append((None, None))
+            else:
+                w, h, _c = jpeg_info(bytes(b))
+                rows.append((w, h))
+        return pd.DataFrame(rows, columns=["w", "h"])
+
+    df = df.withColumn("__sof", _sof(F.element_at("frames", 1)))
+    return df.select(
+        "c_custkey", F.size("frames").alias("n_sampled"),
+        F.col("__sof.w").alias("w"), F.col("__sof.h").alias("h"))
 
 
 def q_shapefile_roundtrip(spark, sf_dir) -> DataFrame:
@@ -1357,6 +1431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fgb_roundtrip": q_fgb_roundtrip,
         "gml_mif_roundtrip": q_gml_mif_roundtrip,
         "overlay_star_candidates": q_overlay_star_candidates,
+        "media_image_stats": q_media_image_stats,
+        "media_audio_stats": q_media_audio_stats,
+        "media_video_frames": q_media_video_frames,
         # -- checked in r3, keep under the gate
         "sjoin_points_in_rects": q_sjoin_points_in_rects,
         "sjoin_count_by_rect": q_sjoin_count_by_rect,
@@ -1789,6 +1866,48 @@ def oracle_sql() -> dict[str, str]:
         "gml_mif_roundtrip": f"""
             WITH pts AS ({_PTS_SQL})
             SELECT c_custkey, x, y FROM pts
+        """,
+        # media_*: the oracle recomputes the closed-form pattern the
+        # Spark side pushed through REAL PNG/BMP/WAV/MJPEG containers —
+        # hash equality means encode->decode is exact end-to-end.
+        "media_image_stats": """
+            WITH p AS (SELECT c_custkey AS k,
+                              4 + (c_custkey % 13) AS w,
+                              4 + ((c_custkey // 13) % 11) AS h
+                       FROM customer)
+            SELECT k AS c_custkey, w, h,
+                   min((x + 3*y + 7*ch + k) % 256) AS min_px,
+                   max((x + 3*y + 7*ch + k) % 256) AS max_px,
+                   round(CAST(sum((x + 3*y + 7*ch + k) % 256) AS DOUBLE)
+                         / (w*h*3), 9) AS mean_px
+            FROM p, range(0, 17) AS rx(x), range(0, 15) AS ry(y),
+                 range(0, 3) AS rc(ch)
+            WHERE x < w AND y < h
+            GROUP BY k, w, h
+        """,
+        "media_audio_stats": """
+            WITH p AS (SELECT c_custkey AS k, 64 + (c_custkey % 128) AS n
+                       FROM customer),
+            s AS (SELECT k, n, i,
+                         ((40503*i + 2654435761*k) % 65536) - 32768 AS v
+                  FROM p, range(0, 192) AS ri(i) WHERE i < n),
+            w AS (SELECT *, lag(v) OVER (PARTITION BY k ORDER BY i) AS pv
+                  FROM s)
+            SELECT k AS c_custkey, n AS n_samples, max(abs(v)) AS peak,
+                   CAST(sum(CASE WHEN i > 0 AND ((v < 0) != (pv < 0))
+                            THEN 1 ELSE 0 END) AS INT) AS n_zc,
+                   round(sqrt(sum((CAST(v AS DOUBLE)/32768)
+                                  * (CAST(v AS DOUBLE)/32768)) / n), 9)
+                       AS rms
+            FROM w GROUP BY k, n
+        """,
+        "media_video_frames": """
+            SELECT c_custkey,
+                   CAST(ceil((2.0 + c_custkey % 4) / 2) AS INT)
+                       AS n_sampled,
+                   8 + (c_custkey % 9) AS w,
+                   8 + ((c_custkey // 9) % 7) AS h
+            FROM customer
         """,
         "overlay_star_candidates": f"""
             WITH r AS ({_RECT_SQL}),

@@ -335,3 +335,140 @@ def extract_frames(df: DataFrame, every_n: int = 1,
         return pd.Series(out)
 
     return df.withColumn(out_col, _frames(F.col(bytes_col)))
+
+
+# ---------------------------------------------------------------------------
+# Closed-form patterned payloads (round 4): unlike synthesize_media's
+# RNG-seeded content, these pixel/sample values are simple modular
+# functions of an integer key — so a SQL engine with no codec can state
+# the EXACT expected decode output. The driver's correctness gate uses
+# them to hash-check the real PNG/BMP/WAV/MJPEG-AVI encode->decode paths
+# end-to-end (encode in one UDF stage, decode in another, bytes in
+# between), not just in pytest.
+#
+#   image (c=3):  w = 4 + k%13, h = 4 + (k//13)%11
+#                 px[y, x, ch] = (x + 3*y + 7*ch + k) % 256
+#                 container: PNG for even k, 24-bit BMP for odd k
+#   audio:        sr = 16000, n = 64 + k%128          (PCM-16 mono WAV)
+#                 s[i] = (40503*i + 2654435761*k) % 65536 - 32768
+#                 (odd multiplier -> the signal sweeps the full int16
+#                 range and crosses zero, exercising peak/zcr for real)
+#   video:        w = 8 + k%9, h = 8 + (k//9)%7, nf = 2 + k%4, fps = 10
+#                 px[f, y, x, ch] = (x + y + 5*f + k) % 256  (MJPEG AVI)
+# ---------------------------------------------------------------------------
+
+def synthesize_patterned_media(df: DataFrame, key_col: str,
+                               kind: str = "image",
+                               out_col: str = "media_bytes") -> DataFrame:
+    """Deterministic closed-form payload per integer key, REAL containers
+    only (PNG/BMP for images, WAV for audio, MJPEG AVI for video)."""
+    if kind not in ("image", "audio", "video"):
+        raise ValueError(f"kind must be image|audio|video, got {kind!r}")
+
+    @pandas_udf("binary")
+    def _gen(keys: pd.Series) -> pd.Series:
+        from . import codecs
+
+        out = []
+        for key in keys:
+            if key is None or pd.isna(key):
+                out.append(None)
+                continue
+            k = int(key)
+            if kind == "image":
+                w, h = 4 + k % 13, 4 + (k // 13) % 11
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                ch = np.arange(3, dtype=np.int64)
+                px = ((x[None, :, None] + 3 * y[:, None, None]
+                       + 7 * ch[None, None, :] + k) % 256).astype(np.uint8)
+                out.append(codecs.encode_png(px) if k % 2 == 0
+                           else codecs.encode_bmp(px))
+            elif kind == "audio":
+                n = 64 + k % 128
+                i = np.arange(n, dtype=np.int64)
+                s = ((40503 * i + 2654435761 * k) % 65536
+                     - 32768).astype(np.int16)
+                out.append(codecs.encode_wav(s, 16000))
+            else:
+                w, h, nf = 8 + k % 9, 8 + (k // 9) % 7, 2 + k % 4
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                f = np.arange(nf, dtype=np.int64)
+                px = ((x[None, None, :, None] + y[None, :, None, None]
+                       + 5 * f[:, None, None, None]
+                       + k + np.zeros(3, np.int64)) % 256).astype(np.uint8)
+                out.append(codecs.encode_avi(px, fps=10))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _gen(F.col(key_col)))
+
+
+def image_stats(df: DataFrame, bytes_col: str = "media_bytes",
+                out_col: str = "img_stat") -> DataFrame:
+    """Exact per-image pixel summary over the DECODED grid — the cheap
+    corrupt-image filter stage of a training pipeline. All fields are
+    exact (integer sums < 2^53, one float64 division), so a SQL oracle
+    can reproduce them bit-for-bit: struct<width, height, channels,
+    min_px, max_px, mean_px:double>."""
+
+    @pandas_udf("width int, height int, channels int, min_px int, "
+                "max_px int, mean_px double")
+    def _stat(blobs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in blobs:
+            grid = _decode_image(b) if b is not None else None
+            if grid is None:
+                rows.append((None, None, None, None, None, None))
+                continue
+            h, w, c = grid.shape
+            rows.append((w, h, c, int(grid.min()), int(grid.max()),
+                         float(int(grid.sum(dtype=np.int64)) / grid.size)))
+        return pd.DataFrame(rows, columns=[
+            "width", "height", "channels", "min_px", "max_px", "mean_px"])
+
+    return df.withColumn(out_col, _stat(F.col(bytes_col)))
+
+
+def audio_stats(df: DataFrame, bytes_col: str = "media_bytes",
+                out_col: str = "aud_stat") -> DataFrame:
+    """Exact audio summary over decoded PCM samples (multi-channel frames
+    average to mono first, matching audio_features). rms is computed as
+    sqrt(sum((s/32768)^2)/n) where every term and every partial sum is a
+    dyadic rational below 2^53 — exact in float64 in ANY summation order,
+    so a SQL oracle reproduces it bit-for-bit. n_zc counts sign-bit
+    changes between consecutive samples (integer-exact)."""
+
+    @pandas_udf("sample_rate int, n_samples int, peak int, n_zc int, "
+                "rms double")
+    def _stat(blobs: pd.Series) -> pd.DataFrame:
+        from . import codecs
+
+        rows = []
+        for b in blobs:
+            if b is None:
+                rows.append((None, None, None, None, None))
+                continue
+            if b[:8] == _AUD_MAGIC:
+                sr, n = struct.unpack_from("<II", b, 8)
+                s = np.frombuffer(b, dtype="<i2", count=n, offset=16
+                                  ).astype(np.float64)
+            elif codecs.sniff(bytes(b)) == "wav":
+                sr, frames = codecs.decode_wav(bytes(b))
+                s = frames.mean(axis=1).astype(np.float64)
+            else:
+                rows.append((None, None, None, None, None))
+                continue
+            if len(s) == 0:
+                rows.append((int(sr), 0, 0, 0, 0.0))
+                continue
+            x = s / 32768.0
+            rms = float(np.sqrt(float(np.sum(x * x)) / len(x)))
+            n_zc = int(np.count_nonzero(
+                np.signbit(x[1:]) != np.signbit(x[:-1])))
+            rows.append((int(sr), int(len(s)), int(np.abs(s).max()),
+                         n_zc, rms))
+        return pd.DataFrame(rows, columns=[
+            "sample_rate", "n_samples", "peak", "n_zc", "rms"])
+
+    return df.withColumn(out_col, _stat(F.col(bytes_col)))

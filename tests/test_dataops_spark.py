@@ -447,3 +447,59 @@ def test_plot_column_and_explore(spark, tmp_path):
     html = open(out).read()
     assert "data:image/png;base64," in html and "[0, 0, 1, 1]" in html
     assert gf.plot(width=8, height=8, bbox=(0, 0, 1, 1))[:4] == b"\x89PNG"
+
+
+def test_patterned_media_exact_stats(spark):
+    """synthesize_patterned_media pushes closed-form pixels/samples
+    through the REAL containers; image_stats/audio_stats recover the
+    pattern exactly (the driver-gate contract for media_image_stats /
+    media_audio_stats)."""
+    from geopandas_spark.operators.multimodal import (
+        audio_stats, image_stats, synthesize_patterned_media)
+
+    keys = spark.createDataFrame([(2,), (17,), (40,)], "k long").unionAll(
+        spark.sql("SELECT CAST(NULL AS LONG) AS k"))
+    img = image_stats(synthesize_patterned_media(keys, "k", kind="image"))
+    rows = {r["k"]: r for r in img.select("k", "img_stat.*").collect()}
+    # closed form for k=2 (PNG path): w=6, h=4, min=2, mean exact
+    s = sum((x + 3 * y + 7 * ch + 2) % 256
+            for x in range(6) for y in range(4) for ch in range(3))
+    assert (rows[2]["width"], rows[2]["height"]) == (6, 4)
+    assert rows[2]["min_px"] == 2
+    assert rows[2]["mean_px"] == s / (6 * 4 * 3)
+    # k=17 rides the BMP path; shape formula holds there too
+    assert (rows[17]["width"], rows[17]["height"]) == (4 + 17 % 13, 5)
+    assert rows[None]["width"] is None
+
+    aud = audio_stats(synthesize_patterned_media(keys, "k", kind="audio"))
+    arow = {r["k"]: r for r in aud.select("k", "aud_stat.*").collect()}[17]
+    sig = [((40503 * i + 2654435761 * 17) % 65536) - 32768
+           for i in range(64 + 17 % 128)]
+    assert arow["n_samples"] == len(sig)
+    assert arow["peak"] == max(abs(v) for v in sig)
+    assert arow["n_zc"] == sum(1 for a, b in zip(sig, sig[1:])
+                               if (a < 0) != (b < 0))
+    import math
+    acc = 0.0
+    for v in sig:
+        acc += (v / 32768.0) ** 2
+    assert arow["rms"] == math.sqrt(acc / len(sig))
+
+
+def test_patterned_media_video_frames(spark):
+    """MJPEG-AVI patterned payloads: frame count, sampled count and JPEG
+    SOF dims are closed-form (driver-gate contract for
+    media_video_frames)."""
+    from geopandas_spark.operators.codecs import jpeg_info
+    from geopandas_spark.operators.multimodal import (
+        extract_frames, synthesize_patterned_media)
+
+    keys = spark.createDataFrame(pd.DataFrame({"k": [3, 9, 55]}))
+    vid = extract_frames(
+        synthesize_patterned_media(keys, "k", kind="video"), every_n=2)
+    for r in vid.select("k", "frames").collect():
+        k = r["k"]
+        nf = 2 + k % 4
+        assert len(r["frames"]) == (nf + 1) // 2
+        w, h, _c = jpeg_info(bytes(r["frames"][0]))
+        assert (w, h) == (8 + k % 9, 8 + (k // 9) % 7)
