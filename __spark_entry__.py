@@ -933,15 +933,19 @@ def q_overlay_dart_intersection(spark, sf_dir) -> DataFrame:
 
     a_v = [(0, 0), (2, 1), (4, 0), (2, 3), (0, 0)]
     b_v = [(4, 3), (2, 2), (0, 3), (2, 0), (4, 3)]
-    a = r.select("p_partkey",
+    # pair_on pushes the per-part key into the candidate join: the dart
+    # configuration is keyed (A_k x B_k), and without it the spatially
+    # dense layers paid a 137x candidate inflation (2.74M bbox pairs at
+    # sf0.1) only to discard everything off-diagonal.
+    a = r.select("p_partkey", F.col("p_partkey").alias("pk"),
                  st_geomfromtext(dart_wkt(a_v)).alias("geometry"))
     b = r.select(F.col("p_partkey").alias("q_partkey"),
+                 F.col("p_partkey").alias("pk"),
                  st_geomfromtext(dart_wkt(b_v)).alias("geometry"))
     out = overlay(a, b, how="intersection", id1="p_partkey",
-                  id2="q_partkey", make_valid=False)
-    return (out.filter(F.col("p_partkey") == F.col("q_partkey"))
-            .select("p_partkey",
-                    F.round(st_area("geometry"), 9).alias("dart_ia")))
+                  id2="q_partkey", make_valid=False, pair_on="pk")
+    return out.select("p_partkey",
+                      F.round(st_area("geometry"), 9).alias("dart_ia"))
 
 
 def q_boolean_ops_area(spark, sf_dir) -> DataFrame:

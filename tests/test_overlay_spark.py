@@ -117,3 +117,34 @@ def test_overlay_candidates_matches_brute_force(spark):
            .filter((F.col("i") == len(boxes1) - 1) & (F.col("j") == 40))
            .collect()[0])
     assert row["iminx"] == pytest.approx(0.95) and row["imaxx"] == pytest.approx(0.95)
+
+
+def test_overlay_pair_on(spark):
+    """pair_on restricts candidates to equal-key pairs, pushed into the
+    cell join as an extra equi-join key; results equal the post-filtered
+    unkeyed overlay."""
+    from geopandas_spark.operators.overlay import overlay
+
+    def rect(x, y, w, h):
+        return (f"POLYGON (({x} {y}, {x+w} {y}, {x+w} {y+h}, "
+                f"{x} {y+h}, {x} {y}))")
+
+    # two overlapping groups of rects: every geometry overlaps every
+    # other spatially, but keys split them into two disjoint pairs each
+    wkt = [rect(0.1 * i, 0.0, 0.5, 0.5) for i in range(4)]
+    df1 = spark.createDataFrame(pd.DataFrame({
+        "i": range(4), "k": [0, 0, 1, 1],
+        "geometry": list(B.to_wkb(W.from_wkt(wkt)))}))
+    df2 = spark.createDataFrame(pd.DataFrame({
+        "j": range(4), "k": [0, 1, 0, 1],
+        "geometry": list(B.to_wkb(W.from_wkt(wkt)))}))
+    keyed = overlay(df1, df2, how="intersection", id1="i", id2="j",
+                    make_valid=False, pair_on="k")
+    got = {(r["i"], r["j"]) for r in keyed.collect()}
+    full = overlay(df1, df2, how="intersection", id1="i", id2="j",
+                   make_valid=False)
+    want = {(r["i"], r["j"]) for r in full.collect()
+            if [0, 0, 1, 1][r["i"]] == [0, 1, 0, 1][r["j"]]}
+    assert got == want and len(got) == 8  # 2 keys x (2x2) pairs
+    with pytest.raises(ValueError, match="pair_on"):
+        overlay(df1, df2.drop("k"), id1="i", id2="j", pair_on="k")
