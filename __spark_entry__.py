@@ -662,6 +662,21 @@ def q_media_video_frames(spark, sf_dir) -> DataFrame:
         F.col("__sof.w").alias("w"), F.col("__sof.h").alias("h"))
 
 
+def q_decontaminate_docs(spark, sf_dir) -> DataFrame:
+    """Benchmark-decontamination stage (operators/dedup.decontaminate):
+    every 37th document doubles as the 'eval set'; per-doc distinct
+    5-gram overlap counts against the broadcast benchmark gram set,
+    flagged at >= 2 hits. Pure Catalyst both sides, so the SQL oracle
+    mirrors the plan exactly."""
+    from geopandas_spark.operators.dedup import decontaminate
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    out = decontaminate(docs, bench, n=5, min_overlap=2)
+    return out.select("doc_id", "n_overlap",
+                      F.col("contaminated").cast("int").alias("contaminated"))
+
+
 def q_shapefile_roundtrip(spark, sf_dir) -> DataFrame:
     """Shapefile out/in through the pure-numpy .shp/.shx/.dbf driver
     (io/file.py:28-34 'ESRI Shapefile'; sources/shapefile.py): part
@@ -1438,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_stats": q_media_image_stats,
         "media_audio_stats": q_media_audio_stats,
         "media_video_frames": q_media_video_frames,
+        "decontaminate_docs": q_decontaminate_docs,
         # -- checked in r3, keep under the gate
         "sjoin_points_in_rects": q_sjoin_points_in_rects,
         "sjoin_count_by_rect": q_sjoin_count_by_rect,
@@ -1912,6 +1928,31 @@ def oracle_sql() -> dict[str, str]:
                    8 + (c_custkey % 9) AS w,
                    8 + ((c_custkey // 9) % 7) AS h
             FROM customer
+        """,
+        "decontaminate_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), ng AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(
+                       t[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)], ' ') AS g
+              FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+              WHERE len(t) >= 5
+              UNION
+              SELECT doc_id, array_to_string(t, ' ') AS g
+              FROM toks WHERE len(t) < 5
+            ), bg AS (
+              SELECT DISTINCT g FROM ng WHERE doc_id % 37 = 0
+            ), hits AS (
+              SELECT ng.doc_id, count(*) AS n_overlap
+              FROM ng JOIN bg USING (g) GROUP BY 1
+            )
+            SELECT d.doc_id, coalesce(h.n_overlap, 0) AS n_overlap,
+                   CAST(coalesce(h.n_overlap, 0) >= 2 AS INT)
+                       AS contaminated
+            FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         """,
         "overlay_star_candidates": f"""
             WITH r AS ({_RECT_SQL}),

@@ -426,6 +426,53 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     )
 
 
+def _word_ngrams(text_col: str, n: int):
+    """Distinct word-n-gram array, pure Catalyst: lowercase, whitespace
+    tokenize, sliding join of n tokens. Documents shorter than n tokens
+    contribute their whole text as one gram (so they still participate
+    in overlap checks). Shared by ngram_jaccard and decontaminate; the
+    SQL oracles mirror this expression exactly."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ))).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def decontaminate(df: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str | None = None, n: int = 8,
+                  min_overlap: int = 1) -> DataFrame:
+    """Benchmark-contamination check for training corpora: count, per
+    document, how many of its distinct word-``n``-grams appear anywhere
+    in the ``benchmark`` frame's text, and flag documents at
+    ``>= min_overlap`` hits (the standard eval-decontamination stage —
+    drop or audit flagged docs before training).
+
+    Plan shape at corpus scale: the benchmark's distinct n-gram set is
+    small by construction (eval sets are orders of magnitude smaller
+    than the corpus), so it BROADCASTS; the corpus side streams through
+    one explode + broadcast-hash semi-aggregation — no corpus shuffle at
+    all. Returns ``df`` plus ``n_overlap`` (long) and ``contaminated``
+    (boolean); every input row survives (left join, zero-filled).
+    """
+    bcol = bench_text_col or text_col
+    bng = (benchmark.select(F.explode(_word_ngrams(bcol, n)).alias("__g"))
+           .distinct())
+    dng = df.select(F.col(id_col).alias("__did"),
+                    F.explode(_word_ngrams(text_col, n)).alias("__g"))
+    hits = (dng.join(F.broadcast(bng), on="__g")
+            .groupBy("__did").agg(F.count("*").alias("__hits")))
+    out = df.join(hits, df[id_col] == hits["__did"], "left")
+    return (out.withColumn("n_overlap",
+                           F.coalesce(F.col("__hits"), F.lit(0)))
+            .withColumn("contaminated",
+                        F.col("n_overlap") >= int(min_overlap))
+            .drop("__did", "__hits"))
+
+
 def ngram_jaccard(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 3,
                   threshold: float = 0.5,
@@ -441,15 +488,8 @@ def ngram_jaccard(df: DataFrame, text_col: str = "text",
     corpus with itself); the drop is part of the operator contract so the
     oracle can mirror it in SQL.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    ngrams = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ))).otherwise(F.array(F.concat_ws(" ", toks)))
     ng = df.select(F.col(id_col).alias("__id"),
-                   F.explode(ngrams).alias("__g"))
+                   F.explode(_word_ngrams(text_col, n)).alias("__g"))
     if max_df is not None:
         dfreq = (ng.groupBy("__g").agg(F.count("*").alias("__df"))
                  .filter(F.col("__df") <= int(max_df)).select("__g"))

@@ -503,3 +503,31 @@ def test_patterned_media_video_frames(spark):
         assert len(r["frames"]) == (nf + 1) // 2
         w, h, _c = jpeg_info(bytes(r["frames"][0]))
         assert (w, h) == (8 + k % 9, 8 + (k // 9) % 7)
+
+
+def test_decontaminate(spark):
+    """Eval-set n-gram overlap: counts, flag threshold, all rows
+    survive, and the benchmark side broadcasts (no corpus shuffle)."""
+    from geopandas_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the quick brown fox jumps",
+                 "the quick brown fox sleeps",   # shares 2 trigrams w/ b1
+                 "completely different words here",
+                 "short"],                       # < n tokens
+    }))
+    bench = spark.createDataFrame(pd.DataFrame({
+        "text": ["the quick brown fox jumps high", "short"]}))
+    out = decontaminate(docs, bench, n=3, min_overlap=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 4
+    # doc1: trigrams {the quick brown, quick brown fox, brown fox jumps}
+    # all three appear in bench text 1
+    assert rows[1]["n_overlap"] == 3 and rows[1]["contaminated"]
+    assert rows[2]["n_overlap"] == 2 and rows[2]["contaminated"]
+    assert rows[3]["n_overlap"] == 0 and not rows[3]["contaminated"]
+    # whole-short-text gram matches the bench's whole-short-text gram
+    assert rows[4]["n_overlap"] == 1 and not rows[4]["contaminated"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
