@@ -31,22 +31,6 @@ import numpy as np
 _EPS = 1e-12
 
 
-def _point_in_ring(pt, v) -> bool:
-    """Even-odd, open-vertex ring (kept for tests / external callers)."""
-    x, y = pt
-    x0, y0 = v[:, 0], v[:, 1]
-    x1 = np.empty_like(x0)
-    x1[:-1] = x0[1:]
-    x1[-1] = x0[0]
-    y1 = np.empty_like(y0)
-    y1[:-1] = y0[1:]
-    y1[-1] = y0[0]
-    cross = (y0 > y) != (y1 > y)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xs = x0 + (y - y0) / (y1 - y0) * (x1 - x0)
-    return int(np.count_nonzero(cross & (xs > x))) % 2 == 1
-
-
 def _inside_counts(P: np.ndarray, E0: np.ndarray, E1: np.ndarray,
                    epid: np.ndarray, nlive: int) -> np.ndarray:
     """Vectorized even-odd test: P[p] vs the ring whose edges (E0->E1)
@@ -184,10 +168,6 @@ def _batch_intersection(subjects: list, clips: list):
         return W[b_start[gi]:b_start[gi] + nb[gi]]
 
     # ---- phase 1: vectorized all-crossings over the whole batch ----------
-    a_off = np.zeros(n + 1, dtype=np.int64)
-    b_off = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(na, out=a_off[1:])
-    np.cumsum(nb, out=b_off[1:])
     al = np.zeros(len(live) + 1, dtype=np.int64)
     bl = np.zeros(len(live) + 1, dtype=np.int64)
     np.cumsum(na[live], out=al[1:])
@@ -457,107 +437,9 @@ def _batch_intersection(subjects: list, clips: list):
         if results[gi] is None:
             results[gi] = []
         if ring_content[r] >= 3:
-            results[gi].append(out_buf[ring_out[r]:ring_out[r + 1]])
+            # copy: out_buf is one shared gather buffer for the whole
+            # batch; the containment branch returns fresh arrays, so
+            # traced rings must be owned too (a caller mutating one
+            # ring in place must not rewrite other pairs' results)
+            results[gi].append(out_buf[ring_out[r]:ring_out[r + 1]].copy())
     return results, fallback
-
-
-def _trace(a: np.ndarray, b: np.ndarray, crossings: list,
-           inside0: bool | None = None):
-    """Greiner–Hormann intersection trace. Returns list of closed rings,
-    or None if the trace detects an inconsistency. ``inside0`` is the
-    precomputed even-odd status of a[0] in b (computed vectorized in
-    phase 1; falls back to a local test when absent)."""
-    na, nb = len(a), len(b)
-    # vertex chains: list of [point, is_inter, mate_index]
-    # build per-edge sorted insertion lists
-    a_ins: list = [[] for _ in range(na)]
-    b_ins: list = [[] for _ in range(nb)]
-    pts = []
-    for ci, (ia, t, ib, s) in enumerate(crossings):
-        p = a[ia] + t * (a[(ia + 1) % na] - a[ia])
-        pts.append(p)
-        a_ins[ia].append((t, ci))
-        b_ins[ib].append((s, ci))
-    for lst in a_ins:
-        lst.sort()
-    for lst in b_ins:
-        lst.sort()
-
-    # chains: sequences of (kind, idx): kind 0 = original vertex,
-    # 1 = crossing ci
-    a_chain, b_chain = [], []
-    a_pos: dict = {}
-    b_pos: dict = {}
-    for i in range(na):
-        a_chain.append((0, i))
-        for _, ci in a_ins[i]:
-            a_pos[ci] = len(a_chain)
-            a_chain.append((1, ci))
-    for i in range(nb):
-        b_chain.append((0, i))
-        for _, ci in b_ins[i]:
-            b_pos[ci] = len(b_chain)
-            b_chain.append((1, ci))
-    La, Lb = len(a_chain), len(b_chain)
-
-    # entry/exit marking along a: alternate starting from inside-status
-    inside = _point_in_ring(a[0], b) if inside0 is None else inside0
-    entry_a: dict = {}
-    for kind, idx in a_chain:
-        if kind == 1:
-            entry_a[idx] = not inside  # entering if currently outside
-            inside = not inside
-    rings = []
-    visited = set()
-    for ci0 in entry_a:
-        if not entry_a[ci0] or ci0 in visited:
-            continue
-        ring = []
-        on_a = True
-        pos = a_pos[ci0]
-        ci = ci0
-        guard = 4 * (La + Lb)
-        while True:
-            visited.add(ci)
-            ring.append(pts[ci])
-            if on_a:
-                # entering -> walk a forward to next crossing
-                p = pos
-                while True:
-                    p = (p + 1) % La
-                    kind, idx = a_chain[p]
-                    if kind == 1:
-                        ci = idx
-                        pos = b_pos[ci]
-                        on_a = False
-                        break
-                    ring.append(a[idx])
-                    guard -= 1
-                    if guard <= 0:
-                        return None
-            else:
-                # on b: if this crossing is an exit for a (entry_a False),
-                # a's interior continues along b forward CCW; trace b
-                # forward to the next crossing
-                p = pos
-                while True:
-                    p = (p + 1) % Lb
-                    kind, idx = b_chain[p]
-                    if kind == 1:
-                        ci = idx
-                        pos = a_pos[ci]
-                        on_a = True
-                        break
-                    ring.append(b[idx])
-                    guard -= 1
-                    if guard <= 0:
-                        return None
-            guard -= 1
-            if guard <= 0:
-                return None
-            if ci == ci0:
-                break
-        if len(ring) >= 3:
-            r = np.array(ring)
-            rings.append(np.vstack([r, r[:1]]))
-    return rings

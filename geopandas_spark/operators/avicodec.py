@@ -50,8 +50,14 @@ def encode_avi(frames, fps: int = 10, quality: int = 90) -> bytes:
     h, w = frames[0].shape[:2]
     if any(f.shape[:2] != (h, w) for f in frames):
         raise ValueError("encode_avi: frames must share one (h, w)")
-    if fps <= 0:
-        raise ValueError("encode_avi: fps must be positive")
+    if not 0 < fps <= 1_000_000:
+        # above 1 MHz the avih dwMicroSecPerFrame field would floor to 0
+        # — an AVI with invalid (zero) frame timing
+        raise ValueError("encode_avi: fps must be in 1..1000000")
+    for f in frames:
+        if f.ndim == 3 and f.shape[2] not in (1, 3):
+            raise ValueError(
+                f"encode_avi: {f.shape[2]}-channel frame (1 or 3 only)")
     jpegs = [encode_jpeg(f if f.ndim == 3 and f.shape[2] == 3 else
                          f.reshape(h, w), quality=quality) for f in frames]
     n = len(jpegs)
@@ -133,24 +139,42 @@ def avi_info(b: bytes) -> tuple[int, int, int, int]:
     raise ValueError("corrupt AVI: no avih header")
 
 
-def _video_handler(b: bytes) -> bytes:
+def _video_stream(b: bytes) -> tuple[int, bytes]:
+    """(stream index, handler fourcc) of the FIRST 'vids' stream — stream
+    index is the strl position within hdrl (AVI RIFF spec: chunk ids are
+    '<2-digit stream index><dc|db|wb|tx>')."""
     hdrl = _find_list(b, 12, len(b), b"hdrl")
     if hdrl is None:
         raise ValueError("corrupt AVI: no hdrl list")
+    stream_i = -1
     for fourcc, p, ln in _chunks(b, *hdrl):
         if fourcc == b"LIST" and b[p:p + 4] == b"strl":
+            stream_i += 1
             for f2, p2, l2 in _chunks(b, p + 4, p + ln):
                 if f2 == b"strh" and b[p2:p2 + 4] == b"vids":
-                    return b[p2 + 4:p2 + 8]
+                    return stream_i, b[p2 + 4:p2 + 8]
     raise ValueError("corrupt AVI: no video stream header")
 
 
+def _frame_chunks(b: bytes, pos: int, end: int, prefix: bytes):
+    """dc/db chunks of one stream within [pos, end), descending into
+    LIST 'rec ' groups (interleaved files wrap frame chunks in them)."""
+    for fourcc, p, ln in _chunks(b, pos, end):
+        if fourcc == b"LIST" and b[p:p + 4] == b"rec ":
+            yield from _frame_chunks(b, p + 4, p + ln, prefix)
+        elif fourcc[:2] == prefix and fourcc[2:4] in (b"dc", b"db"):
+            yield p, ln
+
+
 def iter_avi_frames(b: bytes):
-    """Yield raw JPEG bytes per video frame ('??dc'/'??db' chunks)."""
+    """Yield raw JPEG bytes per video frame of the first 'vids' stream
+    ('NNdc'/'NNdb' chunks, incl. inside LIST 'rec ' groups; other
+    streams' chunks — audio 'NNwb', a second video stream — are
+    skipped)."""
     b = bytes(b)
     if not is_avi(b):
         raise ValueError("not an AVI (missing RIFF/AVI header)")
-    handler = _video_handler(b)
+    stream_i, handler = _video_stream(b)
     if handler not in (b"MJPG", b"mjpg", b"jpeg", b"\x00\x00\x00\x00"):
         raise NotImplementedError(
             f"AVI video codec {handler!r} — only MJPEG decodes natively "
@@ -158,9 +182,9 @@ def iter_avi_frames(b: bytes):
     movi = _find_list(b, 12, len(b), b"movi")
     if movi is None:
         raise ValueError("corrupt AVI: no movi list")
-    for fourcc, p, ln in _chunks(b, *movi):
-        if fourcc[2:4] in (b"dc", b"db"):
-            yield b[p:p + ln]
+    prefix = b"%02d" % stream_i
+    for p, ln in _frame_chunks(b, *movi, prefix):
+        yield b[p:p + ln]
 
 
 def decode_avi_frames(b: bytes, indices=None) -> list[np.ndarray]:

@@ -512,7 +512,8 @@ def _segments(b: bytes):
             pos += 1
             continue
         marker = b[pos + 1]
-        if marker in (0xFF, 0x00) or 0xD0 <= marker <= 0xD9:
+        # 0x01 is TEM — standalone like RSTn/SOI/EOI, no length field
+        if marker in (0xFF, 0x00, 0x01) or 0xD0 <= marker <= 0xD9:
             pos += 2 if marker != 0xFF else 1
             continue
         (ln,) = struct.unpack_from(">H", b, pos + 2)
@@ -594,7 +595,12 @@ def decode_jpeg(b: bytes) -> np.ndarray:
 
     order = []  # (comp_index, dc_table, ac_table)
     for cs, td, ta in scan_comps:
-        ci = next(i for i, c in enumerate(comps) if c[0] == cs)
+        ci = next((i for i, c in enumerate(comps) if c[0] == cs), None)
+        if ci is None:
+            raise ValueError(f"corrupt JPEG: scan component {cs} not in SOF")
+        if (0, td) not in htables or (1, ta) not in htables:
+            raise ValueError(
+                f"corrupt JPEG: undefined Huffman table (dc={td}, ac={ta})")
         order.append((ci, htables[(0, td)], htables[(1, ta)]))
 
     br = _BitReader(bytes(b), scan_start)
@@ -637,16 +643,24 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     # dequantize + IDCT + assemble planes
     planes = []
     for (cid, sh, sv, tq), grid in zip(comps, grids):
+        if tq not in qtables:
+            raise ValueError(f"corrupt JPEG: undefined quant table {tq}")
         q = qtables[tq].reshape(8, 8).astype(np.float64)
         blocks = _idct(grid.reshape(-1, 8, 8) * q) + 128.0
         gh, gw = mcus_y * sv, mcus_x * sh
         plane = (blocks.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3)
                  .reshape(gh * 8, gw * 8))
-        # upsample to full resolution by replication, crop to (h, w)
-        ry, rx = vmax // sv, hmax // sh
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        planes.append(plane[:h, :w])
+        # nearest upsample to full resolution via index map, crop to
+        # (h, w): image pixel (y, x) reads plane pixel (y*sv//vmax,
+        # x*sh//hmax). Handles ANY legal T.81 factors (1..4), not just
+        # integer-divisor ratios (e.g. luma (3,1) with chroma (2,1)),
+        # and reduces to replicate-and-crop in the common 4:2:0 case.
+        if sv != vmax or sh != hmax:
+            yi = np.arange(h, dtype=np.int64) * sv // vmax
+            xi = np.arange(w, dtype=np.int64) * sh // hmax
+            planes.append(plane[yi][:, xi])
+        else:
+            planes.append(plane[:h, :w])
 
     if len(planes) == 1:
         return np.clip(planes[0].round(), 0, 255).astype(np.uint8)[:, :, None]

@@ -109,3 +109,53 @@ def test_video_modality_spark_stages(spark):
                 w, h, c = J.jpeg_info(bytes(jb))
                 assert (w, h, c) == (meta[k]["width"], meta[k]["height"], 3)
                 J.decode_jpeg(bytes(jb))  # decodes cleanly
+
+def test_avi_rec_groups_and_stream_filter():
+    """Spec-conforming interleaved AVIs wrap frame chunks in LIST 'rec '
+    groups and interleave other streams' chunks ('01wb' audio); the
+    reader must descend into rec groups and keep only the first video
+    stream's dc/db chunks."""
+    import struct
+
+    def chunk(fourcc, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(fourcc, payload):
+        return chunk(b"LIST", fourcc + payload)
+
+    base = A.encode_avi(_frames(3), fps=10)
+    jpegs = list(A.iter_avi_frames(base))
+    assert len(jpegs) == 3
+    # rebuild: same headers, movi now rec-grouped with interleaved audio
+    hdrl_start = base.index(b"hdrl") - 8
+    movi_start = base.index(b"movi") - 8
+    hdrl = base[hdrl_start:movi_start]
+    movi_payload = b"".join(
+        lst(b"rec ", chunk(b"00dc", j) + chunk(b"01wb", b"\x00\x00AUDIO"))
+        for j in jpegs)
+    body = hdrl + lst(b"movi", movi_payload)
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+    got = list(A.iter_avi_frames(blob))
+    assert got == jpegs  # all frames found, audio chunks skipped
+    assert len(A.decode_avi_frames(blob)) == 3
+
+
+def test_avi_encode_validation():
+    fr = _frames(2)
+    with pytest.raises(ValueError, match="fps"):
+        A.encode_avi(fr, fps=2_000_000)
+    rgba = [np.zeros((8, 8, 4), np.uint8)]
+    with pytest.raises(ValueError, match="channel"):
+        A.encode_avi(rgba)
+
+
+def test_jpeg_tem_marker_skipped():
+    """0xFF 0x01 (TEM) is a standalone marker with no length field; a
+    foreign JPEG carrying it before SOS must still parse."""
+    b = J.encode_jpeg(_frames(1)[0], quality=90)
+    assert b[:2] == b"\xff\xd8"
+    patched = b[:2] + b"\xff\x01" + b[2:]
+    w, h, c = J.jpeg_info(patched)
+    assert (w, h, c) == (20, 16, 3)
+    assert (J.decode_jpeg(patched) == J.decode_jpeg(b)).all()
