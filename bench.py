@@ -67,6 +67,9 @@ def main():
         "lsh_topk_embeddings",
         "ivf_topk_embeddings",
         "nearest_line",
+        "decontaminate_docs",
+        "media_image_stats",
+        "media_audio_stats",
     ]
     # Warmup pass (not timed, disclosed in the output JSON): this sandbox
     # runs on lazily-provisioned VM memory where the first touch of every
