@@ -369,12 +369,15 @@ def _chebyshev_dt(occ: np.ndarray) -> np.ndarray:
 
 
 def _nocand_probes(nanrows, rxp, _disk_probe, resolution, min_cell,
-                   k_cap, max_distance):
+                   k_cap, max_distance, diag_cell):
     """Probe-cell rows for lefts with NO phase-1 candidate (sparse
     neighborhoods). A Chebyshev distance-transform bitmap of the right
     side's non-empty cells (built ONCE on the driver, broadcast as a
     2^res x 2^res int32 grid) gives each row the cell-distance D to its
-    nearest occupied cell; B = sqrt(2) * (D+1) * cell is a WORST-CASE
+    nearest occupied cell; B = (D+1) * diag_cell (diag_cell =
+    hypot(cell_w, cell_h) — NOT sqrt(2)*min_cell, which under-bounds
+    when the domain's cells are non-square and could miss the true
+    nearest) is a WORST-CASE
     upper bound on the true nearest distance (the far corner of that
     occupied cell), so ONE probe at radius B is already exhaustive —
     it provably contains the true nearest and all ties.
@@ -418,7 +421,7 @@ def _nocand_probes(nanrows, rxp, _disk_probe, resolution, min_cell,
             d = bc_D.value[li, lj].astype(np.float64)
             # cap: disk probes clamp at k_cap cells anyway (full grid)
             d = np.minimum(d, float(k_cap))
-            return pd.Series(np.sqrt(2.0) * (d + 1) * min_cell)
+            return pd.Series((d + 1) * diag_cell)
 
         return [_disk_probe(
             nanrows.withColumn("__B", _bitmap_bound(F.col("__cell0"))),
@@ -447,7 +450,7 @@ def _nocand_probes(nanrows, rxp, _disk_probe, resolution, min_cell,
         D = np.minimum.reduce(
             np.maximum(np.abs(li[:, None] - ci[None, :]),
                        np.abs(lj[:, None] - cj[None, :])), axis=1)
-        bound = np.sqrt(2.0) * (D + 1) * (1 << shift) * min_cell
+        bound = (D + 1) * (1 << shift) * diag_cell
         return pd.Series(bound)
 
     return [_disk_probe(
@@ -1022,7 +1025,8 @@ def _shuffle_knn_matched(left, right, lid, rid, left_geom, right_geom,
         if n_nan:
             tail_probes.extend(_nocand_probes(
                 nanrows, rxp, _disk_probe, resolution, min_cell,
-                k_cap, max_distance))
+                k_cap, max_distance,
+                float(np.hypot(*cell_size(resolution, domain)))))
     if tail_probes:
         # union ALL probe-cell rows first, then ONE join against the
         # right cell table (round-4: per-probe joins each built their

@@ -80,13 +80,16 @@ def _entity_geojson(name: str, codes: list[tuple[int, str]]):
             pts.append(list(pts[0]))
         return {"type": "LineString", "coordinates": pts}
     if name == "3DFACE":
-        pts = []
+        # like LINE: one has_z flag for the whole entity — per-vertex
+        # mixed 2D/3D positions would NaN-fill the z of z=0 corners
+        corners = []
         for base in (0, 1, 2, 3):
             x, y = fs(10 + base), fs(20 + base)
             if x is None or y is None:
                 continue
-            z = fs(30 + base, 0.0)
-            pts.append([x, y] + ([z] if z != 0.0 else []))
+            corners.append((x, y, fs(30 + base, 0.0)))
+        has_z = any(z != 0.0 for _x, _y, z in corners)
+        pts = [[x, y] + ([z] if has_z else []) for x, y, z in corners]
         if len(pts) >= 2 and pts[0] != pts[-1]:
             pts.append(list(pts[0]))
         return {"type": "LineString", "coordinates": pts}

@@ -311,7 +311,6 @@ def _leaf_offsets(path: str, hdr) -> np.ndarray | None:
             raw = f.read(n * 40)
             if len(raw) < n * 40:
                 continue
-            offs = np.frombuffer(raw, "<u8")[4::5].astype(np.int64)
             # node record = 4 f64 + u64 -> view as u64[5] per node
             nodes = np.frombuffer(raw, "<u8").reshape(n, 5)
             offs = nodes[:, 4].astype(np.int64)
@@ -427,8 +426,16 @@ def _decode_geometry(buf, gt_table, gtype_default, bld):
                 parts.append((POINT, rings))
             elif stype == _GT_LINESTRING:
                 parts.append((LINESTRING, rings))
-            else:
+            elif stype in (_GT_POLYGON, 0):
                 parts.append((POLYGON, rings))
+            else:
+                # Multi*/nested-collection children keep their data in
+                # their own parts vector (field 7) which this reader
+                # does not recurse into — a silent empty polygon would
+                # corrupt the feature
+                raise NotImplementedError(
+                    f"FlatGeobuf GeometryCollection child type {stype} "
+                    "(nested Multi*/collection members not supported)")
             zparts.append(z if z else [np.full(len(r), np.nan)
                                        for r in rings])
         bld.add(MULTIPOLYGON if gtype == _GT_MULTIPOLYGON
@@ -503,14 +510,20 @@ def read_flatgeobuf(spark, path: str, bbox=None, columns=None, rows=None,
     par = num_partitions or spark.sparkContext.defaultParallelism
     breaks = np.nonzero(np.diff(idx) != 1)[0] + 1
     runs = np.split(idx, breaks)
+    data_start = hdr["data_start"]
     chunks = []
     for run in runs:
         tgt = max(1, int(np.ceil(len(run) / max(1, par // max(1, len(runs))))))
         for s in range(0, len(run), tgt):
             sub = run[s:s + tgt]
-            chunks.append((int(sub[0]), int(len(sub))))
-    rng = pd.DataFrame(chunks, columns=["start", "n"])
-    data_start = hdr["data_start"]
+            start, n = int(sub[0]), int(len(sub))
+            # byte range computed driver-side so the task closure ships
+            # four ints per chunk, not the whole per-feature offset
+            # table (~16 B/feature pickled into EVERY task otherwise)
+            chunks.append((start, n,
+                           int(data_start + offs[start]),
+                           int(data_start + ends[start + n - 1])))
+    rng = pd.DataFrame(chunks, columns=["start", "n", "b0", "b1"])
     gtype_default = hdr["geometry_type"]
     all_cols = cols_meta
     out_names = [c[0] for c in out_cols]
@@ -521,10 +534,9 @@ def read_flatgeobuf(spark, path: str, bbox=None, columns=None, rows=None,
         from ..geom.wkb import to_wkb
 
         for pdf in it:
-            for start, n in zip(pdf["start"], pdf["n"]):
-                start, n = int(start), int(n)
-                b0 = data_start + int(offs[start])
-                b1 = data_start + int(ends[start + n - 1])
+            for start, n, b0, b1 in zip(pdf["start"], pdf["n"],
+                                        pdf["b0"], pdf["b1"]):
+                n, b0, b1 = int(n), int(b0), int(b1)
                 with open(path, "rb") as f:
                     f.seek(b0)
                     buf = f.read(b1 - b0)
@@ -690,6 +702,11 @@ def _encode_properties(row, fields) -> bytes:
         if ctype in _CT_SCALAR_FMT:
             if ctype == _CT_BOOL:
                 v = int(bool(v))
+            elif ctype not in (_CT_FLOAT, _CT_DOUBLE):
+                # nullable int columns arrive as float64 via toPandas
+                # (pandas has no int-with-NaN); struct.pack rejects
+                # floats for integer formats
+                v = int(v)
             out += struct.pack(_CT_SCALAR_FMT[ctype], v)
         elif ctype == _CT_BINARY:
             raw = bytes(v)

@@ -34,7 +34,10 @@ def _local(tag: str) -> str:
 
 def _positions(el) -> list[list[float]]:
     """Coordinate positions of a primitive GML element (Point/LineString/
-    LinearRing/...): GML2 ``coordinates`` or GML3 ``pos``/``posList``."""
+    LinearRing/...): GML2 ``coordinates`` or GML3 ``pos``/``posList``.
+    srsDimension is honored on the posList itself OR the geometry
+    element (both placements are common in real files)."""
+    el_dim = el.get("srsDimension")
     for ch in el:
         name = _local(ch.tag)
         if name == "coordinates":
@@ -50,7 +53,7 @@ def _positions(el) -> list[list[float]]:
             return out
         if name == "posList":
             vals = [float(v) for v in (ch.text or "").split()]
-            dim = int(ch.get("srsDimension", "2"))
+            dim = int(ch.get("srsDimension") or el_dim or "2")
             return [vals[i:i + dim] for i in range(0, len(vals), dim)]
         if name == "pos":
             return [[float(v) for v in (ch.text or "").split()]]
@@ -80,7 +83,16 @@ def gml_geometry_to_geojson(el) -> dict | None:
         # gml:Curve/segments/LineStringSegment* -> one merged LineString
         coords: list = []
         for seg_holder in _find_children(el, "segments"):
-            for seg in _find_children(seg_holder, "LineStringSegment"):
+            for seg in seg_holder:
+                sname = _local(seg.tag)
+                if sname != "LineStringSegment":
+                    # Arc/ArcString/Circle/... need tessellation — same
+                    # honest boundary as the DXF/MIF curve entities;
+                    # silently dropping the span would emit wrong geometry
+                    raise NotImplementedError(
+                        f"GML Curve segment {sname!r} (only "
+                        "LineStringSegment decodes; curve segments need "
+                        "tessellation)")
                 pts = _positions(seg)
                 if coords and pts and coords[-1] == pts[0]:
                     pts = pts[1:]
@@ -249,9 +261,19 @@ def write_gml(df: DataFrame, path: str, geom: str = "geometry",
     """Single ``.gml`` document (to_file driver='GML'). Driver-side and
     row-capped like every single-file sink; geometry encoding runs on
     the executors (st_asgeojson)."""
+    import re
+
     from .featuretable import collect_features
 
     props, geoms, rows = collect_features(df, geom, "write_gml")
+    name_re = re.compile(r"^[A-Za-z_][A-Za-z0-9_.\-]*$")
+    bad = [c for c in props if not name_re.match(c)] + (
+        [layer] if not name_re.match(layer) else [])
+    if bad:
+        # column names become XML element tags verbatim; an invalid name
+        # would write a document that only fails at read time
+        raise ValueError(
+            f"write_gml: column/layer names not valid XML names: {bad!r}")
     with open(path, "w") as f:
         f.write('<?xml version="1.0" encoding="utf-8"?>\n')
         f.write('<FeatureCollection xmlns:gml="%s">\n' % _GML_NS)

@@ -290,7 +290,8 @@ def write_mif(df: DataFrame, path: str, geom: str = "geometry",
         st = spark_types.get(col, "string")
         if st in ("bigint", "int", "smallint", "tinyint", "long"):
             return "Integer"
-        if st in ("double", "float", "decimal"):
+        if st in ("double", "float") or st.startswith("decimal"):
+            # df.dtypes reports decimals as 'decimal(p,s)'
             return "Float"
         if st == "boolean":
             return "Logical"

@@ -6,6 +6,7 @@ geometry codecs run distributed (sources/featuretable.py plumbing)."""
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from geopandas_spark.functions.st import st_astext, st_geomfromtext
 from geopandas_spark.sources.file import read_file, to_file
@@ -322,3 +323,79 @@ class TestDispatchCommon:
         assert got.columns == ["geometry", "v"]
         assert sorted(r["v"] for r in got.collect()) == [3, 4, 5, 6]
         assert read_file(spark, p, rows=4).count() == 4
+
+
+class TestReviewFixes:
+    def test_gml_srs_dimension_on_geometry_element(self):
+        """srsDimension on the parent geometry element (common real-world
+        placement) must make posList parse 3-D."""
+        import xml.etree.ElementTree as ET
+
+        from geopandas_spark.sources.gml import gml_geometry_to_geojson
+
+        el = ET.fromstring(
+            '<LineString xmlns="http://www.opengis.net/gml" '
+            'srsDimension="3"><posList>1 2 3 4 5 6</posList></LineString>')
+        gj = gml_geometry_to_geojson(el)
+        assert gj["coordinates"] == [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]
+
+    def test_gml_curve_arc_segment_raises(self):
+        import xml.etree.ElementTree as ET
+
+        from geopandas_spark.sources.gml import gml_geometry_to_geojson
+
+        el = ET.fromstring(
+            '<Curve xmlns="http://www.opengis.net/gml"><segments>'
+            '<LineStringSegment><posList>0 0 1 1</posList>'
+            '</LineStringSegment>'
+            '<Arc><posList>1 1 2 0 3 1</posList></Arc>'
+            '</segments></Curve>')
+        with pytest.raises(NotImplementedError, match="Arc"):
+            gml_geometry_to_geojson(el)
+
+    def test_gml_write_rejects_invalid_column_names(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            pd.DataFrame({"bad name": [1]})).withColumn(
+            "geometry", st_geomfromtext(F.lit("POINT (0 0)")))
+        with pytest.raises(ValueError, match="XML names"):
+            to_file(df, str(tmp_path / "bad.gml"))
+
+    def test_dxf_3dface_uniform_z(self, spark, tmp_path):
+        """3DFACE with some z=0 corners: every vertex gets a z (no NaN
+        fill from mixed 2D/3D positions)."""
+        from geopandas_spark.sources.dxf import _entity_geojson
+
+        codes = [(10, "0"), (20, "0"), (30, "0"),
+                 (11, "1"), (21, "0"), (31, "5"),
+                 (12, "1"), (22, "1"), (32, "5"),
+                 (13, "0"), (23, "1"), (33, "0")]
+        gj = _entity_geojson("3DFACE", codes)
+        assert all(len(p) == 3 for p in gj["coordinates"])
+        assert gj["coordinates"][0] == [0.0, 0.0, 0.0]
+
+    def test_mif_decimal_column_is_float(self, spark, tmp_path):
+        from decimal import Decimal
+
+        from geopandas_spark.sources.mapinfo import write_mif
+
+        df = spark.createDataFrame(
+            [(Decimal("1.25"),)], "d decimal(10,2)").withColumn(
+            "geometry", st_geomfromtext(F.lit("POINT (0 0)")))
+        p = str(tmp_path / "dec.mif")
+        write_mif(df, p)
+        hdr = open(p).read()
+        assert "Float" in hdr and "Char(254)" not in hdr
+        back = read_file(spark, p)
+        assert [t for n, t in back.dtypes if n == "d"][0] in (
+            "double", "float")
+
+    def test_fgb_nullable_int_column(self, spark, tmp_path):
+        """Nullable int columns arrive as float64 via toPandas; the
+        writer must still pack them as integers."""
+        df = spark.createDataFrame(
+            [(1, "a"), (None, "b"), (3, "c")], "k bigint, s string"
+        ).withColumn("geometry", st_geomfromtext(F.lit("POINT (1 2)")))
+        p = str(tmp_path / "nullint.fgb")
+        to_file(df, p)
+        back = read_file(spark, p).orderBy("s").collect()
+        assert [r["k"] for r in back] == [1, None, 3]
