@@ -275,3 +275,70 @@ def test_lineal_build_with_null_and_empty_rows(spark):
                            out.index_right.astype(int)))
             assert got == {0: 0, 1: 2}
             assert (out.d == 0.0).all()
+
+
+def test_nearest_nonsquare_adversarial_bound(spark):
+    """Deterministic construction where sqrt(2)*min_cell under-bounding
+    returns the WRONG neighbor on non-square cells: right A sits few
+    cells away along the wide axis (small index distance, large
+    Euclidean distance), right B many cells away along the narrow axis
+    (large index distance, SMALL Euclidean distance). The diagonal
+    bound probes far enough to see B; the old min-cell bound stopped
+    short and returned A."""
+    domain = (0.0, 0.0, 8.0, 1.0)
+    res = 4                       # 16x16 cells: w = 0.5 = 8h, h = 1/16
+    lx, ly = np.array([0.03]), np.array([0.03])
+    rx = np.array([3.28, 0.03])   # A: cell (6,0); B: cell (0,12)
+    ry = np.array([0.03, 0.78])
+    d = np.sqrt((lx[0] - rx) ** 2 + (ly[0] - ry) ** 2)
+    assert d[1] < d[0]            # B is the true nearest
+    ldf = spark.createDataFrame(pd.DataFrame(
+        {"pid": [0], "geometry": list(B.to_wkb(points_batch(lx, ly)))}))
+    rdf = spark.createDataFrame(pd.DataFrame(
+        {"tid": [0, 1], "geometry": list(B.to_wkb(points_batch(rx, ry)))}))
+    for bcast in (False, True):
+        out = sjoin_nearest(ldf, rdf, left_id="pid", right_id="tid",
+                            resolution=res, domain=domain,
+                            distance_col="dist",
+                            broadcast_right=bcast).toPandas()
+        assert list(out.index_right.astype(int)) == [1], bcast
+        assert out.dist.iloc[0] == d[1]
+
+
+def test_nearest_nonsquare_domain_sparse(spark):
+    """Non-square grid cells (wide domain): the no-candidate probe bound
+    must use the cell DIAGONAL, not sqrt(2)*min(w,h) — with sparse
+    right sides the under-bound could return a farther neighbor
+    (round-4 review finding). Brute-force parity over both plan paths
+    and several resolutions, including lefts far from every right."""
+    r = np.random.default_rng(11)
+    domain = (0.0, 0.0, 8.0, 1.0)  # cells 8x wider than tall
+    nl, nr = 120, 6
+    lx = r.random(nl) * 8.0
+    ly = r.random(nl)
+    # sparse rights clustered in one corner -> most lefts have NO
+    # phase-1 candidate and ride the distance-transform bound
+    rx = r.random(nr) * 0.5
+    ry = r.random(nr) * 0.5
+    ldf = spark.createDataFrame(pd.DataFrame(
+        {"pid": np.arange(nl),
+         "geometry": list(B.to_wkb(points_batch(lx, ly)))}))
+    rdf = spark.createDataFrame(pd.DataFrame(
+        {"tid": np.arange(nr),
+         "geometry": list(B.to_wkb(points_batch(rx, ry)))}))
+    d = np.sqrt((lx[:, None] - rx[None, :]) ** 2
+                + (ly[:, None] - ry[None, :]) ** 2)
+    dmin = d.min(axis=1)
+    exp = {(i, j) for i in range(nl)
+           for j in np.nonzero(d[i] == dmin[i])[0]}
+    for res in (2, 4):
+        for bcast in (False, True):
+            out = sjoin_nearest(ldf, rdf, left_id="pid", right_id="tid",
+                                resolution=res, domain=domain,
+                                distance_col="dist",
+                                broadcast_right=bcast).toPandas()
+            got = set(zip(out.pid.astype(int),
+                          out.index_right.astype(int)))
+            assert got == exp, (res, bcast)
+            m = out.set_index("pid").dist.to_dict()
+            assert all(m[i] == dmin[i] for i in range(nl)), (res, bcast)
