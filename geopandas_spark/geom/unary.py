@@ -153,31 +153,129 @@ def is_ccw(b: GeometryBatch) -> np.ndarray:
     return out
 
 
+def _rings_self_intersect_bulk(coords: np.ndarray, starts: np.ndarray,
+                               lens: np.ndarray) -> np.ndarray:
+    """Vectorized _ring_self_intersects over MANY closed rings at once
+    (round 4): rings grouped by point count share one non-adjacent
+    pair-index template, so the whole batch evaluates as (rings, pairs)
+    numpy ops — the per-ring python loop cost ~0.3 ms/ring and dominated
+    is_valid on clean inputs. Groups are chunked so the temporaries stay
+    bounded on vertex-heavy rings."""
+    out = np.zeros(len(starts), dtype=bool)
+    for npts in np.unique(lens):
+        idx = np.nonzero(lens == npts)[0]
+        ns = int(npts) - 1
+        if ns < 2:
+            continue
+        i = np.arange(ns)
+        ii, jj = np.meshgrid(i, i, indexing="ij")
+        sel = (jj > ii + 1) & ~((ii == 0) & (jj == ns - 1))
+        if not sel.any():
+            continue
+        I, J = ii[sel], jj[sel]
+        M = len(I)
+        step = max(1, (1 << 22) // M)
+        for c0 in range(0, len(idx), step):
+            sub = idx[c0:c0 + step]
+            pts = coords[starts[sub][:, None]
+                         + np.arange(int(npts))[None, :]]
+            a0, a1 = pts[:, I], pts[:, I + 1]
+            b0, b1 = pts[:, J], pts[:, J + 1]
+            d1 = np.cross(a1 - a0, b0 - a0)
+            d2 = np.cross(a1 - a0, b1 - a0)
+            d3 = np.cross(b1 - b0, a0 - b0)
+            d4 = np.cross(b1 - b0, a1 - b0)
+            proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) \
+                & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+
+            def on(a, b, c):
+                return ((np.minimum(a[..., 0], b[..., 0]) <= c[..., 0])
+                        & (c[..., 0] <= np.maximum(a[..., 0], b[..., 0]))
+                        & (np.minimum(a[..., 1], b[..., 1]) <= c[..., 1])
+                        & (c[..., 1] <= np.maximum(a[..., 1], b[..., 1])))
+
+            touch = (((d1 == 0) & on(a0, a1, b0))
+                     | ((d2 == 0) & on(a0, a1, b1))
+                     | ((d3 == 0) & on(b0, b1, a0))
+                     | ((d4 == 0) & on(b0, b1, a1)))
+            out[sub] = (proper | touch).any(axis=1)
+    return out
+
+
 def is_valid(b: GeometryBatch, reason: bool = False):
     """Practical OGC validity (base.py:209/:249): rings closed with >= 4
     points, no ring self-intersection, holes inside the exterior. Returns
-    bool array, or (bool array, reason str array) with ``reason``."""
+    bool array, or (bool array, reason str array) with ``reason``.
+
+    Missing/puntal/lineal rows and single-part single-ring polygons (the
+    overwhelmingly common shapes) evaluate fully vectorized; only
+    geometries with holes or multiple parts take the per-geometry loop
+    (hole containment / shell nesting need point-in-ring tests)."""
     from .kernels import points_in_ring
 
     n = len(b)
     ok = np.zeros(n, dtype=bool)
     msgs = np.empty(n, dtype=object)
-    for g in range(n):
-        t = b.types[g]
-        if t == MISSING:
-            ok[g] = False
-            msgs[g] = None
-            continue
-        if TYPE_DIM[t] != 2:
-            # puntal/lineal: valid unless a line has < 2 distinct points
-            good = True
-            if TYPE_DIM[t] == 1:
-                for _, r in _geom_rings(b, g):
-                    if len(r) == 1:
-                        good = False
-            ok[g] = good
-            msgs[g] = "Valid Geometry" if good else "Too few points in geometry component"
-            continue
+    types = np.asarray(b.types)
+    dims = TYPE_DIM[types]
+    npartsg = np.diff(b.geom_part_off)
+    nringsp = np.diff(b.part_ring_off)
+    ring_lens = np.diff(b.ring_coord_off)
+
+    miss = types == MISSING
+    msgs[miss] = None
+
+    nondim2 = ~miss & (dims != 2)
+    if nondim2.any():
+        ok[nondim2] = True
+        msgs[nondim2] = "Valid Geometry"
+        one_pt = np.nonzero(ring_lens == 1)[0]
+        if len(one_pt):
+            part_geom = np.repeat(np.arange(n), npartsg)
+            ring_geom = part_geom[np.repeat(
+                np.arange(len(nringsp)), nringsp)]
+            bad_line = np.zeros(n, dtype=bool)
+            bad_line[ring_geom[one_pt]] = True
+            sel = nondim2 & (dims == 1) & bad_line
+            ok[sel] = False
+            msgs[sel] = "Too few points in geometry component"
+
+    poly = ~miss & (dims == 2)
+    simple = poly & (npartsg == 1)
+    if simple.any():
+        # first-part index is only meaningful where npartsg == 1; clip
+        # keeps the gather in bounds for trailing empty geometries
+        fp = np.minimum(b.geom_part_off[:-1],
+                        max(len(nringsp) - 1, 0))
+        simple &= nringsp[fp] == 1
+    si = np.nonzero(simple)[0]
+    if len(si):
+        first_ring = b.part_ring_off[b.geom_part_off[si]]
+        starts = b.ring_coord_off[first_ring]
+        lens = ring_lens[first_ring]
+        ok_s = np.ones(len(si), dtype=bool)
+        msg_s = np.full(len(si), "Valid Geometry", dtype=object)
+        few = (lens > 0) & (lens < 4)   # empty rings skip (valid)
+        ok_s[few] = False
+        msg_s[few] = "Too few points in geometry component"
+        live = np.nonzero(lens >= 4)[0]
+        if len(live):
+            s0 = starts[live]
+            closed = (b.coords[s0] == b.coords[s0 + lens[live] - 1]) \
+                .all(axis=1)
+            unc = live[~closed]
+            ok_s[unc] = False
+            msg_s[unc] = "Ring is not closed"
+            cl = live[closed]
+            if len(cl):
+                hit = _rings_self_intersect_bulk(
+                    b.coords, starts[cl], lens[cl])
+                ok_s[cl[hit]] = False
+                msg_s[cl[hit]] = "Self-intersection"
+        ok[si] = ok_s
+        msgs[si] = msg_s
+
+    for g in np.nonzero(poly & ~simple)[0]:
         good, msg = True, "Valid Geometry"
         for p in range(b.geom_part_off[g], b.geom_part_off[g + 1]):
             rings = [b.coords[b.ring_coord_off[r]:b.ring_coord_off[r + 1]]
@@ -236,7 +334,6 @@ def is_valid(b: GeometryBatch, reason: bool = False):
     if reason:
         return ok, msgs
     return ok
-
 
 def has_z(b: GeometryBatch) -> np.ndarray:
     if b.geom_has_z is None:

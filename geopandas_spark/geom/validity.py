@@ -180,6 +180,16 @@ def make_valid(batch: GeometryBatch) -> GeometryBatch:
     from .unary import is_valid
 
     valid = is_valid(batch)
+    types = np.asarray(batch.types)
+    passthrough = (types == MISSING) | (TYPE_DIM[types] != 2) \
+        | np.asarray(valid, dtype=bool)
+    if passthrough.all():
+        # nothing to repair: hand back the batch itself (byte-identical
+        # by construction). The per-geometry _copy rebuild below is a
+        # Python-level loop — ~0.5 ms/row, and it used to run even for
+        # fully-valid inputs (measured 10 s on 20k clean rects at sf0.1,
+        # dominating overlay's make_valid=True pre-pass).
+        return batch
     out = GeometryBatchBuilder()
     for g in range(len(batch)):
         t = int(batch.types[g])
