@@ -51,44 +51,73 @@ def _collect_queries(queries: DataFrame, qid_col: str, qvec_col: str,
     return qrows
 
 
+def _exact_scorer(qids: list, qn: np.ndarray):
+    """pandas_udf: (query_id, vec) -> exact cosine vs the broadcast query
+    matrix. Query ids stay in their NATIVE type (round-4 review fix: the
+    old per-operator copies int()-coerced them, crashing on string ids).
+    Shared by lsh_topk and ivf_topk so the normalization/epsilon math
+    cannot silently diverge."""
+    qidx = {q: i for i, q in enumerate(qids)}
+
+    @pandas_udf("double")
+    def _score1(qid: pd.Series, vecs: pd.Series) -> pd.Series:
+        rows = np.array([qidx[q] for q in qid], dtype=np.int64)
+        m = _to_matrix(vecs)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        return pd.Series((mn * qn[rows]).sum(axis=1).astype(np.float64))
+
+    return _score1
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 qid_col: str = "vec_id", qvec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors of every query against the corpus.
 
     Plan: queries are collected + broadcast (queries are the small side by
-    definition); each corpus Arrow batch scores against the whole query
-    matrix with one matmul; per-batch top-k -> global top-k via window
-    rank. Shuffle volume is corpus_batches * q * k, never corpus * q.
+    definition); each corpus Arrow-batch partition scores against the
+    whole query matrix with one matmul and keeps only its LOCAL top-k per
+    query (same (score desc, corpus_id asc) composite order as the final
+    rank, so the union provably contains the global top-k); the window
+    rank then sees corpus_partitions * q * k rows, never corpus * q
+    (round-4 review fix: the old plan exploded every score into the
+    shuffle despite claiming this bound).
     """
     from ..conf import widen
 
     corpus = widen(corpus)
     qrows = _collect_queries(queries, qid_col, qvec_col)
-    qids = np.array([r[qid_col] for r in qrows])
+    qids = [r[qid_col] for r in qrows]
     qm = np.array([np.asarray(r[qvec_col], dtype=np.float32) for r in qrows])
     qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    ctype = corpus.schema[id_col].dataType.simpleString()
+    qtype = queries.schema[qid_col].dataType.simpleString()
+    kk = int(k)
 
-    @pandas_udf("array<struct<qid:long,score:double>>")
-    def _score(ids: pd.Series, vecs: pd.Series) -> pd.Series:
-        m = _to_matrix(vecs)
-        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        sims = mn @ qn.T  # (batch, q)
-        out = []
-        for i in range(len(ids)):
-            out.append([
-                {"qid": int(qids[j]), "score": float(sims[i, j])}
-                for j in range(len(qids))
-            ])
-        return pd.Series(out)
+    def _batch_topk(batches):
+        for pdf in batches:
+            m = _to_matrix(pdf[vec_col])
+            if not len(m):
+                continue
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                                1e-30)
+            sims = mn @ qn.T  # (batch, q)
+            frames = []
+            for j, q in enumerate(qids):
+                dfj = pd.DataFrame({"corpus_id": pdf["corpus_id"],
+                                    "score": sims[:, j].astype(np.float64)})
+                dfj = dfj.sort_values(
+                    ["score", "corpus_id"], ascending=[False, True],
+                    kind="mergesort").head(kk)
+                dfj.insert(1, "query_id", q)
+                frames.append(dfj)
+            yield pd.concat(frames, ignore_index=True)
 
-    scored = (
-        corpus.select(F.col(id_col).alias("corpus_id"), vec_col)
-        .withColumn("__s", _score(F.col("corpus_id"), F.col(vec_col)))
-        .select("corpus_id", F.explode("__s").alias("p"))
-        .select("corpus_id", F.col("p.qid").alias("query_id"),
-                F.col("p.score").alias("score"))
-    )
+    scored = corpus.select(
+        F.col(id_col).alias("corpus_id"), vec_col,
+    ).mapInPandas(
+        _batch_topk,
+        schema=f"corpus_id {ctype}, query_id {qtype}, score double")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("corpus_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -121,9 +150,23 @@ def lsh_signatures(df: DataFrame, vec_col: str = "embedding",
     return df.withColumn(out_col, _sig(F.col(vec_col)))
 
 
+def _check_band_geometry(nbits: int, bands: int) -> int:
+    """bits-per-band, validated: signatures live in a Spark long, so a
+    band may span at most 63 bits (a 64-bit mask/band value overflows
+    py4j's long conversion — round-4 review fix)."""
+    if bands <= 0 or nbits % bands:
+        raise ValueError(f"bands ({bands}) must divide nbits ({nbits})")
+    bpb = nbits // bands
+    if bpb > 63:
+        raise ValueError(
+            f"nbits/bands = {bpb} bits per band exceeds 63 (band values "
+            "are Spark longs); use more bands or fewer bits")
+    return bpb
+
+
 def _banded_sig(sig: DataFrame, nbits: int, bands: int) -> DataFrame:
     """(id, lsh_sig) -> exploded (id, band_id, band) bucket rows."""
-    bits_per_band = nbits // bands
+    bits_per_band = _check_band_geometry(nbits, bands)
     mask = (1 << bits_per_band) - 1
     return sig.select(
         "__id",
@@ -211,12 +254,12 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     qrows = _collect_queries(queries, qid_col, qvec_col, cap=4096)
     spark = corpus.sparkSession
-    qids = np.array([r[qid_col] for r in qrows])
+    qids = [r[qid_col] for r in qrows]
     qm = np.array([np.asarray(r[qvec_col], dtype=np.float32) for r in qrows])
     qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
     dim = qm.shape[1]
     H = _hyperplanes(dim, nbits, seed)
-    bits_per_band = nbits // bands
+    bits_per_band = _check_band_geometry(nbits, bands)
 
     qbits = (qn @ H.T) > 0  # (q, nbits)
     flip_sets = [()] + [
@@ -233,16 +276,11 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 v = base
                 for f in flips:
                     v ^= 1 << f
-                probe_rows.append((int(qids[qi]), bi, v))
-    probes = spark.createDataFrame(probe_rows, "query_id long, band_id int, band long")
-
-    @pandas_udf("double")
-    def _score1(qid: pd.Series, vecs: pd.Series) -> pd.Series:
-        qidx = {int(q): i for i, q in enumerate(qids)}
-        rows = np.array([qidx[int(q)] for q in qid], dtype=np.int64)
-        m = _to_matrix(vecs)
-        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        return pd.Series((mn * qn[rows]).sum(axis=1).astype(np.float64))
+                probe_rows.append((qids[qi], bi, v))
+    qtype = queries.schema[qid_col].dataType.simpleString()
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id {qtype}, band_id int, band long")
+    _score1 = _exact_scorer(qids, qn)
 
     sig = lsh_signatures(corpus, vec_col, nbits, seed, dim=dim).select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "lsh_sig")
@@ -381,7 +419,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     far better than the LSH S-curve on the same budget).
     """
     qrows = _collect_queries(queries, qid_col, qvec_col, cap=4096)
-    qids = np.array([r[qid_col] for r in qrows])
+    qids = [r[qid_col] for r in qrows]
     qm = np.array([np.asarray(r[qvec_col], dtype=np.float32) for r in qrows])
     qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
 
@@ -394,17 +432,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     spark = corpus.sparkSession
     qsims = qn @ centroids.T  # (q, k_c)
     top = np.argsort(-qsims, axis=1)[:, :n_probe]
-    probe_rows = [(int(qids[qi]), int(c))
+    probe_rows = [(qids[qi], int(c))
                   for qi in range(len(qids)) for c in top[qi]]
-    probes = spark.createDataFrame(probe_rows, "query_id long, ivf_cluster int")
-
-    @pandas_udf("double")
-    def _score1(qid: pd.Series, vecs: pd.Series) -> pd.Series:
-        qidx = {int(q): i for i, q in enumerate(qids)}
-        rows = np.array([qidx[int(q)] for q in qid], dtype=np.int64)
-        m = _to_matrix(vecs)
-        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        return pd.Series((mn * qn[rows]).sum(axis=1).astype(np.float64))
+    qtype = queries.schema[qid_col].dataType.simpleString()
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id {qtype}, ivf_cluster int")
+    _score1 = _exact_scorer(qids, qn)
 
     assigned = ivf_assign(
         corpus.select(F.col(id_col).alias("corpus_id"), vec_col),

@@ -67,6 +67,10 @@ class Pipeline:
         params = params or {}
         fp = _fingerprint(
             self.name, stage, json.dumps(params, sort_keys=True, default=str),
+            # the output layout is part of the stage identity: a resume
+            # must not return an unpartitioned parquet when the caller
+            # now asks for partition_by (round-4 review fix)
+            json.dumps(partition_by or []),
             *[self._fps[i] for i in inputs],
         )
         sdir = self._stage_dir(stage)
@@ -80,7 +84,13 @@ class Pipeline:
             ):
                 self._fps[stage] = fp
                 return self.spark.read.parquet(data_dir)
-        # (re)run
+        # (re)run. Invalidate the old meta FIRST: the data write below
+        # overwrites data_dir, and a crash between that write and the
+        # new meta write must not leave the previous fingerprint paired
+        # with the new data (a later resume under the old params would
+        # silently return the wrong stage output — round-4 review fix).
+        if os.path.exists(meta_path):
+            os.remove(meta_path)
         t0 = time.time()
         in_dfs = {i: self.spark.read.parquet(os.path.join(self._stage_dir(i), "data"))
                   for i in inputs}
@@ -102,12 +112,16 @@ class Pipeline:
             .withColumn("wall_sec", F.lit(float(wall)))
             .withColumn("ts", F.current_timestamp())
         )
-        lineage.write.mode("append").parquet(os.path.join(self.workdir, "_lineage"))
+        lin_rows = lineage.collect()
+        self.spark.createDataFrame(lin_rows, lineage.schema).write.mode(
+            "append").parquet(os.path.join(self.workdir, "_lineage"))
+        # row total from the already-collected lineage rows: out.count()
+        # here would re-scan the full stage output a second time
         with open(meta_path, "w") as f:
             json.dump(
                 {"fingerprint": fp, "stage": stage, "inputs": inputs,
                  "params": params, "wall_sec": wall,
-                 "rows": out.count()},
+                 "rows": int(sum(r["count"] for r in lin_rows))},
                 f, indent=2,
             )
         self._fps[stage] = fp

@@ -71,8 +71,18 @@ def _refine_keep(predicate: str, resolution: int, domain,
         from ..geom.wkb import from_wkb
         from ..index import cells as C
 
-        lb = from_wkb(lg)
-        rb = from_wkb(rg)
+        # candidate batches repeat the few static geometries' WKB for
+        # every stream row in their cells: decode UNIQUES once and
+        # gather — WKB parse is the hot cost (same pattern as the batch
+        # refine, operators/sjoin.py; round-4 review fix)
+        lcod, luniq = pd.factorize(lg, use_na_sentinel=False)
+        rcod, runiq = pd.factorize(rg, use_na_sentinel=False)
+        lb = from_wkb(pd.Series(luniq))
+        rb = from_wkb(pd.Series(runiq))
+        if len(luniq) != len(lg):
+            lb = lb.take(lcod)
+        if len(runiq) != len(rg):
+            rb = rb.take(rcod)
         ok = np.asarray(pairwise_predicate(predicate, lb, rb), dtype=bool)
         lbb = np.nan_to_num(bounds(lb))
         rbb = np.nan_to_num(bounds(rb))
@@ -123,9 +133,14 @@ def sjoin_stream(
     # plan-time stats on the BOUNDED static side: its largest bbox bounds
     # how coarse its per-row cover can fall, which is how deep the stream
     # side's ancestor chain must go to meet coarsened static rows
+    # nanvl: st_bounds emits NaN (not NULL) for empty/missing geometries
+    # and max() ranks NaN above every real width — one empty row would
+    # NaN the stats and crash _min_cover_res (round-4 review fix)
     s = (right.select(st_bounds(right_geom).alias("b"))
-         .agg(F.max(F.col("b.maxx") - F.col("b.minx")).alias("mw"),
-              F.max(F.col("b.maxy") - F.col("b.miny")).alias("mh"))
+         .agg(F.max(F.nanvl(F.col("b.maxx") - F.col("b.minx"),
+                            F.lit(0.0))).alias("mw"),
+              F.max(F.nanvl(F.col("b.maxy") - F.col("b.miny"),
+                            F.lit(0.0))).alias("mh"))
          .collect()[0])
     rmin_static = _min_cover_res(
         {"mw": float(s["mw"] or 0.0), "mh": float(s["mh"] or 0.0)},

@@ -107,6 +107,17 @@ def sjoin_nearest_stream(
         # coarser res actually present in the directory.
         res_list = np.unique(C.cell_res(uc)).tolist() if len(uc) else []
         coarse = [int(r) for r in res_list if r < resolution]
+        # directory cells split by res with their (i, j): the large-m
+        # probe path scans the (bounded, broadcast) directory instead of
+        # materializing a (2m+1)^2 disk — at res 12 an uncertified row
+        # would otherwise allocate gigabytes per doubling (round-4
+        # review fix)
+        dir_res = C.cell_res(uc) if len(uc) else np.empty(0, np.int8)
+        by_res = {}
+        for r in res_list:
+            selr = np.nonzero(dir_res == r)[0]
+            _, ui, uj = C.cell_ij(uc[selr])
+            by_res[int(r)] = (selr, ui, uj)
 
         def lookup(cells_flat):
             pos = np.minimum(np.searchsorted(uc, cells_flat), len(uc) - 1)
@@ -135,25 +146,50 @@ def sjoin_nearest_stream(
             # arrays per row lazily
             best_rows: list = [None] * n
             active = np.nonzero(ok_rows)[0]
+            _, lis, ljs = C.cell_ij(cells0)
             m = 1
             while len(active) and m <= 2 * grid_n:
-                disk = C.grid_disk(cells0[active], m)
+                # materialize the disk only while it is smaller than a
+                # directory scan; past that, select directory cells by
+                # index range per res (identical cell set: a res-r cell
+                # qualifies iff it is the ancestor of some disk cell,
+                # i.e. its (i, j) lies in the disk's shifted index box)
+                small_disk = (2 * m + 1) ** 2 <= max(4 * len(uc), 4096)
+                disk = C.grid_disk(cells0[active], m) if small_disk else None
                 newly = []
                 for ai, row in enumerate(active):
-                    dcells = np.unique(disk[ai])
-                    if coarse:
-                        dcells = np.unique(np.concatenate(
-                            [dcells] + [C.parent(dcells, resolution - r)
-                                        for r in coarse]))
-                    pos, cnt = lookup(dcells)
-                    if not cnt.sum():
-                        continue
                     from ..geom.ragged import _expand_ranges
 
-                    sel = cnt > 0
+                    if small_disk:
+                        dcells = np.unique(disk[ai])
+                        if coarse:
+                            dcells = np.unique(np.concatenate(
+                                [dcells] + [C.parent(dcells, resolution - r)
+                                            for r in coarse]))
+                        pos, cnt = lookup(dcells)
+                        if not cnt.sum():
+                            continue
+                        sel = cnt > 0
+                        pos_sel = pos[sel]
+                    else:
+                        li, lj = int(lis[row]), int(ljs[row])
+                        parts = []
+                        for r, (posr, ui, uj) in by_res.items():
+                            s = resolution - r
+                            loi = max(li - m, 0) >> s
+                            hii = (li + m) >> s
+                            loj = max(lj - m, 0) >> s
+                            hij = (lj + m) >> s
+                            msk = ((ui >= loi) & (ui <= hii)
+                                   & (uj >= loj) & (uj <= hij))
+                            if msk.any():
+                                parts.append(posr[msk])
+                        if not parts:
+                            continue
+                        pos_sel = np.concatenate(parts)
                     cand = np.unique(
-                        ridx[_expand_ranges(off_[pos[sel]],
-                                            off_[pos[sel]] + cnt[sel])])
+                        ridx[_expand_ranges(off_[pos_sel],
+                                            off_[pos_sel + 1])])
                     d = pairwise_distance(
                         lb.take(np.full(len(cand), row)), rb_all.take(cand))
                     mn = float(np.min(d))

@@ -531,3 +531,30 @@ def test_decontaminate(spark):
     assert rows[4]["n_overlap"] == 1 and not rows[4]["contaminated"]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_topk_string_query_ids(spark):
+    """Query ids keep their native type (round-4 review fix: int()
+    coercion crashed on string ids)."""
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((30, 8)).astype(np.float32)
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [f"c{i}" for i in range(30)],
+        "embedding": [v.tolist() for v in base]}))
+    queries = corpus.limit(2)
+    out = cosine_topk(corpus, queries, k=3).toPandas()
+    assert set(out.query_id) == {"c0", "c1"}
+    assert out.corpus_id.str.startswith("c").all()
+    out2 = lsh_topk(corpus, queries, k=3, nbits=16, bands=4).toPandas()
+    assert set(out2.query_id) <= {"c0", "c1"}
+    out3 = ivf_topk(corpus, queries, k=3, n_centroids=4, iters=1).toPandas()
+    assert set(out3.query_id) == {"c0", "c1"}
+
+
+def test_lsh_band_geometry_guard(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [0], "embedding": [[0.1] * 8]}))
+    with pytest.raises(ValueError, match="63"):
+        lsh_topk(df, df, nbits=64, bands=1)
+    with pytest.raises(ValueError, match="divide"):
+        embedding_near_dups(df, nbits=64, bands=5)

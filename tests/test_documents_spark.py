@@ -136,3 +136,36 @@ def test_pipeline_resume(docs, spark, tmp_path_factory):
     # lineage recorded for every stage run
     lin = pipe3.lineage()
     assert lin.filter(F.col("stage") == "geoms").count() >= 2
+
+
+def test_pipeline_meta_invalidation_and_partition_by(spark, tmp_path_factory):
+    """Round-4 review fixes: (a) changing partition_by re-runs the stage
+    (layout is part of the fingerprint); (b) a stale meta.json from a
+    different-params run never pairs with newer data."""
+    import json
+    import os
+
+    wd = str(tmp_path_factory.mktemp("pipe2"))
+    p = Pipeline(spark, wd, name="t2")
+
+    def gen(spark_, _ins, val=1):
+        return spark_.range(10).withColumn("k", F.col("id") % 2).withColumn(
+            "v", F.lit(val))
+
+    out1 = p.stage("s", lambda s, i: gen(s, i, 1), params={"val": 1})
+    assert out1.count() == 10
+    meta1 = json.load(open(os.path.join(wd, "s", "meta.json")))
+    # same params+layout -> skip (fingerprint stable)
+    p2 = Pipeline(spark, wd, name="t2")
+    p2.stage("s", lambda s, i: gen(s, i, 1), params={"val": 1})
+    assert json.load(open(os.path.join(wd, "s", "meta.json")))[
+        "fingerprint"] == meta1["fingerprint"]
+    # same params, NEW partition_by -> must re-run and partition
+    p3 = Pipeline(spark, wd, name="t2")
+    p3.stage("s", lambda s, i: gen(s, i, 1), params={"val": 1},
+             partition_by=["k"])
+    meta3 = json.load(open(os.path.join(wd, "s", "meta.json")))
+    assert meta3["fingerprint"] != meta1["fingerprint"]
+    assert any(d.startswith("k=") for d in
+               os.listdir(os.path.join(wd, "s", "data")))
+    assert meta3["rows"] == 10  # row total from lineage, not a rescan
