@@ -677,6 +677,71 @@ def q_decontaminate_docs(spark, sf_dir) -> DataFrame:
                       F.col("contaminated").cast("int").alias("contaminated"))
 
 
+def _interleaved_docs(spark, sf_dir) -> DataFrame:
+    """North-rule input table (BASELINE.json input_hint): doc_id +
+    spans array<struct<kind,text,media_ref,offset>>, built with pure
+    Catalyst expressions from orders so every derived quantity has a
+    closed-form DuckDB mirror. Span 0 is prose, span 1 carries a WKT
+    point with integer coordinates (string-exact across engines), span
+    2 is a media tile ref. (The numpy-RNG synthesizer in
+    sources/documents.py stays the pytest fixture path; this builder is
+    the SQL-oracle-able twin of the same shape.)"""
+    o = _load(spark, sf_dir, "orders")
+    o = o.withColumn(
+        "px", (F.col("o_orderkey") * _HA % F.lit(_M32) % 997).cast("long")
+    ).withColumn(
+        "py", (F.col("o_orderkey") * _HB % F.lit(_M32) % 983).cast("long")
+    )
+    wkt = F.concat(F.lit("POINT ("), F.col("px").cast("string"), F.lit(" "),
+                   F.col("py").cast("string"), F.lit(")"))
+    media = F.concat(F.lit("tile://7/"), (F.col("px") % 128).cast("string"),
+                     F.lit("/"), (F.col("py") % 128).cast("string"))
+    nul = F.lit(None).cast("string")
+    spans = F.array(
+        F.struct(F.lit("text").alias("kind"),
+                 F.col("o_orderpriority").alias("text"),
+                 nul.alias("media_ref"), F.lit(0).alias("offset")),
+        F.struct(F.lit("text").alias("kind"), wkt.alias("text"),
+                 nul.alias("media_ref"), F.lit(1).alias("offset")),
+        F.struct(F.lit("media").alias("kind"), nul.alias("text"),
+                 media.alias("media_ref"), F.lit(2).alias("offset")),
+    )
+    return o.select(
+        F.concat(F.lit("doc-"),
+                 F.lpad(F.col("o_orderkey").cast("string"), 12, "0")
+                 ).alias("doc_id"),
+        spans.alias("spans"))
+
+
+def q_spans_pipeline(spark, sf_dir) -> DataFrame:
+    """End-to-end north-rule pipeline over the input_hint table shape:
+    WKT extraction from text spans (sources/documents.with_geometry),
+    zoom-4 tile assignment (operators/tiles.to_tiles) over the integer
+    domain, media tile-ref parse, and the span-sequence invariant as a
+    checkable md5 fingerprint computed on the OUTPUT spans column — the
+    oracle rebuilds the serialization from the base table, so any span
+    mutation, drop, or reorder inside the pipeline hash-mismatches."""
+    from geopandas_spark.operators.tiles import to_tiles
+    from geopandas_spark.sources.documents import with_geometry
+
+    docs = _interleaved_docs(spark, sf_dir)
+    t = to_tiles(with_geometry(docs), zoom=4,
+                 domain=(0.0, 0.0, 997.0, 983.0), clip=False)
+    m = F.element_at(
+        F.filter("spans", lambda s: s["kind"] == F.lit("media")), 1
+    )["media_ref"]
+    ser = F.concat_ws("|", F.transform("spans", lambda s: F.concat_ws(
+        "#", s["kind"], F.coalesce(s["text"], F.lit("")),
+        F.coalesce(s["media_ref"], F.lit("")), s["offset"].cast("string"))))
+    return t.select(
+        "doc_id",
+        F.col("tile_id").alias("tile"),
+        F.regexp_extract(m, r"^tile://7/(\d+)/(\d+)$", 1).cast("long").alias("m_tx"),
+        F.regexp_extract(m, r"^tile://7/(\d+)/(\d+)$", 2).cast("long").alias("m_ty"),
+        F.md5(ser).alias("span_fp"),
+    )
+
+
 def q_shapefile_roundtrip(spark, sf_dir) -> DataFrame:
     """Shapefile out/in through the pure-numpy .shp/.shx/.dbf driver
     (io/file.py:28-34 'ESRI Shapefile'; sources/shapefile.py): part
@@ -1454,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_stats": q_media_audio_stats,
         "media_video_frames": q_media_video_frames,
         "decontaminate_docs": q_decontaminate_docs,
+        "spans_pipeline": q_spans_pipeline,
         # -- checked in r3, keep under the gate
         "sjoin_points_in_rects": q_sjoin_points_in_rects,
         "sjoin_count_by_rect": q_sjoin_count_by_rect,
@@ -1928,6 +1994,27 @@ def oracle_sql() -> dict[str, str]:
                    8 + (c_custkey % 9) AS w,
                    8 + ((c_custkey // 9) % 7) AS h
             FROM customer
+        """,
+        "spans_pipeline": f"""
+            WITH d AS (
+              SELECT o_orderkey,
+                     (o_orderkey * 2654435761 % 4294967296) % 997 AS px,
+                     (o_orderkey * 2246822519 % 4294967296) % 983 AS py,
+                     o_orderpriority
+              FROM orders
+            )
+            SELECT concat('doc-', lpad(CAST(o_orderkey AS VARCHAR), 12, '0'))
+                       AS doc_id,
+                   {_morton_sql('(px / 997.0)', '(py / 983.0)', 4)} AS tile,
+                   px % 128 AS m_tx,
+                   py % 128 AS m_ty,
+                   md5(concat(
+                     'text#', o_orderpriority, '##0',
+                     '|text#POINT (', CAST(px AS VARCHAR), ' ',
+                     CAST(py AS VARCHAR), ')##1',
+                     '|media##tile://7/', CAST(px % 128 AS VARCHAR), '/',
+                     CAST(py % 128 AS VARCHAR), '#2')) AS span_fp
+            FROM d
         """,
         "decontaminate_docs": r"""
             WITH toks AS (

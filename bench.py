@@ -70,6 +70,7 @@ def main():
         "decontaminate_docs",
         "media_image_stats",
         "media_audio_stats",
+        "spans_pipeline",
     ]
     # Warmup pass (not timed, disclosed in the output JSON): this sandbox
     # runs on lazily-provisioned VM memory where the first touch of every

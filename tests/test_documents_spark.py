@@ -101,6 +101,29 @@ def test_tiles_roundtrip(docs, spark):
         assert r["miny"] >= tb[k, 1] - eps and r["maxy"] <= tb[k, 3] + eps
 
 
+def test_spans_pipeline_gate_invariant(spark):
+    """The driver-gate spans_pipeline query (the SQL-oracle-able twin of
+    the synthesizer shape) must keep one output row per doc and carry a
+    span fingerprint identical to one computed on the INPUT table —
+    i.e. the spans column rides through extraction + tiling untouched."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    docs = E._interleaved_docs(spark, sf)
+    out = E.q_spans_pipeline(spark, sf)
+    assert out.count() == docs.count()  # integer coords: exactly 1 tile/doc
+    ser = F.md5(F.concat_ws("|", F.transform("spans", lambda s: F.concat_ws(
+        "#", s["kind"], F.coalesce(s["text"], F.lit("")),
+        F.coalesce(s["media_ref"], F.lit("")), s["offset"].cast("string")))))
+    pre = docs.select("doc_id", ser.alias("fp_in"))
+    n_bad = (out.join(pre, "doc_id")
+             .filter(F.col("span_fp") != F.col("fp_in")).count())
+    assert n_bad == 0
+
+
 def test_raster_vector_bridge(docs, spark):
     g = with_geometry(docs).filter(F.col("geometry").isNotNull()).limit(10)
     r = rasterize(g, zoom=2, pixels=8)
