@@ -357,6 +357,23 @@ def q_quality_ratios(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark, sf_dir) -> DataFrame:
+    """Gopher-style repetition filters (operators/textstats.
+    repetition_stats): duplicate-word fraction + most-frequent-bigram
+    count per document, pure Catalyst (the top-gram count is a linear
+    run-length scan over the sorted gram array — no explode/shuffle);
+    the oracle recomputes it with an unnest + group-by."""
+    from geopandas_spark.operators.textstats import repetition_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    r = repetition_stats(docs, n=2)
+    return r.select(
+        "doc_id", "n_words", "n_distinct_words",
+        F.col("top_2gram_n"),
+        F.round("dup_word_frac", 9).alias("dup_word_frac"),
+    )
+
+
 def q_fingerprint(spark, sf_dir) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
@@ -1520,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_frames": q_media_video_frames,
         "decontaminate_docs": q_decontaminate_docs,
         "spans_pipeline": q_spans_pipeline,
+        "repetition_stats": q_repetition_stats,
         # -- checked in r3, keep under the gate
         "sjoin_points_in_rects": q_sjoin_points_in_rects,
         "sjoin_count_by_rect": q_sjoin_count_by_rect,
@@ -1994,6 +2012,30 @@ def oracle_sql() -> dict[str, str]:
                    8 + (c_custkey % 9) AS w,
                    8 + ((c_custkey // 9) % 7) AS h
             FROM customer
+        """,
+        "repetition_stats": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS w
+              FROM documents
+            ), g AS (
+              SELECT doc_id, concat(w[CAST(i AS BIGINT)], ' ',
+                                    w[CAST(i + 1 AS BIGINT)]) AS gram
+              FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+              WHERE len(w) >= 2
+            ), topg AS (
+              SELECT doc_id, max(c) AS top_2gram_n FROM (
+                SELECT doc_id, gram, count(*) AS c
+                FROM g GROUP BY doc_id, gram)
+              GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   len(w) AS n_words,
+                   len(list_distinct(w)) AS n_distinct_words,
+                   coalesce(top_2gram_n, 0) AS top_2gram_n,
+                   round(1.0 - len(list_distinct(w))
+                             / CAST(len(w) AS DOUBLE), 9) AS dup_word_frac
+            FROM toks t LEFT JOIN topg USING (doc_id)
         """,
         "spans_pipeline": f"""
             WITH d AS (

@@ -100,6 +100,65 @@ def lang_id(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, _lid(F.col(text_col)))
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     n: int = 2) -> DataFrame:
+    """Gopher-style intra-document repetition signals — the standard
+    training-corpus quality filters for boilerplate / SEO-spam text
+    (Rae et al. 2021 §A1.1 'repetition removal'). Adds
+
+      n_words          whitespace word count (lowercased, trimmed)
+      n_distinct_words distinct words
+      dup_word_frac    1 - n_distinct_words / n_words
+      top_ngram_n      occurrences of the MOST frequent word n-gram
+      top_ngram_frac   top_ngram_n / (n_words - n + 1)
+      dup_line_frac    1 - distinct lines / lines (newline-split)
+
+    Everything is pure Catalyst (split / higher-order functions): the top
+    n-gram count is a linear run-length scan over the SORTED gram array
+    (aggregate over array_sort), so no per-document explode, no shuffle —
+    at corpus scale this is a map-only stage that whole-stage codegen
+    fuses with the scan."""
+    t = F.col(text_col)
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    nw = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(words))
+    grams = F.when(
+        nw >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    acc0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+
+    def _merge(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(g.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    top_n = F.aggregate(F.array_sort(grams), acc0, _merge,
+                        lambda acc: acc["best"])
+    ndw = F.size(F.array_distinct(words))
+    lines = F.split(t, r"\n")
+    nl = F.size(lines)
+    return (
+        df.withColumn("n_words", nw)
+        .withColumn("n_distinct_words",
+                    F.when(nw == 0, F.lit(0)).otherwise(ndw))
+        .withColumn("dup_word_frac",
+                    F.when(nw == 0, F.lit(0.0))
+                    .otherwise(1.0 - ndw / nw.cast("double")))
+        .withColumn(f"top_{n}gram_n", top_n)
+        .withColumn(
+            f"top_{n}gram_frac",
+            F.when(nw < n, F.lit(0.0))
+            .otherwise(top_n / (nw - F.lit(n - 1)).cast("double")))
+        .withColumn("dup_line_frac",
+                    1.0 - F.size(F.array_distinct(lines)) / nl.cast("double"))
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 out_col: str = "doc_fp") -> DataFrame:
     """64-bit content fingerprint of normalized text — pure Catalyst

@@ -97,6 +97,38 @@ def test_lang_id(corpus):
     assert out.lang_pred[6] == "und"
 
 
+def test_repetition_stats(spark):
+    from geopandas_spark.operators.textstats import repetition_stats
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",   # 'the' twice
+        "spam spam spam spam spam",                      # max repetition
+        "a b a b a b",                                   # 'a b' x3 bigrams
+        "unique words only here",
+        "",
+        "one",                                           # fewer words than n
+        "line\nline\nother",                             # duplicate lines
+    ]
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    out = repetition_stats(df, n=2).toPandas().set_index("doc_id")
+    assert out.n_words[0] == 9 and out.n_distinct_words[0] == 8
+    assert abs(out.dup_word_frac[0] - 1 / 9) < 1e-12
+    assert out.top_2gram_n[0] == 1
+    # 'spam spam' appears 4 times out of 4 bigrams
+    assert out.top_2gram_n[1] == 4 and out.top_2gram_frac[1] == 1.0
+    assert out.n_distinct_words[1] == 1
+    # alternating: 'a b' 3x, 'b a' 2x over 5 bigrams
+    assert out.top_2gram_n[2] == 3
+    assert abs(out.top_2gram_frac[2] - 0.6) < 1e-12
+    assert out.dup_word_frac[3] == 0.0 and out.top_2gram_n[3] == 1
+    assert out.n_words[4] == 0 and out.top_2gram_n[4] == 0
+    assert out.dup_word_frac[4] == 0.0 and out.top_2gram_frac[4] == 0.0
+    assert out.n_words[5] == 1 and out.top_2gram_n[5] == 0
+    assert abs(out.dup_line_frac[6] - 1 / 3) < 1e-12
+    assert out.dup_line_frac[0] == 0.0
+
+
 def test_fingerprint_normalizes_whitespace(spark):
     df = spark.createDataFrame(pd.DataFrame({
         "doc_id": [0, 1], "text": ["Hello  World", "hello world"]}))

@@ -55,6 +55,11 @@ N_VECS = int(os.environ.get("SCALING_N_VECS", "1000000"))
 # polygons/side keeps the GH kernel (the compute) dominant over the
 # per-call floor
 N_POLYS = int(os.environ.get("SCALING_N_POLYS", "60000"))
+# spans job: interleaved (doc_id, spans) documents per the BASELINE.json
+# input_hint — WKT extraction from text spans + zoom-4 tiling + the
+# span-fingerprint invariant, i.e. the north-rule pipeline measured on
+# the north-rule input shape. Map-only (no shuffle), Arrow-batched.
+N_SPAN_DOCS = int(os.environ.get("SCALING_N_SPAN_DOCS", "4000000"))
 SIDE_SCALE = float(os.environ.get("SCALING_SIDE_SCALE", "1.0"))
 _M32 = 4294967296
 _HA, _HB = 2654435761, 2246822519
@@ -65,9 +70,10 @@ _HA, _HB = 2654435761, 2246822519
 # BENCH_PARTIAL.md instead so they can't clobber this table.
 DEFAULT_JOBS = ("sjoin_intersects", "sjoin_nearest_knn",
                 "minhash_near_dups", "ivf_topk")
-# optional extra jobs, runnable via SCALING_JOBS (results land in
-# BENCH_PARTIAL.md so the default table stays protected)
-ALL_JOBS = DEFAULT_JOBS + ("overlay_star",)
+# optional extra jobs, runnable via SCALING_JOBS (results land in a
+# per-selection BENCH_PARTIAL_<jobs>.md so neither the default table nor
+# an earlier partial report gets clobbered)
+ALL_JOBS = DEFAULT_JOBS + ("overlay_star", "spans_pipeline")
 
 
 def _build_inputs(spark, n_points: int, n_rects: int):
@@ -158,6 +164,7 @@ def run_level(cpus: int, job: str | None = None) -> dict:
     out = {"cpus": cpus, "n_points": N_POINTS, "n_points_knn": N_POINTS_KNN,
            "n_rects": N_RECTS, "n_rects_knn": N_RECTS_KNN,
            "n_docs": N_DOCS, "n_vecs": N_VECS, "n_polys": N_POLYS,
+           "n_span_docs": N_SPAN_DOCS,
            "host_calib_mips": round(calibrate(cpus), 1)}
 
     wanted = set(DEFAULT_JOBS) if job is None else {job}
@@ -217,6 +224,37 @@ def run_level(cpus: int, job: str | None = None) -> dict:
         qvecs = vecs.filter(F.col("vec_id") < 64).persist()
         qvecs.count()
 
+    sdocs = None
+    if "spans_pipeline" in wanted:
+        # the Catalyst twin of __spark_entry__._interleaved_docs, scaled
+        # over spark.range (id+1 stands in for o_orderkey)
+        base = spark.range(N_SPAN_DOCS).withColumn(
+            "px", ((F.col("id") + 1) * _HA % F.lit(_M32) % 997).cast("long")
+        ).withColumn(
+            "py", ((F.col("id") + 1) * _HB % F.lit(_M32) % 983).cast("long"))
+        wkt_s = F.concat(F.lit("POINT ("), F.col("px").cast("string"),
+                         F.lit(" "), F.col("py").cast("string"), F.lit(")"))
+        media = F.concat(F.lit("tile://7/"),
+                         (F.col("px") % 128).cast("string"), F.lit("/"),
+                         (F.col("py") % 128).cast("string"))
+        nul = F.lit(None).cast("string")
+        spans = F.array(
+            F.struct(F.lit("text").alias("kind"),
+                     F.concat(F.lit("prose-"),
+                              (F.col("id") % 5).cast("string")).alias("text"),
+                     nul.alias("media_ref"), F.lit(0).alias("offset")),
+            F.struct(F.lit("text").alias("kind"), wkt_s.alias("text"),
+                     nul.alias("media_ref"), F.lit(1).alias("offset")),
+            F.struct(F.lit("media").alias("kind"), nul.alias("text"),
+                     media.alias("media_ref"), F.lit(2).alias("offset")),
+        )
+        sdocs = base.select(
+            F.concat(F.lit("doc-"),
+                     F.lpad((F.col("id") + 1).cast("string"), 12, "0")
+                     ).alias("doc_id"),
+            spans.alias("spans")).persist()
+        sdocs.count()
+
     polyA = polyB = None
     if "overlay_star" in wanted:
         _, ra_ = _build_inputs(spark, 1, N_POLYS)
@@ -261,6 +299,19 @@ def run_level(cpus: int, job: str | None = None) -> dict:
         return ivf_topk(vecs, qvecs, k=10, n_centroids=64, n_probe=8,
                         iters=3).count()
 
+    def run_spans():
+        from geopandas_spark.operators.tiles import to_tiles
+        from geopandas_spark.sources.documents import with_geometry
+
+        t = to_tiles(with_geometry(sdocs), zoom=4,
+                     domain=(0.0, 0.0, 997.0, 983.0), clip=False)
+        ser = F.concat_ws("|", F.transform("spans", lambda s: F.concat_ws(
+            "#", s["kind"], F.coalesce(s["text"], F.lit("")),
+            F.coalesce(s["media_ref"], F.lit("")),
+            s["offset"].cast("string"))))
+        return t.select("doc_id", "tile_id",
+                        F.md5(ser).alias("span_fp")).count()
+
     # one full-size untimed warmup pass per job (page-fault + JIT tax of
     # this lazily-provisioned-VM sandbox, disclosed in BENCH.md), then
     # best-of-N timed passes: wall-clock noise here is +-3x, min is the
@@ -268,7 +319,7 @@ def run_level(cpus: int, job: str | None = None) -> dict:
     reps = int(os.environ.get("SCALING_REPS", "2"))
     jobs = (("sjoin_intersects", run_sjoin), ("sjoin_nearest_knn", run_knn),
             ("minhash_near_dups", run_minhash), ("ivf_topk", run_ivf),
-            ("overlay_star", run_overlay))
+            ("overlay_star", run_overlay), ("spans_pipeline", run_spans))
     jobs = tuple(j for j in jobs if j[0] in wanted)
     for name, fn in jobs:
         fn()  # warmup
@@ -338,7 +389,7 @@ def main():
     # compare against the actual default set, not a count — any custom
     # SCALING_JOBS goes to BENCH_PARTIAL.md
     fname = ("BENCH.md" if tuple(sorted(jobs)) == tuple(sorted(DEFAULT_JOBS))
-             else "BENCH_PARTIAL.md")
+             else "BENCH_PARTIAL_" + "_".join(sorted(jobs)) + ".md")
     report(results, fname)
 
 
