@@ -124,6 +124,24 @@ def test_spans_pipeline_gate_invariant(spark):
     assert n_bad == 0
 
 
+def test_spans_pipeline_plan_is_map_only(spark):
+    """The interleaved-docs pipeline (extract + tile + fingerprint) must
+    not shuffle by key: the only allowed Exchange is conf.widen's
+    round-robin parallelization of a one-file local input, which is a
+    no-op at scale (widen skips inputs that already have enough
+    partitions). A Hash/RangePartitioning Exchange here would mean the
+    pipeline stopped being embarrassingly parallel."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    df = E.q_spans_pipeline(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashPartitioning" not in plan
+    assert "RangePartitioning" not in plan
+
+
 def test_raster_vector_bridge(docs, spark):
     g = with_geometry(docs).filter(F.col("geometry").isNotNull()).limit(10)
     r = rasterize(g, zoom=2, pixels=8)
