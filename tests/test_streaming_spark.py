@@ -293,3 +293,33 @@ def test_sjoin_stream_coarse_covers_exact(spark):
             for r in out.select("lid", "index_right").collect()]
     assert len(rows) == len(set(rows)), "duplicate pairs leaked"
     assert sorted(rows) == expected
+
+
+def test_spans_pipeline_stream_matches_batch(spark, tmpdir):
+    """The interleaved-documents pipeline (north-rule input shape) is
+    stateless map-only, so it must run unchanged on a readStream source:
+    WKT span extraction + zoom-4 tiling + the span fingerprint, stream
+    (file source, AvailableNow, append) == batch, row for row."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+    from geopandas_spark.operators.tiles import to_tiles
+    from geopandas_spark.sources.documents import with_geometry
+
+    docs = E._interleaved_docs(spark, "/root/testdata/sf0.001").limit(400)
+
+    def pipeline(d):
+        t = to_tiles(with_geometry(d), zoom=4,
+                     domain=(0.0, 0.0, 997.0, 983.0), clip=False)
+        ser = F.concat_ws("|", F.transform("spans", lambda s: F.concat_ws(
+            "#", s["kind"], F.coalesce(s["text"], F.lit("")),
+            F.coalesce(s["media_ref"], F.lit("")),
+            s["offset"].cast("string"))))
+        return t.select("doc_id", "tile_id", F.md5(ser).alias("span_fp"))
+
+    batch = pipeline(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    stream_src = _stream_rows(spark, docs, tmpdir, "spans")
+    got = _run_to_memory(pipeline(stream_src), spark, "spans_out", tmpdir)
+    out = got.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, batch)
