@@ -739,7 +739,8 @@ def q_spans_pipeline(spark, sf_dir) -> DataFrame:
     oracle rebuilds the serialization from the base table, so any span
     mutation, drop, or reorder inside the pipeline hash-mismatches."""
     from geopandas_spark.operators.tiles import to_tiles
-    from geopandas_spark.sources.documents import with_geometry
+    from geopandas_spark.sources.documents import (
+        span_serial_fingerprint, with_geometry)
 
     docs = _interleaved_docs(spark, sf_dir)
     t = to_tiles(with_geometry(docs), zoom=4,
@@ -747,15 +748,13 @@ def q_spans_pipeline(spark, sf_dir) -> DataFrame:
     m = F.element_at(
         F.filter("spans", lambda s: s["kind"] == F.lit("media")), 1
     )["media_ref"]
-    ser = F.concat_ws("|", F.transform("spans", lambda s: F.concat_ws(
-        "#", s["kind"], F.coalesce(s["text"], F.lit("")),
-        F.coalesce(s["media_ref"], F.lit("")), s["offset"].cast("string"))))
+    media_re = r"^tile://7/(\d+)/(\d+)$"
     return t.select(
         "doc_id",
         F.col("tile_id").alias("tile"),
-        F.regexp_extract(m, r"^tile://7/(\d+)/(\d+)$", 1).cast("long").alias("m_tx"),
-        F.regexp_extract(m, r"^tile://7/(\d+)/(\d+)$", 2).cast("long").alias("m_ty"),
-        F.md5(ser).alias("span_fp"),
+        F.regexp_extract(m, media_re, 1).cast("long").alias("m_tx"),
+        F.regexp_extract(m, media_re, 2).cast("long").alias("m_ty"),
+        span_serial_fingerprint("spans").alias("span_fp"),
     )
 
 
@@ -2016,7 +2015,13 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": r"""
             WITH toks AS (
               SELECT doc_id,
-                     string_split_regex(lower(trim(text)), '\s+') AS w
+                     CASE WHEN regexp_replace(lower(coalesce(text, '')),
+                                              '^\s+|\s+$', '', 'g') = ''
+                          THEN []::VARCHAR[]
+                          ELSE string_split_regex(
+                                 regexp_replace(lower(coalesce(text, '')),
+                                                '^\s+|\s+$', '', 'g'),
+                                 '\s+') END AS w
               FROM documents
             ), g AS (
               SELECT doc_id, concat(w[CAST(i AS BIGINT)], ' ',
@@ -2033,8 +2038,10 @@ def oracle_sql() -> dict[str, str]:
                    len(w) AS n_words,
                    len(list_distinct(w)) AS n_distinct_words,
                    coalesce(top_2gram_n, 0) AS top_2gram_n,
-                   round(1.0 - len(list_distinct(w))
-                             / CAST(len(w) AS DOUBLE), 9) AS dup_word_frac
+                   CASE WHEN len(w) = 0 THEN 0.0
+                        ELSE round(1.0 - len(list_distinct(w))
+                                 / CAST(len(w) AS DOUBLE), 9)
+                   END AS dup_word_frac
             FROM toks t LEFT JOIN topg USING (doc_id)
         """,
         "spans_pipeline": f"""

@@ -495,19 +495,22 @@ def ngram_jaccard(df: DataFrame, text_col: str = "text",
     if max_df is not None:
         dfreq = ng.groupBy("__g").agg(F.count("*").alias("__df"))
         keep = dfreq.filter(F.col("__df") <= int(max_df)).select("__g")
-        ng = ng.join(keep, on="__g", how="left_semi")
         # A gram occurring in a single document cannot contribute to any
-        # |A ∩ B|, so the self-join sides additionally drop df==1 grams.
+        # |A ∩ B|, so the self-join sides additionally drop df==1 grams —
+        # ONE semi-join of the checkpointed gram table against the
+        # [2, max_df] set (df<=max_df is subsumed, no stacked joins).
         # Free here because ``dfreq`` is already paid for by the max_df
         # guard; measured a NET LOSS when max_df is None (the df
         # aggregation is itself a full gram shuffle the plan otherwise
         # never does — A/B at 200k sparse docs: 3.1 s -> 5.0 s), so the
         # prune stays conditional. ``counts`` below keeps the full
-        # per-doc totals, so jaccard values are unchanged.
+        # (max_df-filtered) per-doc totals, so jaccard values are
+        # unchanged.
         ngj = ng.join(
             dfreq.filter((F.col("__df") >= 2)
                          & (F.col("__df") <= int(max_df))).select("__g"),
             on="__g", how="left_semi")
+        ng = ng.join(keep, on="__g", how="left_semi")
     counts = ng.groupBy("__id").agg(F.count("*").alias("__n"))
     inter = (
         ngj.alias("a").join(ngj.alias("b"), on="__g")

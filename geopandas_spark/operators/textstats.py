@@ -118,9 +118,15 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     (aggregate over array_sort), so no per-document explode, no shuffle —
     at corpus scale this is a map-only stage that whole-stage codegen
     fuses with the scan."""
-    t = F.col(text_col)
-    words = F.split(F.lower(F.trim(t)), r"\s+")
-    nw = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(words))
+    # NULL-safe and whitespace-exact: F.trim strips only ASCII spaces, so
+    # a trailing tab/newline (ubiquitous in scraped corpora) would leave
+    # a phantom '' token after the split and inflate every count — strip
+    # \s at both ends with a regex instead (review finding, pinned in
+    # test_repetition_stats).
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    stripped = F.regexp_replace(F.lower(t), r"^\s+|\s+$", "")
+    words = F.split(stripped, r"\s+")
+    nw = F.when(F.length(stripped) == 0, F.lit(0)).otherwise(F.size(words))
     grams = F.when(
         nw >= n,
         F.transform(

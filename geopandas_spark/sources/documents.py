@@ -138,6 +138,19 @@ def explode_geometries(docs: DataFrame, geom_col: str = "geometry") -> DataFrame
     ).filter(F.col(geom_col).isNotNull())
 
 
+def span_serial_fingerprint(spans_col: str = "spans"):
+    """Column: md5 of the canonical span serialization — '|'-joined
+    'kind#text#media_ref#offset' with nulls coalesced to ''. Unlike
+    ``span_fingerprint`` (xxhash64 over to_json, Spark-only), this form
+    is mirrorable in plain SQL (md5 + concat exist in any engine), so it
+    is the invariant column the driver oracle checks. Single source of
+    truth for the gate query, the scaling bench, and the streaming
+    parity test."""
+    return F.md5(F.concat_ws("|", F.transform(spans_col, lambda s: F.concat_ws(
+        "#", s["kind"], F.coalesce(s["text"], F.lit("")),
+        F.coalesce(s["media_ref"], F.lit("")), s["offset"].cast("string")))))
+
+
 def span_fingerprint(docs: DataFrame, out_col: str = "span_fp") -> DataFrame:
     """Order-sensitive fingerprint of (kind, text, media_ref, offset) per
     row — the per-row invariant check column (north rule). Pure Catalyst

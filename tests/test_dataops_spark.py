@@ -108,6 +108,9 @@ def test_repetition_stats(spark):
         "",
         "one",                                           # fewer words than n
         "line\nline\nother",                             # duplicate lines
+        "hello world\n",                    # trailing newline: no phantom ''
+        "\thi",                             # leading tab: no phantom ''
+        None,                               # NULL text: all-zero stats
     ]
     df = spark.createDataFrame(pd.DataFrame(
         {"doc_id": range(len(texts)), "text": texts}))
@@ -127,6 +130,14 @@ def test_repetition_stats(spark):
     assert out.n_words[5] == 1 and out.top_2gram_n[5] == 0
     assert abs(out.dup_line_frac[6] - 1 / 3) < 1e-12
     assert out.dup_line_frac[0] == 0.0
+    # whitespace-exact tokenization: trailing \n / leading \t must not
+    # create phantom '' words (F.trim strips only spaces)
+    assert out.n_words[7] == 2 and out.top_2gram_n[7] == 1
+    assert out.top_2gram_frac[7] == 1.0
+    assert out.n_words[8] == 1 and out.n_distinct_words[8] == 1
+    # NULL text: deterministic all-zero stats, not NaN
+    assert out.n_words[9] == 0 and out.n_distinct_words[9] == 0
+    assert out.dup_word_frac[9] == 0.0 and out.top_2gram_n[9] == 0
 
 
 def test_fingerprint_normalizes_whitespace(spark):

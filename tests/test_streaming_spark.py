@@ -305,18 +305,20 @@ def test_spans_pipeline_stream_matches_batch(spark, tmpdir):
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as E
     from geopandas_spark.operators.tiles import to_tiles
-    from geopandas_spark.sources.documents import with_geometry
+    from geopandas_spark.sources.documents import (
+        span_serial_fingerprint, with_geometry)
 
-    docs = E._interleaved_docs(spark, "/root/testdata/sf0.001").limit(400)
+    # orderBy before limit: a bare LIMIT makes no cross-execution
+    # determinism promise, and the batch path and the stream-source
+    # write evaluate this plan independently
+    docs = (E._interleaved_docs(spark, "/root/testdata/sf0.001")
+            .orderBy("doc_id").limit(400))
 
     def pipeline(d):
         t = to_tiles(with_geometry(d), zoom=4,
                      domain=(0.0, 0.0, 997.0, 983.0), clip=False)
-        ser = F.concat_ws("|", F.transform("spans", lambda s: F.concat_ws(
-            "#", s["kind"], F.coalesce(s["text"], F.lit("")),
-            F.coalesce(s["media_ref"], F.lit("")),
-            s["offset"].cast("string"))))
-        return t.select("doc_id", "tile_id", F.md5(ser).alias("span_fp"))
+        return t.select("doc_id", "tile_id",
+                        span_serial_fingerprint("spans").alias("span_fp"))
 
     batch = pipeline(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
     stream_src = _stream_rows(spark, docs, tmpdir, "spans")

@@ -301,16 +301,14 @@ def run_level(cpus: int, job: str | None = None) -> dict:
 
     def run_spans():
         from geopandas_spark.operators.tiles import to_tiles
-        from geopandas_spark.sources.documents import with_geometry
+        from geopandas_spark.sources.documents import (
+            span_serial_fingerprint, with_geometry)
 
         t = to_tiles(with_geometry(sdocs), zoom=4,
                      domain=(0.0, 0.0, 997.0, 983.0), clip=False)
-        ser = F.concat_ws("|", F.transform("spans", lambda s: F.concat_ws(
-            "#", s["kind"], F.coalesce(s["text"], F.lit("")),
-            F.coalesce(s["media_ref"], F.lit("")),
-            s["offset"].cast("string"))))
-        return t.select("doc_id", "tile_id",
-                        F.md5(ser).alias("span_fp")).count()
+        return t.select(
+            "doc_id", "tile_id",
+            span_serial_fingerprint("spans").alias("span_fp")).count()
 
     # one full-size untimed warmup pass per job (page-fault + JIT tax of
     # this lazily-provisioned-VM sandbox, disclosed in BENCH.md), then
