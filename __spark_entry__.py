@@ -2068,7 +2068,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": r"""
             WITH toks AS (
               SELECT doc_id,
-                     string_split_regex(lower(trim(text)), '\s+') AS t
+                     string_split_regex(regexp_replace(lower(text),
+                       '^\s+|\s+$', '', 'g'), '\s+') AS t
               FROM documents
             ), ng AS (
               SELECT DISTINCT doc_id,
@@ -2141,7 +2142,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": r"""
             WITH toks AS (
               SELECT doc_id,
-                     string_split_regex(lower(trim(text)), '\s+') AS t
+                     string_split_regex(regexp_replace(lower(text),
+                       '^\s+|\s+$', '', 'g'), '\s+') AS t
               FROM documents
             ), ng AS (
               SELECT DISTINCT doc_id,

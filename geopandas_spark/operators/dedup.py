@@ -432,7 +432,11 @@ def _word_ngrams(text_col: str, n: int):
     contribute their whole text as one gram (so they still participate
     in overlap checks). Shared by ngram_jaccard and decontaminate; the
     SQL oracles mirror this expression exactly."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # regex-strip the ends (F.trim removes only ASCII spaces: a trailing
+    # newline/tab would otherwise leave a phantom '' token in every gram)
+    toks = F.split(
+        F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""),
+        r"\s+")
     return F.when(
         F.size(toks) >= n,
         F.array_distinct(F.transform(

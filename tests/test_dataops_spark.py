@@ -64,6 +64,18 @@ def test_ngram_jaccard(corpus):
     assert not any(3 in p for p in got)            # unrelated doc
 
 
+def test_word_ngrams_edge_whitespace(spark):
+    """A trailing newline must not change a document's gram set (F.trim
+    strips only spaces; the tokenizer regex-strips all \\s)."""
+    from geopandas_spark.operators.dedup import ngram_jaccard
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["alpha beta gamma delta", "alpha beta gamma delta\n"]}))
+    pairs = ngram_jaccard(df, "text", "doc_id", n=3, threshold=0.9).toPandas()
+    assert len(pairs) == 1 and pairs.jaccard[0] == 1.0
+
+
 def test_hot_bucket_star_mitigation(spark):
     """10k identical docs: candidate pairs stay O(n), not O(n^2), and the
     duplicates remain transitively linked through the representative."""
