@@ -8,6 +8,7 @@ with ``np.fromstring``-style splits, not float-at-a-time.
 
 from __future__ import annotations
 
+import math
 import re
 import warnings
 
@@ -231,6 +232,10 @@ def _fmt_num(v: float, rounding: int | None) -> str:
     if rounding is not None:
         v = round(v, rounding)
     if v == int(v) and abs(v) < 1e15:
+        # preserve the IEEE sign of negative zero (printf '%g' parity):
+        # dropping it makes to_wkt->from_wkt flip the WKB sign bit
+        if v == 0 and math.copysign(1.0, v) < 0:
+            return "-0"
         return str(int(v))
     return repr(float(v))
 

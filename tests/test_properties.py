@@ -1,0 +1,160 @@
+"""Property-based tests (hypothesis) over the pure-numpy geometry
+kernels — no Spark session, so hundreds of random shapes run in
+seconds. Each property is an algebraic invariant the reference engine
+satisfies by construction (GEOS); ours must too:
+
+  * codec roundtrips are lossless (WKB bytes stable, WKT coords exact)
+  * inclusion-exclusion: area(A∩B) + area(A∪B) = area(A) + area(B)
+  * difference complements: area(A\\B) = area(A) - area(A∩B)
+  * clip_by_rect stays inside the window and never grows area
+  * convex hull contains every input vertex and never shrinks area
+  * Morton encode/decode is a bijection on the 28-bit grid
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from geopandas_spark.geom import kernels as K
+from geopandas_spark.geom import transforms as T
+from geopandas_spark.geom import wkb as B
+from geopandas_spark.geom import wkt as W
+from geopandas_spark.geom.clipping import pairwise_boolean
+from geopandas_spark.index.cells import morton_decode, morton_encode
+
+# ---------------------------------------------------------------------------
+# strategies
+
+_coord = st.floats(min_value=-1000.0, max_value=1000.0,
+                   allow_nan=False, allow_infinity=False, width=64)
+
+
+@st.composite
+def convex_polygon_wkt(draw):
+    """Convex polygon: k sorted angles on a circle of random radius —
+    convexity guaranteed, CCW ring, closed."""
+    k = draw(st.integers(min_value=3, max_value=12))
+    cx = draw(_coord)
+    cy = draw(_coord)
+    r = draw(st.floats(min_value=0.1, max_value=500.0,
+                       allow_nan=False, allow_infinity=False))
+    phase = draw(st.floats(min_value=0.0, max_value=6.28,
+                           allow_nan=False, allow_infinity=False))
+    ang = np.sort(np.array(
+        [draw(st.floats(min_value=0.0, max_value=6.2,
+                        allow_nan=False, allow_infinity=False))
+         for _ in range(k)]))
+    # distinct angles -> non-degenerate vertices
+    if len(np.unique(np.round(ang, 6))) < 3:
+        ang = np.array([0.0, 2.1, 4.2])
+    else:
+        ang = np.unique(np.round(ang, 6))
+    xs = cx + r * np.cos(ang + phase)
+    ys = cy + r * np.sin(ang + phase)
+    pts = ", ".join(f"{x:.9f} {y:.9f}" for x, y in zip(xs, ys))
+    first = f"{xs[0]:.9f} {ys[0]:.9f}"
+    return f"POLYGON (({pts}, {first}))"
+
+
+@st.composite
+def linestring_wkt(draw):
+    k = draw(st.integers(min_value=2, max_value=8))
+    pts = [(draw(_coord), draw(_coord)) for _ in range(k)]
+    return "LINESTRING (" + ", ".join(f"{x:.9f} {y:.9f}" for x, y in pts) + ")"
+
+
+# ---------------------------------------------------------------------------
+# codec roundtrips
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.one_of(convex_polygon_wkt(), linestring_wkt(),
+                          st.builds(lambda x, y: f"POINT ({x:.9f} {y:.9f})",
+                                    _coord, _coord)),
+                min_size=1, max_size=6))
+def test_wkb_roundtrip_stable(wkts):
+    b1 = W.from_wkt(wkts)
+    raw1 = B.to_wkb(b1)
+    b2 = B.from_wkb(raw1)
+    raw2 = B.to_wkb(b2)
+    assert list(raw1) == list(raw2)
+    # WKT roundtrip preserves coordinates exactly (repr-roundtrip floats)
+    b3 = W.from_wkt(list(W.to_wkt(b2)))
+    assert list(B.to_wkb(b3)) == list(raw1)
+
+
+# ---------------------------------------------------------------------------
+# boolean-op algebra on convex polygons
+
+@settings(max_examples=60, deadline=None)
+@given(convex_polygon_wkt(), convex_polygon_wkt())
+def test_inclusion_exclusion(wa, wb):
+    a = W.from_wkt([wa])
+    bb = W.from_wkt([wb])
+    area_a, area_b = K.area(a)[0], K.area(bb)[0]
+    inter = K.area(pairwise_boolean(a, bb, "intersection"))[0]
+    union = K.area(pairwise_boolean(a, bb, "union"))[0]
+    diff = K.area(pairwise_boolean(a, bb, "difference"))[0]
+    scale = max(area_a, area_b, 1.0)
+    assert inter <= min(area_a, area_b) + 1e-9 * scale
+    assert union >= max(area_a, area_b) - 1e-9 * scale
+    assert abs(inter + union - area_a - area_b) <= 1e-7 * scale
+    assert abs(diff - (area_a - inter)) <= 1e-7 * scale
+
+
+# ---------------------------------------------------------------------------
+# clip_by_rect window containment
+
+@settings(max_examples=60, deadline=None)
+@given(convex_polygon_wkt(),
+       st.floats(min_value=-900, max_value=800, allow_nan=False),
+       st.floats(min_value=-900, max_value=800, allow_nan=False),
+       st.floats(min_value=1.0, max_value=600, allow_nan=False),
+       st.floats(min_value=1.0, max_value=600, allow_nan=False))
+def test_clip_by_rect_contained(w, minx, miny, dw, dh):
+    g = W.from_wkt([w])
+    c = T.clip_by_rect(g, minx, miny, minx + dw, miny + dh)
+    a0, a1 = K.area(g)[0], K.area(c)[0]
+    assert (np.isnan(a1) and a1 != a1) or a1 <= a0 + 1e-9 * max(a0, 1.0)
+    bounds = K.bounds(c)[0]
+    if not np.isnan(bounds[0]):
+        eps = 1e-9 * max(abs(minx) + dw, abs(miny) + dh, 1.0)
+        assert bounds[0] >= minx - eps and bounds[2] <= minx + dw + eps
+        assert bounds[1] >= miny - eps and bounds[3] <= miny + dh + eps
+    # clipping by a window that covers the whole geometry is identity
+    gb = K.bounds(g)[0]
+    full = T.clip_by_rect(g, gb[0] - 1, gb[1] - 1, gb[2] + 1, gb[3] + 1)
+    assert abs(K.area(full)[0] - a0) <= 1e-9 * max(a0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# convex hull
+
+@settings(max_examples=60, deadline=None)
+@given(st.one_of(convex_polygon_wkt(), linestring_wkt()))
+def test_convex_hull_contains_and_grows(w):
+    g = W.from_wkt([w])
+    h = T.convex_hull(g)
+    ah, ag = K.area(h)[0], K.area(g)[0]
+    assert ah >= ag - 1e-9 * max(ag, 1.0)
+    # every input vertex inside-or-on the hull
+    pts = K.geom_points(g, 0)
+    if len(pts) and not np.isnan(ah) and ah > 0:
+        status = K.points_in_geom(pts[:, 0], pts[:, 1], h, 0,
+                                  eps=1e-9 * max(1.0, np.abs(pts).max()))
+        assert (status != 0).all()  # 1=inside, 2=boundary (engine coding)
+
+
+# ---------------------------------------------------------------------------
+# Morton bijection
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 28) - 1),
+                min_size=1, max_size=50),
+       st.lists(st.integers(min_value=0, max_value=(1 << 28) - 1),
+                min_size=1, max_size=50))
+def test_morton_bijection(xs, ys):
+    n = min(len(xs), len(ys))
+    i = np.array(xs[:n], dtype=np.int64)
+    j = np.array(ys[:n], dtype=np.int64)
+    m = morton_encode(i, j)
+    i2, j2 = morton_decode(m)
+    assert (i2 == i).all() and (j2 == j).all()
