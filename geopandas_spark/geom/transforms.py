@@ -293,7 +293,12 @@ def simplify(batch: GeometryBatch, tolerance: float) -> GeometryBatch:
             for r in rings:
                 closed = len(r) >= 2 and (r[0] == r[-1]).all()
                 s = _dp_simplify(r, tolerance)
-                if closed and len(s) < 4:
+                # only POLYGON rings are dropped when they collapse below
+                # 4 points (GEOS degenerate-output rule); a closed or
+                # zero-length LINESTRING keeps its simplified form — the
+                # old unconditional drop silently emptied e.g.
+                # LINESTRING (0 0, 0 0) (hypothesis finding)
+                if pt == POLYGON and closed and len(s) < 4:
                     continue
                 new_rings.append(s)
             if pt == POLYGON and not new_rings:
