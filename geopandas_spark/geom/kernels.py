@@ -376,6 +376,25 @@ def segments_cross(a0, a1, b0, b1, eps: float = 1e-12):
     return proper | coll
 
 
+def points_on_segments(px, py, s0, s1) -> np.ndarray:
+    """(k,E) bool: point exactly ON segment. Uses the cross/dot form —
+    the projected-distance test (``dist2 <= 0``) double-rounds (t =
+    dot/L2 then the residual), so a point EXACTLY on a segment can read
+    ~1e-35 off it; cross((s1-s0), (p-s0)) is a single product difference
+    and evaluates to exactly 0 for on-line dyadic inputs. Zero-length
+    segments contain only their own point."""
+    dx = s1[:, 0] - s0[:, 0]
+    dy = s1[:, 1] - s0[:, 1]
+    wx = px[:, None] - s0[None, :, 0]
+    wy = py[:, None] - s0[None, :, 1]
+    cross = wx * dy - wy * dx
+    dot = wx * dx + wy * dy
+    seg2 = dx * dx + dy * dy
+    return np.where(seg2 > 0,
+                    (cross == 0) & (dot >= 0) & (dot <= seg2),
+                    (wx == 0) & (wy == 0))
+
+
 def point_segment_dist2(px, py, s0, s1):
     """Squared distance of points (k,) to segments (E,2 each) -> (k,E)."""
     dx = s1[:, 0] - s0[:, 0]

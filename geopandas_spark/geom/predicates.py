@@ -28,6 +28,7 @@ from .kernels import (
     geom_points,
     geom_segments,
     point_segment_dist2,
+    points_on_segments,
     points_in_geom,
     segments_cross,
 )
@@ -81,8 +82,7 @@ def _points_vs_geom_status(lb: GeometryBatch, lrows: np.ndarray,
     elif rdim == 1:
         s0, s1 = geom_segments(rb, g)
         if len(s0):
-            d2 = point_segment_dist2(px, py, s0, s1)
-            on_lines = np.nanmin(d2, axis=1) <= 0.0
+            on_lines = points_on_segments(px, py, s0, s1).any(axis=1)
     else:
         rpts = geom_points(rb, g)
         if len(rpts):
@@ -259,7 +259,12 @@ def _points_status_vs_pairs(px, py, p_pair, pcnt, b: GeometryBatch,
             cross = (cx - ex0) * dy - (cy - ey0) * dx
             dot = (cx - ex0) * dx + (cy - ey0) * dy
             seg2 = dx * dx + dy * dy
-            on = (cross == 0) & (dot >= 0) & (dot <= seg2)
+            # zero-length edge (degenerate 2-point line): cross/dot/seg2
+            # are all 0, which made EVERY point test on-edge (hypothesis
+            # finding) — such an edge contains only its own point
+            on = np.where(seg2 > 0,
+                          (cross == 0) & (dot >= 0) & (dot <= seg2),
+                          (cx == ex0) & (cy == ey0))
             on_cnt += np.bincount(cp[on], minlength=P)
 
     # puntal targets: equality against target vertices
@@ -518,11 +523,29 @@ def _relate_group(pred: str, lb: GeometryBatch, lrows: np.ndarray,
         if pred == "covered_by":
             return all_in & ~edge_cross_exits(sub, rb, g, edge_x, any_out)
         if pred == "within":
-            return all_in & ~edge_cross_exits(sub, rb, g, edge_x, any_out) & _interior_touch(sub, rb, g, any_int)
+            base = all_in & ~edge_cross_exits(sub, rb, g, edge_x, any_out)
+            ok = _interior_touch(sub, rb, g, any_int)
+            out = base & ok
+            # covered rows whose interior contact the centroid probe
+            # could not certify (extreme slivers: the float centroid can
+            # read outside its own polygon) decide via the exact matrix
+            und = np.nonzero(base & ~ok)[0]
+            if len(und):
+                out = _matrix_rows(out, pred, sub, und, rb, g, ldim)
+            return out
         if pred == "touches":
-            return (inter & ~any_int & ~r_in_l
-                    & ~_edges_cross_interior(sub, rb, g)
-                    & ~_interior_touch(sub, rb, g, any_int))
+            # exact DE-9IM, but only for rows the cheap tests leave
+            # undecided: non-intersecting rows are never touches, and
+            # any strict-interior vertex contact decides False. The old
+            # vectorized approximation missed interior entries that
+            # happen between vertices (hypothesis findings: a line
+            # through a polygon vertex, two inscribed triangles whose
+            # chords cross away from every vertex).
+            out = np.zeros(n, dtype=bool)
+            cand = np.nonzero(inter & ~any_int & ~r_in_l)[0]
+            if len(cand):
+                out = _matrix_rows(out, pred, sub, cand, rb, g, ldim)
+            return out
         if pred in ("contains", "covers", "contains_properly"):
             if pred == "covers":
                 return r_all_in_l & ~edge_x_escapes(sub, rb, g)
@@ -562,8 +585,8 @@ def _relate_group(pred: str, lb: GeometryBatch, lrows: np.ndarray,
         for i in np.nonzero(ldim <= 1)[0]:
             lpts = geom_points(sub, i)
             if len(lpts) and len(rs0):
-                d2 = point_segment_dist2(lpts[:, 0], lpts[:, 1], rs0, rs1)
-                l_on_r[i] = bool((np.min(d2, axis=1) <= 0).any())
+                l_on_r[i] = bool(points_on_segments(
+                    lpts[:, 0], lpts[:, 1], rs0, rs1).any())
         inter = edge_x | r_in_l | r_any_bnd | l_on_r
         if pred == "intersects":
             return inter
@@ -578,10 +601,12 @@ def _relate_group(pred: str, lb: GeometryBatch, lrows: np.ndarray,
             out = (ldim == 2) & r_in_l & _line_exits(sub, rb, g)
             return _matrix_rows(out, pred, sub, lin, rb, g, ldim)
         if pred == "touches":
-            # polygon-left: boundary contact without interior entry
-            # (approximation: no right vertex strictly inside)
-            out = inter & ~r_in_l
-            return _matrix_rows(out, pred, sub, lin, rb, g, ldim)
+            # exact DE-9IM for every row: the old vertex approximation
+            # (inter & ~r_in_l) answered True for a line whose VERTICES
+            # only touch the polygon boundary while its interior chord
+            # passes through the polygon interior (hypothesis finding —
+            # touches(poly, line) disagreed with touches(line, poly))
+            return _matrix_rows(res, pred, sub, np.arange(n), rb, g, ldim)
         if pred == "contains_properly":
             # polygon-left rows included: the branch never handled them
             return _matrix_rows(res, pred, sub, np.arange(n), rb, g, ldim)
@@ -610,8 +635,8 @@ def _relate_group(pred: str, lb: GeometryBatch, lrows: np.ndarray,
         elif ld == 1:
             ls0, ls1 = geom_segments(sub, i)
             if len(ls0):
-                d2 = point_segment_dist2(rpts[:, 0], rpts[:, 1], ls0, ls1)
-                on = np.min(d2, axis=1) <= 0
+                on = points_on_segments(
+                    rpts[:, 0], rpts[:, 1], ls0, ls1).any(axis=1)
                 st_per_row[i] = bool(on.any())
                 all_cov[i] = bool(on.all())
                 # points at a mod-2 endpoint are boundary contact, not
@@ -732,7 +757,12 @@ def edge_cross_exits(sub, rb, g, edge_x, any_out):
         if not len(s0):
             continue
         mid = (s0 + s1) / 2.0
-        st = points_in_geom(mid[:, 0], mid[:, 1], rb, g)
+        # float midpoints of an edge lying exactly ON the boundary land
+        # ~1 ulp off it; a zero-eps probe then reads INSIDE/OUTSIDE at
+        # random (identical polygons failed covered_by/equals — found by
+        # hypothesis). Classify within 1e-9 of the boundary as BOUNDARY.
+        eps = 1e-9 * max(1.0, float(np.abs(mid).max()))
+        st = points_in_geom(mid[:, 0], mid[:, 1], rb, g, eps=eps)
         if (st == OUTSIDE).any():
             out[i] = True
     return out
@@ -747,11 +777,14 @@ def edge_x_escapes(sub, rb, g):
     if not len(rs0):
         return out
     mid = (rs0 + rs1) / 2.0
+    # same boundary-tolerant probe as edge_cross_exits (float midpoints
+    # of shared edges sit ~1 ulp off the boundary)
+    eps = 1e-9 * max(1.0, float(np.abs(mid).max()))
     for i in range(n):
         if TYPE_DIM[sub.types[i]] != 2:
             out[i] = True  # non-polygon can't cover a 1/2-dim right
             continue
-        st = points_in_geom(mid[:, 0], mid[:, 1], sub, i)
+        st = points_in_geom(mid[:, 0], mid[:, 1], sub, i, eps=eps)
         if (st == OUTSIDE).any():
             out[i] = True
     return out
@@ -773,21 +806,6 @@ def _interior_touch(sub, rb, g, any_int):
             st = points_in_geom(c[i : i + 1, 0], c[i : i + 1, 1], rb, g)
             ok[i] = bool(st[0] == INSIDE)
     return ok
-
-
-def _edges_cross_interior(sub, rb, g):
-    """Proper (interior) edge crossing test for `touches`: midpoints of left
-    edges strictly inside right."""
-    n = len(sub)
-    out = np.zeros(n, dtype=bool)
-    for i in range(n):
-        s0, s1 = geom_segments(sub, i)
-        if not len(s0):
-            continue
-        mid = (s0 + s1) / 2.0
-        st = points_in_geom(mid[:, 0], mid[:, 1], rb, g)
-        out[i] = bool((st == INSIDE).any())
-    return out
 
 
 def _interior_overlap(sub, rb, g):

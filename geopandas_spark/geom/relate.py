@@ -53,12 +53,26 @@ def _line_pieces_vs_polygon(b: GeometryBatch, g: int, pb: GeometryBatch,
         for p in pieces:
             mids = (p[:-1] + p[1:]) / 2
             seg_len = np.sqrt(((p[1:] - p[:-1]) ** 2).sum(axis=1))
-            st = _status_multi(mids, pb, pg)
+            # boundary-tolerant probe: a float midpoint of linework lying
+            # exactly ON the polygon boundary sits ~1 ulp off it, and a
+            # zero-eps status then reads INSIDE/OUTSIDE at random
+            # (identical sliver polygons got IB/BE entries — hypothesis)
+            eps = 1e-9 * max(1.0, float(np.abs(mids).max())) if len(mids) else 0.0
+            st = points_in_geom(mids[:, 0], mids[:, 1], pb, pg, eps=eps)
             L_in += float(seg_len[st == INSIDE].sum())
             L_on += float(seg_len[st == BOUNDARY].sum())
         for p in outside:
+            # the clipper's own collinear handling can put linework that
+            # runs ALONG the boundary on the outside list — classify by
+            # midpoint status like the inside pieces instead of trusting
+            # the split (identical polygons got BE/EB entries otherwise)
+            mids = (p[:-1] + p[1:]) / 2
             seg_len = np.sqrt(((p[1:] - p[:-1]) ** 2).sum(axis=1))
-            L_out += float(seg_len.sum())
+            eps = 1e-9 * max(1.0, float(np.abs(mids).max())) if len(mids) else 0.0
+            st = points_in_geom(mids[:, 0], mids[:, 1], pb, pg, eps=eps)
+            L_in += float(seg_len[st == INSIDE].sum())
+            L_on += float(seg_len[st == BOUNDARY].sum())
+            L_out += float(seg_len[st == OUTSIDE].sum())
     return L_in, L_on, L_out
 
 
@@ -83,15 +97,14 @@ def _point_line_status(points: np.ndarray, b: GeometryBatch,
                        g: int) -> np.ndarray:
     """INSIDE (line interior) / BOUNDARY (mod-2 endpoint) / OUTSIDE for
     each point vs a lineal geometry."""
-    from .kernels import point_segment_dist2
+    from .kernels import points_on_segments
 
     st = np.full(len(points), OUTSIDE, dtype=np.int8)
     if len(points) == 0:
         return st
     s0, s1 = _segments(b, g)
     if len(s0):
-        d2 = point_segment_dist2(points[:, 0], points[:, 1], s0, s1)
-        on = d2.min(axis=1) <= 0.0
+        on = points_on_segments(points[:, 0], points[:, 1], s0, s1).any(axis=1)
         st[on] = INSIDE
         bp = _boundary_points(b, g)
         if len(bp):
@@ -202,6 +215,19 @@ def relate_pair(lb: GeometryBatch, ga: int, rb: GeometryBatch, gb: int) -> str:
         return "FFFFFFFF2"
     da, db = int(ta), int(tb)
 
+    def _zero_len(bt: GeometryBatch, g: int) -> bool:
+        s0, s1 = _segments(bt, g)
+        return not len(s0) or float(((s1 - s0) ** 2).sum()) == 0.0
+
+    # a lineal geometry whose linework has zero total length (e.g.
+    # LINESTRING (p, p)) is geometrically a point: start == end, so it
+    # is closed with an EMPTY boundary — route it through the puntal
+    # branches (GEOS parity: same matrix as POINT p)
+    if da == 1 and _zero_len(lb, ga):
+        da = 0
+    if db == 1 and _zero_len(rb, gb):
+        db = 0
+
     # helper statuses
     def status_of(points, target_b, target_g, tdim):
         if len(points) == 0:
@@ -307,6 +333,17 @@ def relate_pair(lb: GeometryBatch, ga: int, rb: GeometryBatch, gb: int) -> str:
     # midpoints alone misclassify partially-inside edges)
     L_in_ab, L_on_ab, L_out_ab = _line_pieces_vs_polygon(lb, ga, rb, gb)
     L_in_ba, L_on_ba, L_out_ba = _line_pieces_vs_polygon(rb, gb, lb, ga)
+    # float ring-vs-own-polygon clipping leaves sliver residues; a
+    # boundary class only counts when it holds a non-negligible share
+    # of the linework (identical polygons got BE/EB entries otherwise)
+    tol_ab = 1e-9 * max(L_in_ab + L_on_ab + L_out_ab, 1.0)
+    tol_ba = 1e-9 * max(L_in_ba + L_on_ba + L_out_ba, 1.0)
+    L_in_ab = 0.0 if L_in_ab <= tol_ab else L_in_ab
+    L_on_ab = 0.0 if L_on_ab <= tol_ab else L_on_ab
+    L_out_ab = 0.0 if L_out_ab <= tol_ab else L_out_ab
+    L_in_ba = 0.0 if L_in_ba <= tol_ba else L_in_ba
+    L_on_ba = 0.0 if L_on_ba <= tol_ba else L_on_ba
+    L_out_ba = 0.0 if L_out_ba <= tol_ba else L_out_ba
     touch0 = _seg_cross_any(lb, ga, rb, gb) or _touches_pt(lb, ga, rb, gb)
     M[0][1] = "1" if L_in_ba > 0 else "F"
     M[1][0] = "1" if L_in_ab > 0 else "F"
@@ -319,41 +356,88 @@ def relate_pair(lb: GeometryBatch, ga: int, rb: GeometryBatch, gb: int) -> str:
 
 
 def _seg_cross_any(a: GeometryBatch, ga: int, b: GeometryBatch, gb: int) -> bool:
-    """Any segment of a intersects any segment of b (touch counts)."""
+    """Any segment of a intersects any segment of b (touch counts).
+
+    Exact: a ``d_i == 0`` (endpoint collinear with the other support
+    line) only counts when that endpoint actually lies ON the other
+    segment, and zero-length segments contribute only their point —
+    the old version's bare ``d_i == 0`` fired for any collinear-but-
+    off-segment endpoint whose bbox overlapped, and for EVERY pair
+    involving a zero-length segment (hypothesis findings)."""
+    from .kernels import point_segment_dist2
+
     a0, a1 = _segments(a, ga)
     b0, b1 = _segments(b, gb)
+    if not len(a0) or not len(b0):
+        return False
+    la = ((a1 - a0) ** 2).sum(axis=1)
+    lb2 = ((b1 - b0) ** 2).sum(axis=1)
+    # zero-length segments: point-vs-segment / point-vs-point contact
+    if (la == 0).any():
+        p = a0[la == 0]
+        if (lb2 > 0).any():
+            nb0, nb1 = b0[lb2 > 0], b1[lb2 > 0]
+            if (point_segment_dist2(p[:, 0], p[:, 1], nb0, nb1)
+                    .min(axis=1) <= 0).any():
+                return True
+        if (lb2 == 0).any():
+            q = b0[lb2 == 0]
+            if (p[:, None] == q[None, :]).all(axis=2).any():
+                return True
+    if (lb2 == 0).any() and (la > 0).any():
+        q = b0[lb2 == 0]
+        na0, na1 = a0[la > 0], a1[la > 0]
+        if (point_segment_dist2(q[:, 0], q[:, 1], na0, na1)
+                .min(axis=1) <= 0).any():
+            return True
+    a0, a1 = a0[la > 0], a1[la > 0]
+    b0, b1 = b0[lb2 > 0], b1[lb2 > 0]
     if not len(a0) or not len(b0):
         return False
     d1 = np.cross((a1 - a0)[:, None, :], (b0[None, :, :] - a0[:, None, :]))
     d2 = np.cross((a1 - a0)[:, None, :], (b1[None, :, :] - a0[:, None, :]))
     d3 = np.cross((b1 - b0)[None, :, :], (a0[:, None, :] - b0[None, :, :]))
     d4 = np.cross((b1 - b0)[None, :, :], (a1[:, None, :] - b0[None, :, :]))
-    bbx = (
-        (np.minimum(a0[:, None, 0], a1[:, None, 0]) <= np.maximum(b0[None, :, 0], b1[None, :, 0]))
-        & (np.minimum(b0[None, :, 0], b1[None, :, 0]) <= np.maximum(a0[:, None, 0], a1[:, None, 0]))
-        & (np.minimum(a0[:, None, 1], a1[:, None, 1]) <= np.maximum(b0[None, :, 1], b1[None, :, 1]))
-        & (np.minimum(b0[None, :, 1], b1[None, :, 1]) <= np.maximum(a0[:, None, 1], a1[:, None, 1]))
+    proper = (
+        ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+        & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
     )
-    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
-    touch = (d1 == 0) | (d2 == 0) | (d3 == 0) | (d4 == 0)
-    return bool((bbx & (proper | touch)).any())
+
+    def _on_seg(s0, s1, px, py):
+        # collinear point (px,py) within segment s0-s1's bbox
+        return (
+            (np.minimum(s0[..., 0], s1[..., 0]) <= px)
+            & (px <= np.maximum(s0[..., 0], s1[..., 0]))
+            & (np.minimum(s0[..., 1], s1[..., 1]) <= py)
+            & (py <= np.maximum(s0[..., 1], s1[..., 1]))
+        )
+
+    A0 = a0[:, None, :]
+    A1 = a1[:, None, :]
+    B0 = b0[None, :, :]
+    B1 = b1[None, :, :]
+    touch = (
+        ((d1 == 0) & _on_seg(A0, A1, B0[..., 0], B0[..., 1]))
+        | ((d2 == 0) & _on_seg(A0, A1, B1[..., 0], B1[..., 1]))
+        | ((d3 == 0) & _on_seg(B0, B1, A0[..., 0], A0[..., 1]))
+        | ((d4 == 0) & _on_seg(B0, B1, A1[..., 0], A1[..., 1]))
+    )
+    return bool((proper | touch).any())
 
 
 def _touches_pt(lb, ga, rb, gb) -> bool:
     """Any boundary-boundary point contact (vertex on edge)."""
-    from .kernels import point_segment_dist2
+    from .kernels import points_on_segments
 
     va = _vertices(lb, ga)
     s0, s1 = _segments(rb, gb)
     if len(va) and len(s0):
-        d2 = point_segment_dist2(va[:, 0], va[:, 1], s0, s1)
-        if (d2.min(axis=1) <= 0).any():
+        if points_on_segments(va[:, 0], va[:, 1], s0, s1).any():
             return True
     vb = _vertices(rb, gb)
     s0, s1 = _segments(lb, ga)
     if len(vb) and len(s0):
-        d2 = point_segment_dist2(vb[:, 0], vb[:, 1], s0, s1)
-        if (d2.min(axis=1) <= 0).any():
+        if points_on_segments(vb[:, 0], vb[:, 1], s0, s1).any():
             return True
     return False
 

@@ -35,6 +35,8 @@ def delaunay(points: np.ndarray):
     vs = np.vstack([pts, sup])
     tris: list[tuple[int, int, int]] = [(n, n + 1, n + 2)]
 
+    span2 = span * span
+
     def circum(tri):
         a, b, c = vs[tri[0]], vs[tri[1]], vs[tri[2]]
         d = 2 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1]))
@@ -45,16 +47,89 @@ def delaunay(points: np.ndarray):
         uy = ((a ** 2).sum() * (c[0] - b[0]) + (b ** 2).sum() * (a[0] - c[0])
               + (c ** 2).sum() * (b[0] - a[0])) / d
         r2 = (a[0] - ux) ** 2 + (a[1] - uy) ** 2
-        return ux, uy, r2
+        # |d| = 4*|signed area|: a sliver triangle's circumcenter is the
+        # quotient of two nearly-cancelling terms, so the float in-circle
+        # test below can carry arbitrarily large error — flag such
+        # triangles for the exact (Fraction) in-circle path
+        ill = abs(d) <= 1e-7 * span2
+        return ux, uy, r2, ill
+
+    def _incircle_exact(tri, p) -> bool:
+        """Exact in-circumcircle via Fractions (floats are exact
+        rationals): det > 0 <=> p strictly inside the CCW triangle's
+        circumcircle; 0 (cocircular) counts inside, matching the float
+        path's <= convention."""
+        from fractions import Fraction as F
+
+        a, b, c = vs[tri[0]], vs[tri[1]], vs[tri[2]]
+        ax, ay = F(a[0]) - F(p[0]), F(a[1]) - F(p[1])
+        bx, by = F(b[0]) - F(p[0]), F(b[1]) - F(p[1])
+        cx_, cy_ = F(c[0]) - F(p[0]), F(c[1]) - F(p[1])
+        det = ((ax * ax + ay * ay) * (bx * cy_ - by * cx_)
+               - (bx * bx + by * by) * (ax * cy_ - ay * cx_)
+               + (cx_ * cx_ + cy_ * cy_) * (ax * by - ay * bx))
+        # orient the sign by the triangle's exact orientation
+        orient = (bx - ax) * (cy_ - ay) - (by - ay) * (cx_ - ax)
+        if orient < 0:
+            det = -det
+        return det >= 0
+
+    def _orient_sign(u, v, p) -> int:
+        """Exact-when-needed sign of cross(v-u, p-u)."""
+        cr = (v[0] - u[0]) * (p[1] - u[1]) - (v[1] - u[1]) * (p[0] - u[0])
+        if abs(cr) > 1e-7 * span2:
+            return 1 if cr > 0 else -1
+        from fractions import Fraction as F
+
+        cr = ((F(v[0]) - F(u[0])) * (F(p[1]) - F(u[1]))
+              - (F(v[1]) - F(u[1])) * (F(p[0]) - F(u[0])))
+        return 1 if cr > 0 else (-1 if cr < 0 else 0)
+
+    def _in_circle(t, p) -> bool:
+        """In-circumcircle with the IDEAL-vertex convention: the three
+        super vertices stand for points at infinity, so a triangle with
+        ONE super vertex owns the open half-plane beyond its real edge
+        (plus that edge). A finite super-triangle alone is not enough —
+        a hull-adjacent sliver's circumcircle can exceed the supers'
+        distance, making the metric test drop a REAL triangle from the
+        output (hypothesis finding: 4 near-collinear points returned 1
+        triangle instead of 2)."""
+        n_ideal = (t[0] >= n) + (t[1] >= n) + (t[2] >= n)
+        if n_ideal == 1:
+            # real edge (u, v) in the triangle's CCW cyclic order
+            if t[0] >= n:
+                u, v = t[1], t[2]
+            elif t[1] >= n:
+                u, v = t[2], t[0]
+            else:
+                u, v = t[0], t[1]
+            s = _orient_sign(vs[u], vs[v], p)
+            if s != 0:
+                return s > 0
+            # collinear with the hull edge: inside iff ON the segment
+            return bool(
+                min(vs[u][0], vs[v][0]) <= p[0] <= max(vs[u][0], vs[v][0])
+                and min(vs[u][1], vs[v][1]) <= p[1] <= max(vs[u][1], vs[v][1]))
+        c = cc[tuple(t)]
+        if c is None:
+            return False
+        if n_ideal >= 2:
+            # both circle vertices at infinity: metric on the far supers
+            # is adequate (decides only connectivity near the super rim)
+            return (p[0] - c[0]) ** 2 + (p[1] - c[1]) ** 2 <= c[2] * (1 + 1e-12)
+        if c[3]:  # ill-conditioned real sliver: exact test
+            return _incircle_exact(t, p)
+        dist2 = (p[0] - c[0]) ** 2 + (p[1] - c[1]) ** 2
+        if abs(dist2 - c[2]) <= 1e-9 * max(c[2], span2):
+            # near the circle: the float verdict is one rounding error
+            # from flipping — decide exactly
+            return _incircle_exact(t, p)
+        return dist2 <= c[2]
 
     cc = {tuple(tris[0]): circum(tris[0])}
     for i in range(n):
         p = vs[i]
-        bad = []
-        for t in tris:
-            c = cc[tuple(t)]
-            if c is not None and (p[0] - c[0]) ** 2 + (p[1] - c[1]) ** 2 <= c[2] * (1 + 1e-12):
-                bad.append(t)
+        bad = [t for t in tris if _in_circle(t, p)]
         # boundary of the bad-triangle cavity
         edge_count: dict[tuple[int, int], int] = {}
         for t in bad:
@@ -66,10 +141,9 @@ def delaunay(points: np.ndarray):
             tris.remove(t)
             cc.pop(tuple(t), None)
         for (u, v) in boundary:
-            # orient CCW
-            a, b = vs[u], vs[v]
-            cross = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
-            t = (u, v, i) if cross > 0 else (v, u, i)
+            # orient CCW (exact-when-needed: a float cross of a sliver
+            # can mis-orient, which flips the ideal-edge half-plane)
+            t = (u, v, i) if _orient_sign(vs[u], vs[v], p) > 0 else (v, u, i)
             tris.append(t)
             cc[tuple(t)] = circum(t)
     out = [t for t in tris if max(t) < n]

@@ -271,3 +271,66 @@ def test_envelope_bounds_and_area(w):
     assert np.allclose(bg, be, atol=1e-9)
     ae, ag = K.area(e)[0], K.area(g)[0]
     assert ae >= ag - 1e-9 * max(ag, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# batch 3: predicate algebra + DE-9IM consistency
+
+from geopandas_spark.geom.predicates import (  # noqa: E402
+    pairwise_distance, pairwise_predicate)
+from geopandas_spark.geom.relate import matches_pattern, relate  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.one_of(convex_polygon_wkt(), linestring_wkt()),
+       st.one_of(convex_polygon_wkt(), linestring_wkt()))
+def test_predicate_algebra(wa, wb):
+    a = W.from_wkt([wa])
+    b = W.from_wkt([wb])
+    inter = pairwise_predicate("intersects", a, b)[0]
+    disj = pairwise_predicate("disjoint", a, b)[0]
+    assert inter != disj                      # complement on valid rows
+    # symmetry
+    assert inter == pairwise_predicate("intersects", b, a)[0]
+    assert (pairwise_predicate("touches", a, b)[0]
+            == pairwise_predicate("touches", b, a)[0])
+    # converse duality
+    assert (pairwise_predicate("within", a, b)[0]
+            == pairwise_predicate("contains", b, a)[0])
+    # implication chains
+    if pairwise_predicate("within", a, b)[0]:
+        assert inter
+    if pairwise_predicate("touches", a, b)[0]:
+        assert inter
+    # distance vs intersects: 0 iff intersecting (closed geometries)
+    d = pairwise_distance(a, b)[0]
+    dd = pairwise_distance(b, a)[0]
+    assert abs(d - dd) <= 1e-9 * 1000.0       # symmetric
+    if inter:
+        assert d == 0.0
+    else:
+        assert d > 0.0
+    # dwithin consistency with the measured distance
+    assert pairwise_predicate("dwithin", a, b, distance=d + 1e-6)[0]
+    if d > 1e-6:
+        assert not pairwise_predicate("dwithin", a, b,
+                                      distance=d - 1e-6)[0]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.one_of(convex_polygon_wkt(), linestring_wkt()),
+       st.one_of(convex_polygon_wkt(), linestring_wkt()))
+def test_de9im_matrix_consistency(wa, wb):
+    """The DE-9IM matrix is the source of truth: the named predicates
+    must agree with their standard matrix patterns."""
+    a = W.from_wkt([wa])
+    b = W.from_wkt([wb])
+    m = relate(a, b)[0]
+    inter = pairwise_predicate("intersects", a, b)[0]
+    assert inter == (not matches_pattern(m, "FF*FF****"))
+    assert (pairwise_predicate("within", a, b)[0]
+            == matches_pattern(m, "T*F**F***"))
+    assert (pairwise_predicate("crosses", a, b)[0] or True)  # smoke: no crash
+    # transpose consistency: relate(b,a) is the matrix transpose
+    mt = relate(b, a)[0]
+    assert m == mt[0] + mt[3] + mt[6] + mt[1] + mt[4] + mt[7] + mt[2] + mt[5] + mt[8]
