@@ -294,14 +294,22 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray,
     x1, y1 = ring[1:, 0], ring[1:, 1]
     px = px[:, None]
     py = py[:, None]
-    # boundary: point on segment
+    # boundary: point on segment. ``eps`` is a true DISTANCE band: the
+    # cross product encodes perpendicular-distance * seg_len, so the
+    # tolerance scales with seg_len — the old max(seg_len, 1) floor
+    # inflated the band to eps/seg_len for sub-unit segments, swallowing
+    # features smaller than ~eps (ADVICE r4 band finding).
     dx, dy = x1 - x0, y1 - y0
     cross = (px - x0) * dy - (py - y0) * dx
     dot = (px - x0) * dx + (py - y0) * dy
     seg_len2 = dx * dx + dy * dy
-    on_seg = (np.abs(cross) <= eps * np.maximum(np.sqrt(seg_len2), 1.0)) & (
-        dot >= -eps
-    ) & (dot <= seg_len2 + eps)
+    tol = eps * np.sqrt(seg_len2)
+    on_seg = (np.abs(cross) <= tol) & (dot >= -tol) & (dot <= seg_len2 + tol)
+    zl = seg_len2 == 0
+    if zl.any():
+        # zero-length edge: contains only its own point (the generic
+        # form degenerates to 0<=0 and reads True everywhere)
+        on_seg[:, zl] = ((px - x0[zl]) ** 2 + (py - y0[zl]) ** 2) <= eps * eps
     is_boundary = on_seg.any(axis=1)
     # crossing number (half-open rule avoids double-count at vertices)
     cond = (y0 <= py) != (y1 <= py)

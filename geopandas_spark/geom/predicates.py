@@ -521,15 +521,23 @@ def _relate_group(pred: str, lb: GeometryBatch, lrows: np.ndarray,
         if pred == "intersects":
             return inter
         if pred == "covered_by":
-            return all_in & ~edge_cross_exits(sub, rb, g, edge_x, any_out)
+            exits, amb = edge_cross_exits(sub, rb, g, edge_x, any_out)
+            out = all_in & ~exits
+            und = np.nonzero(all_in & amb)[0]
+            if len(und):
+                out = _matrix_rows(out, pred, sub, und, rb, g, ldim)
+            return out
         if pred == "within":
-            base = all_in & ~edge_cross_exits(sub, rb, g, edge_x, any_out)
+            exits, amb = edge_cross_exits(sub, rb, g, edge_x, any_out)
+            base = all_in & ~exits
             ok = _interior_touch(sub, rb, g, any_int)
             out = base & ok
             # covered rows whose interior contact the centroid probe
             # could not certify (extreme slivers: the float centroid can
-            # read outside its own polygon) decide via the exact matrix
-            und = np.nonzero(base & ~ok)[0]
+            # read outside its own polygon), and rows whose escape probe
+            # landed in the boundary noise band, decide via the exact
+            # matrix
+            und = np.nonzero((base & ~ok) | (all_in & amb))[0]
             if len(und):
                 out = _matrix_rows(out, pred, sub, und, rb, g, ldim)
             return out
@@ -547,18 +555,32 @@ def _relate_group(pred: str, lb: GeometryBatch, lrows: np.ndarray,
                 out = _matrix_rows(out, pred, sub, cand, rb, g, ldim)
             return out
         if pred in ("contains", "covers", "contains_properly"):
+            esc, amb = edge_x_escapes(sub, rb, g)
+            cov = r_all_in_l & ~esc
             if pred == "covers":
-                return r_all_in_l & ~edge_x_escapes(sub, rb, g)
-            # contains: covers + interior intersection
-            cov = r_all_in_l & ~edge_x_escapes(sub, rb, g)
-            return cov & r_in_l if pred == "contains_properly" else cov & (r_in_l | _interior_overlap(sub, rb, g))
+                out = cov
+            elif pred == "contains_properly":
+                out = cov & r_in_l
+            else:
+                out = cov & (r_in_l | _interior_overlap(sub, rb, g))
+            und = np.nonzero(r_all_in_l & amb)[0]
+            if len(und):
+                out = _matrix_rows(out, pred, sub, und, rb, g, ldim)
+            return out
         if pred == "overlaps":
             same_dim = ldim == rdim
-            cov_lr = all_in & ~edge_cross_exits(sub, rb, g, edge_x, any_out)
-            cov_rl = r_all_in_l & ~edge_x_escapes(sub, rb, g)
-            return same_dim & any_int & any_out & ~cov_lr & ~cov_rl | (
+            exits, amb_lr = edge_cross_exits(sub, rb, g, edge_x, any_out)
+            esc, amb_rl = edge_x_escapes(sub, rb, g)
+            cov_lr = all_in & ~exits
+            cov_rl = r_all_in_l & ~esc
+            out = same_dim & any_int & any_out & ~cov_lr & ~cov_rl | (
                 same_dim & any_int & r_in_l & ~cov_lr & ~cov_rl
             )
+            und = np.nonzero(same_dim
+                             & ((all_in & amb_lr) | (r_all_in_l & amb_rl)))[0]
+            if len(und):
+                out = _matrix_rows(out, pred, sub, und, rb, g, ldim)
+            return out
         if pred == "crosses":
             # lower-dim left crosses polygon: interior on both sides.
             # Exact via DE-9IM (vertex tests alone miss a line passing
@@ -601,12 +623,17 @@ def _relate_group(pred: str, lb: GeometryBatch, lrows: np.ndarray,
             out = (ldim == 2) & r_in_l & _line_exits(sub, rb, g)
             return _matrix_rows(out, pred, sub, lin, rb, g, ldim)
         if pred == "touches":
-            # exact DE-9IM for every row: the old vertex approximation
-            # (inter & ~r_in_l) answered True for a line whose VERTICES
-            # only touch the polygon boundary while its interior chord
-            # passes through the polygon interior (hypothesis finding —
-            # touches(poly, line) disagreed with touches(line, poly))
-            return _matrix_rows(res, pred, sub, np.arange(n), rb, g, ldim)
+            # exact DE-9IM, but only for candidate rows: non-intersecting
+            # rows are never touches, and a right vertex strictly inside
+            # a left polygon decides False (II nonempty). The remaining
+            # rows can't be answered by the vertex approximation — a line
+            # whose VERTICES only touch the polygon boundary can still
+            # pass its interior chord through the polygon interior
+            # (hypothesis finding; ADVICE r4 flagged the all-rows loop)
+            cand = np.nonzero(inter & ~r_in_l)[0]
+            if len(cand):
+                res = _matrix_rows(res, pred, sub, cand, rb, g, ldim)
+            return res
         if pred == "contains_properly":
             # polygon-left rows included: the branch never handled them
             return _matrix_rows(res, pred, sub, np.arange(n), rb, g, ldim)
@@ -744,50 +771,73 @@ def _points_touch_line(lb, lrows, rb, g, on_lines):
     return on_lines & at_end
 
 
+def _probe_escape(mx, my, pb, pg):
+    """(escapes, ambiguous) for midpoint probes vs polygon pg.
+
+    Two-band probe: a zero-eps status is trusted when it says non-OUTSIDE
+    (no escape through that midpoint). Midpoints reading OUTSIDE at zero
+    eps are re-probed with the wide 1e-9-relative band: still OUTSIDE ->
+    genuinely outside (escape, certain); flipped to BOUNDARY -> the point
+    is within the float-noise band of the boundary and the row must be
+    decided by the exact DE-9IM matrix. The old code used the wide band
+    directly, silently classifying genuinely-outside points within
+    1e-9*|coord| of the boundary as BOUNDARY (covered_by/equals answered
+    True for polygons differing by ~1e-9 relative — ADVICE r4)."""
+    st0 = points_in_geom(mx, my, pb, pg)
+    out0 = st0 == OUTSIDE
+    if not out0.any():
+        return False, False
+    # ulp-scaled noise band (a float midpoint of an on-boundary edge
+    # sits a few ulps off it); anything outside by more is genuine
+    eps = 64.0 * float(np.spacing(max(1.0, float(np.abs(mx).max()),
+                                      float(np.abs(my).max()))))
+    st1 = points_in_geom(mx[out0], my[out0], pb, pg, eps=eps)
+    if (st1 == OUTSIDE).any():
+        return True, False
+    return False, True
+
+
 def edge_cross_exits(sub, rb, g, edge_x, any_out):
-    """True where a left edge properly exits the right polygon: approximated
-    by any vertex strictly outside, or an edge crossing that leads outside.
-    With all vertices covered, a crossing through the polygon only happens
-    for non-convex rings; detect via midpoint probes of crossing edges."""
-    n = len(sub)
+    """(exits, ambiguous) per left row: a left edge properly exits the
+    right polygon — approximated by any vertex strictly outside, or an
+    edge crossing that leads outside. With all vertices covered, a
+    crossing through the polygon only happens for non-convex rings;
+    detect via midpoint probes of crossing edges. Rows where the probe
+    lands inside the float-noise band of the boundary are flagged
+    ambiguous for the caller to route through the exact matrix."""
     out = any_out.copy()
+    amb = np.zeros(len(sub), dtype=bool)
     check = edge_x & ~any_out
     for i in np.nonzero(check)[0]:
         s0, s1 = geom_segments(sub, i)
         if not len(s0):
             continue
         mid = (s0 + s1) / 2.0
-        # float midpoints of an edge lying exactly ON the boundary land
-        # ~1 ulp off it; a zero-eps probe then reads INSIDE/OUTSIDE at
-        # random (identical polygons failed covered_by/equals — found by
-        # hypothesis). Classify within 1e-9 of the boundary as BOUNDARY.
-        eps = 1e-9 * max(1.0, float(np.abs(mid).max()))
-        st = points_in_geom(mid[:, 0], mid[:, 1], rb, g, eps=eps)
-        if (st == OUTSIDE).any():
-            out[i] = True
-    return out
+        esc, a = _probe_escape(mid[:, 0], mid[:, 1], rb, g)
+        out[i] = esc
+        amb[i] = a
+    return out, amb
 
 
 def edge_x_escapes(sub, rb, g):
-    """True where a *right* edge escapes the left polygon row (midpoint
-    probe of right segments against each polygonal left row)."""
+    """(escapes, ambiguous) per left row: a *right* edge escapes the left
+    polygon row (two-band midpoint probe of right segments against each
+    polygonal left row — see _probe_escape)."""
     n = len(sub)
     out = np.zeros(n, dtype=bool)
+    amb = np.zeros(n, dtype=bool)
     rs0, rs1 = geom_segments(rb, g)
     if not len(rs0):
-        return out
+        return out, amb
     mid = (rs0 + rs1) / 2.0
-    # same boundary-tolerant probe as edge_cross_exits (float midpoints
-    # of shared edges sit ~1 ulp off the boundary)
-    eps = 1e-9 * max(1.0, float(np.abs(mid).max()))
     for i in range(n):
         if TYPE_DIM[sub.types[i]] != 2:
             out[i] = True  # non-polygon can't cover a 1/2-dim right
             continue
-        st = points_in_geom(mid[:, 0], mid[:, 1], sub, i, eps=eps)
-        if (st == OUTSIDE).any():
-            out[i] = True
-    return out
+        esc, a = _probe_escape(mid[:, 0], mid[:, 1], sub, i)
+        out[i] = esc
+        amb[i] = a
+    return out, amb
 
 
 def _interior_touch(sub, rb, g, any_int):

@@ -37,10 +37,49 @@ def _vertices(b: GeometryBatch, g: int) -> np.ndarray:
     return b.coords[off[g]:off[g + 1]]
 
 
+def _params_on_line(pts: np.ndarray, line: np.ndarray, seg_len: np.ndarray,
+                    cum: np.ndarray) -> np.ndarray:
+    """Arc-length parameter of each point (assumed on the polyline): for
+    each point pick the nearest original segment, project, and offset by
+    the cumulative length."""
+    from .kernels import point_segment_dist2
+
+    s0, s1 = line[:-1], line[1:]
+    d2 = point_segment_dist2(pts[:, 0], pts[:, 1], s0, s1)
+    j = np.argmin(d2, axis=1)
+    d = s1[j] - s0[j]
+    L2 = (d ** 2).sum(axis=1)
+    w = pts - s0[j]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (w * d).sum(axis=1) / np.where(L2 == 0, 1.0, L2)
+    t = np.clip(np.where(L2 == 0, 0.0, t), 0.0, 1.0)
+    return cum[j] + t * seg_len[j]
+
+
+def _points_at_params(ts: np.ndarray, line: np.ndarray, seg_len: np.ndarray,
+                      cum: np.ndarray) -> np.ndarray:
+    """Point on the polyline at each arc-length parameter."""
+    j = np.clip(np.searchsorted(cum, ts, side="right") - 1, 0,
+                len(seg_len) - 1)
+    # land strictly inside a positive-length segment (zero-length
+    # segments share their start's cum value)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        local = (ts - cum[j]) / np.where(seg_len[j] == 0, 1.0, seg_len[j])
+    local = np.clip(local, 0.0, 1.0)[:, None]
+    return line[j] + local * (line[j + 1] - line[j])
+
+
 def _line_pieces_vs_polygon(b: GeometryBatch, g: int, pb: GeometryBatch,
                             pg: int):
     """Split g's linework against polygon pg's boundary; return total
-    length strictly inside, on the boundary, and strictly outside."""
+    length strictly inside, on the boundary, and strictly outside.
+
+    The clipper is used only to find SPLIT POINTS: collinear boundary
+    linework can be emitted in BOTH clip outputs, so summing piece
+    lengths directly double-counts it (ADVICE r4). Instead every piece
+    endpoint is projected to its arc-length position on the original
+    line, the line is cut at the union of those positions, and each
+    sub-interval is classified exactly once by its midpoint status."""
     from .boolean import clip_line_rings
 
     rings = [r for _, r in _geom_rings(pb, pg)]
@@ -48,31 +87,40 @@ def _line_pieces_vs_polygon(b: GeometryBatch, g: int, pb: GeometryBatch,
     for _, line in _geom_rings(b, g):
         if len(line) < 2:
             continue
+        seg_len = np.sqrt(((line[1:] - line[:-1]) ** 2).sum(axis=1))
+        cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+        total = float(cum[-1])
+        if total == 0.0:
+            continue
         pieces = clip_line_rings(line, rings, keep_inside=True)
         outside = clip_line_rings(line, rings, keep_inside=False)
-        for p in pieces:
-            mids = (p[:-1] + p[1:]) / 2
-            seg_len = np.sqrt(((p[1:] - p[:-1]) ** 2).sum(axis=1))
-            # boundary-tolerant probe: a float midpoint of linework lying
-            # exactly ON the polygon boundary sits ~1 ulp off it, and a
-            # zero-eps status then reads INSIDE/OUTSIDE at random
-            # (identical sliver polygons got IB/BE entries — hypothesis)
-            eps = 1e-9 * max(1.0, float(np.abs(mids).max())) if len(mids) else 0.0
-            st = points_in_geom(mids[:, 0], mids[:, 1], pb, pg, eps=eps)
-            L_in += float(seg_len[st == INSIDE].sum())
-            L_on += float(seg_len[st == BOUNDARY].sum())
-        for p in outside:
-            # the clipper's own collinear handling can put linework that
-            # runs ALONG the boundary on the outside list — classify by
-            # midpoint status like the inside pieces instead of trusting
-            # the split (identical polygons got BE/EB entries otherwise)
-            mids = (p[:-1] + p[1:]) / 2
-            seg_len = np.sqrt(((p[1:] - p[:-1]) ** 2).sum(axis=1))
-            eps = 1e-9 * max(1.0, float(np.abs(mids).max())) if len(mids) else 0.0
-            st = points_in_geom(mids[:, 0], mids[:, 1], pb, pg, eps=eps)
-            L_in += float(seg_len[st == INSIDE].sum())
-            L_on += float(seg_len[st == BOUNDARY].sum())
-            L_out += float(seg_len[st == OUTSIDE].sum())
+        verts = [p for p in pieces + outside if len(p)]
+        if verts:
+            cut_pts = np.vstack(verts)
+            cuts = _params_on_line(cut_pts, line, seg_len, cum)
+            ts = np.unique(np.concatenate([cuts, cum]))
+        else:
+            ts = cum
+        lo, hi = ts[:-1], ts[1:]
+        keep = hi - lo > 0
+        lo, hi = lo[keep], hi[keep]
+        if not len(lo):
+            continue
+        mids = _points_at_params((lo + hi) / 2, line, seg_len, cum)
+        # boundary-tolerant probe: a float midpoint of linework lying
+        # exactly ON the polygon boundary sits a few ulps off it, and a
+        # zero-eps status then reads INSIDE/OUTSIDE at random
+        # (identical sliver polygons got IB/BE entries — hypothesis).
+        # ulp-SCALED band, not 1e-9-relative: the old 1e-9*|coord| band
+        # (~1e-2 at projected coords ~1e7) classified genuinely-inside
+        # linework of any feature smaller than the band as BOUNDARY
+        # (ADVICE r4)
+        eps = 64.0 * float(np.spacing(max(1.0, float(np.abs(mids).max()))))
+        st = points_in_geom(mids[:, 0], mids[:, 1], pb, pg, eps=eps)
+        ln = hi - lo
+        L_in += float(ln[st == INSIDE].sum())
+        L_on += float(ln[st == BOUNDARY].sum())
+        L_out += float(ln[st == OUTSIDE].sum())
     return L_in, L_on, L_out
 
 
@@ -333,17 +381,21 @@ def relate_pair(lb: GeometryBatch, ga: int, rb: GeometryBatch, gb: int) -> str:
     # midpoints alone misclassify partially-inside edges)
     L_in_ab, L_on_ab, L_out_ab = _line_pieces_vs_polygon(lb, ga, rb, gb)
     L_in_ba, L_on_ba, L_out_ba = _line_pieces_vs_polygon(rb, gb, lb, ga)
-    # float ring-vs-own-polygon clipping leaves sliver residues; a
-    # boundary class only counts when it holds a non-negligible share
-    # of the linework (identical polygons got BE/EB entries otherwise)
+    # float ring-vs-own-polygon clipping leaves sliver residues in the
+    # IN/OUT classes when linework genuinely runs ALONG the boundary
+    # (identical polygons got IB/BE/EB entries otherwise). Discount a
+    # residue-sized in/out share ONLY when a collinear overlap actually
+    # exists (L_on dominates); L_on itself is never clamped, and a
+    # genuine tiny crossing with no collinear contact survives
+    # (ADVICE r4: the unconditional clamp erased real sliver overlaps)
     tol_ab = 1e-9 * max(L_in_ab + L_on_ab + L_out_ab, 1.0)
     tol_ba = 1e-9 * max(L_in_ba + L_on_ba + L_out_ba, 1.0)
-    L_in_ab = 0.0 if L_in_ab <= tol_ab else L_in_ab
-    L_on_ab = 0.0 if L_on_ab <= tol_ab else L_on_ab
-    L_out_ab = 0.0 if L_out_ab <= tol_ab else L_out_ab
-    L_in_ba = 0.0 if L_in_ba <= tol_ba else L_in_ba
-    L_on_ba = 0.0 if L_on_ba <= tol_ba else L_on_ba
-    L_out_ba = 0.0 if L_out_ba <= tol_ba else L_out_ba
+    if L_on_ab > tol_ab:
+        L_in_ab = 0.0 if L_in_ab <= tol_ab else L_in_ab
+        L_out_ab = 0.0 if L_out_ab <= tol_ab else L_out_ab
+    if L_on_ba > tol_ba:
+        L_in_ba = 0.0 if L_in_ba <= tol_ba else L_in_ba
+        L_out_ba = 0.0 if L_out_ba <= tol_ba else L_out_ba
     touch0 = _seg_cross_any(lb, ga, rb, gb) or _touches_pt(lb, ga, rb, gb)
     M[0][1] = "1" if L_in_ba > 0 else "F"
     M[1][0] = "1" if L_in_ab > 0 else "F"

@@ -130,6 +130,18 @@ def delaunay(points: np.ndarray):
     for i in range(n):
         p = vs[i]
         bad = [t for t in tris if _in_circle(t, p)]
+        if not bad:
+            # p lies inside the super-triangle, so SOME triangle must
+            # claim it. A point exactly collinear with a hull edge but
+            # beyond its endpoints can slip between the 1-ideal
+            # half-plane test (s==0, off-segment) and the 2-ideal
+            # metric test (ADVICE r4) — instead of silently dropping
+            # the point, claim the triangle(s) geometrically containing
+            # it (exact-orientation >= 0 on all three CCW edges); a
+            # legal, if locally non-Delaunay, insertion cavity.
+            bad = [t for t in tris if all(
+                _orient_sign(vs[t[k]], vs[t[(k + 1) % 3]], p) >= 0
+                for k in range(3))]
         # boundary of the bad-triangle cavity
         edge_count: dict[tuple[int, int], int] = {}
         for t in bad:

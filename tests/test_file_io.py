@@ -210,6 +210,23 @@ class TestReadToFileDispatch:
             back = read_file(spark, p, rows=1)
             assert back.count() == 1
 
+    def test_open_stop_slice_guarded(self, spark, tmp_path, monkeypatch):
+        """rows=slice(n, None) materializes on the driver: it must hit the
+        same row cap every other single-file pull uses (VERDICT r4)."""
+        import geopandas_spark.sources.feather as feather
+
+        df = _df(spark, ["POINT (1 2)", "POINT (8 9)", "POINT (3 3)"],
+                 v=[1, 2, 3])
+        p = str(tmp_path / "cap.csv")
+        to_file(df, p)
+        # under the cap: works and skips `start` rows
+        assert read_file(spark, p, rows=slice(1, None)).count() == 2
+        monkeypatch.setattr(feather, "SINGLE_FILE_MAX_ROWS", 2)
+        with pytest.raises(ValueError, match="rows=slice"):
+            read_file(spark, p, rows=slice(1, None))
+        # bounded slices stay un-guarded (driver pull capped at `stop`)
+        assert read_file(spark, p, rows=slice(1, 3)).count() == 2
+
 
 class TestZipAndGeoFrame:
     def test_zipped_shapefile(self, spark, tmp_path):
