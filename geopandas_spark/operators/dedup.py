@@ -203,7 +203,8 @@ def _expand_starts(offs: np.ndarray, counts: np.ndarray) -> np.ndarray:
 
 
 def _cap_hot_buckets(exploded: DataFrame, bucket_cols: list[str],
-                     id_col: str, max_bucket: int, what: str):
+                     id_col: str, max_bucket: int, what: str,
+                     return_stats: bool = False):
     """Split exploded bucket rows into (normal, star) candidate pairs.
 
     Buckets larger than ``max_bucket`` would emit O(size^2) clique pairs —
@@ -212,6 +213,12 @@ def _cap_hot_buckets(exploded: DataFrame, bucket_cols: list[str],
     with the bucket's min id): O(size) rows that still link all members
     transitively for connected-component dedup, at the cost of pairs
     between non-representative members. The downgrade count is logged.
+
+    With ``return_stats`` the (cand, stats) pair is returned; stats rides
+    the same single driver collect and carries ``total_rows`` (sum of
+    bucket sizes = input rows) and ``est_pairs`` (pre-dedup candidate
+    pair estimate: clique counts for normal buckets, star counts for hot
+    ones) for caller-side plan decisions.
     """
     import logging
 
@@ -220,8 +227,14 @@ def _cap_hot_buckets(exploded: DataFrame, bucket_cols: list[str],
     stats = sizes.agg(
         F.sum(F.when(F.col("__bn") > int(max_bucket), 1).otherwise(0)),
         F.sum(F.when(F.col("__bn") > int(max_bucket), F.col("__bn"))
-              .otherwise(0))).collect()[0]
+              .otherwise(0)),
+        F.sum("__bn"),
+        F.sum(F.when(F.col("__bn") > int(max_bucket), F.col("__bn") - 1)
+              .otherwise(F.col("__bn") * (F.col("__bn") - 1) / 2)),
+    ).collect()[0]
     n_hot, n_rows = int(stats[0] or 0), int(stats[1] or 0)
+    bucket_stats = {"total_rows": int(stats[2] or 0),
+                    "est_pairs": float(stats[3] or 0.0)}
     if n_hot:
         logging.getLogger(__name__).warning(
             "%s: %d hot buckets (> %d members, %d rows total) downgraded "
@@ -247,13 +260,15 @@ def _cap_hot_buckets(exploded: DataFrame, bucket_cols: list[str],
     )
     if star is not None:
         cand = cand.unionByName(star)
-    return cand.dropDuplicates(["id_a", "id_b"])
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    return (cand, bucket_stats) if return_stats else cand
 
 
 def minhash_lsh(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 num_perm: int = 64, bands: int = 16, shingle: int = 5,
                 threshold: float = 0.7, seed: int = 1,
-                max_bucket: int = 1000) -> DataFrame:
+                max_bucket: int = 1000,
+                verify_scope: str = "auto") -> DataFrame:
     """-> candidate near-duplicate pairs (id_a, id_b, jaccard) verified by
     exact shingle Jaccard >= threshold.
 
@@ -287,8 +302,9 @@ def minhash_lsh(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # materialization (GC-freed localCheckpoint, not persist — no
     # CacheManager leak)
     banded = banded.localCheckpoint(eager=False)
-    cand = _cap_hot_buckets(banded, ["band_hash"], "__id", max_bucket,
-                            "minhash_lsh")
+    cand, bstats = _cap_hot_buckets(banded, ["band_hash"], "__id",
+                                    max_bucket, "minhash_lsh",
+                                    return_stats=True)
 
     @pandas_udf("double")
     def _jac(sa: pd.Series, sb: pd.Series) -> pd.Series:
@@ -311,19 +327,45 @@ def minhash_lsh(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             out[i] = inter / u if u else 0.0
         return pd.Series(out)
 
-    # Round-4 scale fix: shingle ONLY candidate-pair members. The verify
-    # used to materialize shingle_sets for the WHOLE corpus and shuffle
-    # that (~10x doc bytes) through both joins; candidates are sparse at
+    # Round-4 scale fix: shingle ONLY candidate-pair members
+    # (verify_scope='candidates', the default). The verify used to
+    # materialize shingle_sets for the WHOLE corpus and shuffle that
+    # (~10x doc bytes) through both joins; candidates are sparse at
     # corpus scale, so semi-joining the doc table down to pair members
     # first keeps the shingle stage and both verify joins proportional
     # to the candidate set, not the corpus. cand is pinned (GC-freed
     # localCheckpoint) because three branches read it.
-    cand = cand.localCheckpoint(eager=False)
-    ids = (cand.select(F.col("id_a").alias(id_col))
-           .unionByName(cand.select(F.col("id_b").alias(id_col)))
-           .distinct())
-    sh = shingle_sets(df.join(ids, on=id_col, how="left_semi"),
-                      text_col, id_col, shingle)
+    # verify_scope='corpus' keeps the round-3 plan (shingle everything,
+    # skip the distinct + semi-join) — cheaper only when candidates
+    # cover most of the corpus OR the corpus is small in absolute terms.
+    # 'auto' (default) decides from the bucket stats that already rode
+    # the hot-bucket collect: the semi-join plumbing (distinct + two
+    # extra stages + checkpoint) has a ~1s fixed cost that the saved
+    # shingling doesn't repay on small corpora (measured A/B at sf0.1:
+    # corpus 5.6s vs candidates 6.8s, tools/ab_dedup.py), while at
+    # corpus scale the saved shingle shuffle dominates. Members are
+    # bounded by 2*est_pairs (pre-dedup, so an overcount — errs toward
+    # the scale-safe semi-join).
+    if verify_scope == "auto":
+        n_docs_est = bstats["total_rows"] / max(bands, 1)
+        members_bound = 2.0 * bstats["est_pairs"]
+        small_corpus = n_docs_est <= 500_000
+        dense_cand = members_bound >= 0.5 * n_docs_est
+        verify_scope = "corpus" if (small_corpus or dense_cand) \
+            else "candidates"
+    if verify_scope == "candidates":
+        cand = cand.localCheckpoint(eager=False)
+        ids = (cand.select(F.col("id_a").alias(id_col))
+               .unionByName(cand.select(F.col("id_b").alias(id_col)))
+               .distinct())
+        members = df.join(ids, on=id_col, how="left_semi")
+    elif verify_scope == "corpus":
+        members = df
+    else:
+        raise ValueError(
+            f"verify_scope must be 'candidates' or 'corpus', got "
+            f"{verify_scope!r}")
+    sh = shingle_sets(members, text_col, id_col, shingle)
     cand = (
         cand.join(sh.select(F.col(id_col).alias("id_a"),
                             F.col("__sh").alias("sa")), on="id_a")
