@@ -480,6 +480,41 @@ def q_buffer_point_area(spark, sf_dir) -> DataFrame:
     return buf.select("c_custkey", F.round(st_area("bg"), 9).alias("barea"))
 
 
+def q_buffer_styles(spark, sf_dir) -> DataFrame:
+    """buffer cap_style/join_style/mitre_limit (base.py:4806 parameters):
+    an L-shaped integer polyline per part row. At integer coordinates
+    with d=2 every style is arc-free and exact — flat+mitre area is
+    2d(L1+L2), flat+bevel loses d^2/2 at the corner, square caps add
+    2d^2 per end — so the oracle is closed-form SQL."""
+    from geopandas_spark.functions.st import (st_area, st_buffer,
+                                              st_geomfromtext)
+
+    part = _load(spark, sf_dir, "part")
+    df = part.select(
+        "p_partkey",
+        (F.col("p_partkey") * _HA % 16 + 5).cast("long").alias("l1"),
+        (F.col("p_partkey") * _HB % 16 + 3).cast("long").alias("l2"),
+        (F.col("p_partkey") % 100).cast("long").alias("x0"),
+    )
+    wkt = F.concat_ws(
+        "", F.lit("LINESTRING ("), F.col("x0"), F.lit(" 0, "),
+        F.col("x0") + F.col("l1"), F.lit(" 0, "),
+        F.col("x0") + F.col("l1"), F.lit(" "), F.col("l2"), F.lit(")"))
+    g = df.withColumn("g", st_geomfromtext(wkt))
+    return g.select(
+        "p_partkey",
+        F.round(st_area(st_buffer(
+            "g", 2.0, cap_style="flat", join_style="mitre")), 9)
+        .alias("a_mitre"),
+        F.round(st_area(st_buffer(
+            "g", 2.0, cap_style="flat", join_style="bevel")), 9)
+        .alias("a_bevel"),
+        F.round(st_area(st_buffer(
+            "g", 2.0, cap_style="square", join_style="mitre")), 9)
+        .alias("a_square"),
+    )
+
+
 def q_union_rect_area(spark, sf_dir) -> DataFrame:
     """pairwise union (base.py:4078, Martinez-Rueda/rectilinear kernel) of
     consecutive part rects; oracle = inclusion-exclusion in SQL."""
@@ -1508,65 +1543,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate snapshots the FIRST
-    # 50 entries only. Rounds 1-3 always listed the same prefix, so 11
-    # queries were never driver-checked (VERDICT r3 item 4). Round 4
-    # rotates: never-driver-checked queries lead, new round-4 queries
-    # follow, and the longest-stable multi-round hash-matched queries
-    # take the unchecked tail.
+    # 50 entries only. Round 5 rotation (VERDICT r4 item 7): the 21
+    # queries past round 4's 50-query window (driver-checked at most in
+    # r3, verified only locally in r4) lead, new round-5 queries follow,
+    # then the round-4 single-driver-hash queries; the tail is queries
+    # with TWO consecutive driver hashes (r3+r4) — every query keeps a
+    # driver hash at most one round old.
     return {
-        # -- never (or only r2-) driver-checked: must be in the first 50
-        "bbox_partition_pruned": q_bbox_partition_pruned,
-        "rasterize_coverage": q_rasterize_coverage,
-        "line_merge_chain": q_line_merge_chain,
-        "constructive_scalars": q_constructive_scalars,
-        "explode_corners": q_explode_corners,
-        "intersection_all_groups": q_intersection_all_groups,
-        "nearest_line": q_nearest_line,
-        "stream_tile_counts": q_stream_tile_counts,
-        "dwithin_join": q_dwithin_join,
-        "laea_transform": q_laea_transform,
-        "utm_zone_estimate": q_utm_zone_estimate,
-        # -- new in round 4
-        "albers_transform": q_albers_transform,
-        "fgb_roundtrip": q_fgb_roundtrip,
-        "gml_mif_roundtrip": q_gml_mif_roundtrip,
-        "overlay_star_candidates": q_overlay_star_candidates,
-        "media_image_stats": q_media_image_stats,
-        "media_audio_stats": q_media_audio_stats,
-        "media_video_frames": q_media_video_frames,
-        "decontaminate_docs": q_decontaminate_docs,
-        "spans_pipeline": q_spans_pipeline,
-        "repetition_stats": q_repetition_stats,
-        # -- checked in r3, keep under the gate
-        "sjoin_points_in_rects": q_sjoin_points_in_rects,
-        "sjoin_count_by_rect": q_sjoin_count_by_rect,
-        "bbox_filter_cx": q_bbox_filter_cx,
-        "dissolve_nation_bounds": q_dissolve_nation_bounds,
-        "sjoin_nearest_center": q_sjoin_nearest_center,
-        "cell_cover_counts": q_cell_cover_counts,
-        "tile_assignment": q_tile_assignment,
-        "clip_window_area": q_clip_window_area,
-        "exact_dedup_docs": q_exact_dedup_docs,
-        "cosine_topk": q_cosine_topk,
-        "minhash_near_dups": q_minhash_near_dups,
-        "simhash_near_dups": q_simhash_near_dups,
-        "overlay_rect_intersection": q_overlay_rect_intersection,
-        "gpkg_roundtrip": q_gpkg_roundtrip,
-        "shapefile_roundtrip": q_shapefile_roundtrip,
-        "geocode_nations": q_geocode_nations,
-        "render_density": q_render_density,
-        "sql_roundtrip": q_sql_roundtrip,
-        "render_choropleth": q_render_choropleth,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "disjoint_window": q_disjoint_window,
-        "make_valid_bowtie_area": q_make_valid_bowtie_area,
-        "skew_transform_points": q_skew_transform_points,
-        "lsh_topk_embeddings": q_lsh_topk_embeddings,
-        "ivf_topk_embeddings": q_ivf_topk_embeddings,
-        "overlay_star_intersection": q_overlay_star_intersection,
-        "overlay_dart_intersection": q_overlay_dart_intersection,
-        "boolean_ops_area": q_boolean_ops_area,
-        "delaunay_quad": q_delaunay_quad,
+        # -- past the r4 window (local-only in r4): must be in the first 50
         "voronoi_rect_cells": q_voronoi_rect_cells,
         "polygonize_rect": q_polygonize_rect,
         "min_rotated_rect": q_min_rotated_rect,
@@ -1574,8 +1558,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_interpolate_project": q_line_interpolate_project,
         "line_offset_frechet": q_line_offset_frechet,
         "hull_points_area": q_hull_points_area,
-        # -- tail: hash-matched by the driver in BOTH r2 and r3 (and
-        # locally every round) — safest to rotate out of the 50-gate
         "morton_cells": q_morton_cells,
         "hilbert_keys": q_hilbert_rank_partitioning,
         "token_stats": q_token_stats,
@@ -1590,6 +1572,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_bounding_radius": q_min_bounding_radius,
         "hausdorff_center": q_hausdorff_center,
         "geojson_roundtrip": q_geojson_roundtrip,
+        # -- new in round 5
+        "buffer_styles": q_buffer_styles,
+        # -- driver-checked once, in round 4 (the r3-item-4 backlog + the
+        # r4-new queries)
+        "bbox_partition_pruned": q_bbox_partition_pruned,
+        "rasterize_coverage": q_rasterize_coverage,
+        "line_merge_chain": q_line_merge_chain,
+        "constructive_scalars": q_constructive_scalars,
+        "explode_corners": q_explode_corners,
+        "intersection_all_groups": q_intersection_all_groups,
+        "nearest_line": q_nearest_line,
+        "stream_tile_counts": q_stream_tile_counts,
+        "dwithin_join": q_dwithin_join,
+        "laea_transform": q_laea_transform,
+        "utm_zone_estimate": q_utm_zone_estimate,
+        "albers_transform": q_albers_transform,
+        "fgb_roundtrip": q_fgb_roundtrip,
+        "gml_mif_roundtrip": q_gml_mif_roundtrip,
+        "overlay_star_candidates": q_overlay_star_candidates,
+        "media_image_stats": q_media_image_stats,
+        "media_audio_stats": q_media_audio_stats,
+        "media_video_frames": q_media_video_frames,
+        "decontaminate_docs": q_decontaminate_docs,
+        "spans_pipeline": q_spans_pipeline,
+        "repetition_stats": q_repetition_stats,
+        # -- r3+r4 double-checked: fill the window to 50 with the ones
+        # whose operators changed this round (dedup verify gating) or
+        # anchor the bench
+        "minhash_near_dups": q_minhash_near_dups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "sjoin_points_in_rects": q_sjoin_points_in_rects,
+        "sjoin_nearest_center": q_sjoin_nearest_center,
+        "overlay_rect_intersection": q_overlay_rect_intersection,
+        "disjoint_window": q_disjoint_window,
+        "boolean_ops_area": q_boolean_ops_area,
+        # -- tail: hash-matched by the driver in BOTH r3 and r4 —
+        # safest to rotate out of the 50-gate
+        "sjoin_count_by_rect": q_sjoin_count_by_rect,
+        "bbox_filter_cx": q_bbox_filter_cx,
+        "dissolve_nation_bounds": q_dissolve_nation_bounds,
+        "cell_cover_counts": q_cell_cover_counts,
+        "tile_assignment": q_tile_assignment,
+        "clip_window_area": q_clip_window_area,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "cosine_topk": q_cosine_topk,
+        "simhash_near_dups": q_simhash_near_dups,
+        "gpkg_roundtrip": q_gpkg_roundtrip,
+        "shapefile_roundtrip": q_shapefile_roundtrip,
+        "geocode_nations": q_geocode_nations,
+        "render_density": q_render_density,
+        "sql_roundtrip": q_sql_roundtrip,
+        "render_choropleth": q_render_choropleth,
+        "make_valid_bowtie_area": q_make_valid_bowtie_area,
+        "skew_transform_points": q_skew_transform_points,
+        "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "overlay_star_intersection": q_overlay_star_intersection,
+        "overlay_dart_intersection": q_overlay_dart_intersection,
+        "delaunay_quad": q_delaunay_quad,
     }
 
 
@@ -1922,6 +1963,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey,
                    round(16.0 * sin(2*pi()/32.0) * 0.013 * 0.013, 9) AS barea
             FROM customer
+        """,
+        "buffer_styles": f"""
+            WITH seg AS (
+                SELECT p_partkey,
+                       p_partkey * {_HA} % 16 + 5 AS l1,
+                       p_partkey * {_HB} % 16 + 3 AS l2
+                FROM part)
+            SELECT p_partkey,
+                   round(4.0 * (l1 + l2), 9) AS a_mitre,
+                   round(4.0 * (l1 + l2) - 2.0, 9) AS a_bevel,
+                   round(4.0 * (l1 + l2) + 16.0, 9) AS a_square
+            FROM seg
         """,
         "union_rect_area": f"""
             WITH r AS ({_RECT_SQL}),

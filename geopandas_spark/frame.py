@@ -85,8 +85,14 @@ class GeoFrame:
         return self._scalar("is_empty", st.st_is_empty(self.geometry))
 
     # -- constructive (base.py §2.3): return a new GeoFrame ----------------
-    def buffer(self, distance: float, quad_segs: int = 8) -> "GeoFrame":
-        return self._with_geom(st.st_buffer(self.geometry, distance, quad_segs))
+    def buffer(self, distance: float, quad_segs: int = 8,
+               cap_style: str = "round", join_style: str = "round",
+               mitre_limit: float = 5.0,
+               resolution: int | None = None) -> "GeoFrame":
+        return self._with_geom(st.st_buffer(
+            self.geometry, distance, quad_segs, cap_style=cap_style,
+            join_style=join_style, mitre_limit=mitre_limit,
+            resolution=resolution))
 
     def simplify(self, tolerance: float) -> "GeoFrame":
         return self._with_geom(st.st_simplify(self.geometry, tolerance))
@@ -112,8 +118,12 @@ class GeoFrame:
     def segmentize(self, max_segment_length: float) -> "GeoFrame":
         return self._with_geom(st.st_segmentize(self.geometry, max_segment_length))
 
-    def offset_curve(self, distance: float, quad_segs: int = 8) -> "GeoFrame":
-        return self._with_geom(st.st_offset_curve(self.geometry, distance, quad_segs))
+    def offset_curve(self, distance: float, quad_segs: int = 8,
+                     join_style: str = "round",
+                     mitre_limit: float = 5.0) -> "GeoFrame":
+        return self._with_geom(st.st_offset_curve(
+            self.geometry, distance, quad_segs, join_style=join_style,
+            mitre_limit=mitre_limit))
 
     def affine_transform(self, matrix) -> "GeoFrame":
         return self._with_geom(st.st_affine(self.geometry, matrix))

@@ -248,19 +248,31 @@ def st_force_2d(geom) -> Column:
     return _transform_udf(lambda t, b: t.force_2d(b))(_col(geom))
 
 
-def st_buffer(geom, distance: float, quad_segs: int = 8) -> Column:
+def st_buffer(geom, distance: float, quad_segs: int = 8,
+              cap_style: str = "round", join_style: str = "round",
+              mitre_limit: float = 5.0,
+              resolution: int | None = None) -> Column:
     """base.py:4806 — all geometry types. Puntal batches take the fast
-    vectorized disc path; lines/polygons buffer via capsule union with
-    the Martinez-Rueda sweep (transforms.buffer_general), negative
-    distances erode polygons."""
+    vectorized disc path (round caps only); lines/polygons buffer via
+    capsule union with the Martinez-Rueda sweep
+    (transforms.buffer_general), negative distances erode polygons.
+    ``cap_style`` ('round'|'flat'|'square') shapes open-line endpoints
+    and lone points, ``join_style`` ('round'|'mitre'|'bevel') every other
+    vertex with spikes cropped at ``mitre_limit*distance``;
+    ``resolution`` is the reference's alias for ``quad_segs``."""
+    if resolution is not None:
+        quad_segs = int(resolution)
 
     def _dispatch(t, b):
         from ..geom.ragged import POINT
 
-        if distance > 0 and len(b) and (b.types == POINT).all() and (
+        if cap_style == "round" and distance > 0 and len(b) and (
+                b.types == POINT).all() and (
                 b.n_coords_per_geom() == 1).all():
             return t.buffer_points(b, distance, quad_segs)
-        return t.buffer_general(b, distance, quad_segs)
+        return t.buffer_general(b, distance, quad_segs,
+                                cap_style=cap_style, join_style=join_style,
+                                mitre_limit=mitre_limit)
 
     return _transform_udf(_dispatch)(_col(geom))
 
@@ -628,9 +640,9 @@ def st_segmentize(geom, max_segment_length: float) -> Column:
     return _unary_geom_udf("segmentize", max_segment_length)(_col(geom))
 
 
-def st_line_merge(geom) -> Column:
-    """base.py:1887."""
-    return _unary_geom_udf("line_merge")(_col(geom))
+def st_line_merge(geom, directed: bool = False) -> Column:
+    """base.py:1887; ``directed=True`` never reverses a component line."""
+    return _unary_geom_udf("line_merge", directed=directed)(_col(geom))
 
 
 def st_force_3d(geom, z: float = 0.0) -> Column:
@@ -1137,9 +1149,11 @@ def st_sample_points(geom, size: int, seed: int = 0, row_key=None,
     return _f(_col(geom), key)
 
 
-def st_delaunay_triangles(geom, only_edges: bool = False) -> Column:
+def st_delaunay_triangles(geom, only_edges: bool = False,
+                          tolerance: float = 0.0) -> Column:
     """base.py:908 — Delaunay triangulation of each geometry's vertices
-    (GeometryCollection of polygons, or MultiLineString of edges)."""
+    (GeometryCollection of polygons, or MultiLineString of edges);
+    ``tolerance`` snaps vertices within that distance together first."""
 
     @pandas_udf("binary")
     def _f(s: pd.Series) -> pd.Series:
@@ -1159,13 +1173,15 @@ def st_delaunay_triangles(geom, only_edges: bool = False) -> Column:
                 continue
             pts = b.coords[off[g]:off[g + 1]]
             if only_edges:
-                edges, up = delaunay_edges(pts) if len(pts) >= 3 else ([], pts)
+                edges, up = delaunay_edges(pts, tolerance) \
+                    if len(pts) >= 3 else ([], pts)
                 bld.add(MULTILINESTRING, [
                     (LINESTRING, [np.vstack([up[u], up[v]])])
                     for u, v in edges
                 ])
             else:
-                tris, up = delaunay(pts) if len(pts) >= 3 else ([], pts)
+                tris, up = delaunay(pts, tolerance) \
+                    if len(pts) >= 3 else ([], pts)
                 bld.add(GEOMETRYCOLLECTION, [
                     (POLYGON, [np.vstack([up[a], up[b_], up[c], up[a]])])
                     for a, b_, c in tris
@@ -1175,9 +1191,11 @@ def st_delaunay_triangles(geom, only_edges: bool = False) -> Column:
     return _f(_col(geom))
 
 
-def st_voronoi_polygons(geom, extend_to=None, only_edges: bool = False) -> Column:
+def st_voronoi_polygons(geom, extend_to=None, only_edges: bool = False,
+                        tolerance: float = 0.0) -> Column:
     """base.py:999 — Voronoi cells of each geometry's vertices, clipped to
-    the geometry envelope (or ``extend_to`` bounds 4-tuple)."""
+    the geometry envelope (or ``extend_to`` bounds 4-tuple);
+    ``tolerance`` snaps vertices within that distance together first."""
 
     @pandas_udf("binary")
     def _f(s: pd.Series) -> pd.Series:
@@ -1209,7 +1227,7 @@ def st_voronoi_polygons(geom, extend_to=None, only_edges: bool = False) -> Colum
                 h = bb[g, 3] - bb[g, 1] or 1.0
                 ext = (bb[g, 0] - w / 2, bb[g, 1] - h / 2,
                        bb[g, 2] + w / 2, bb[g, 3] + h / 2)
-            cells, _ = voronoi(pts, ext)
+            cells, _ = voronoi(pts, ext, tolerance)
             if only_edges:
                 parts = []
                 for c in cells:
@@ -1315,10 +1333,15 @@ def st_build_area(geom) -> Column:
     return _f(_col(geom))
 
 
-def st_offset_curve(geom, distance: float, quad_segs: int = 8) -> Column:
-    """base.py:1265."""
+def st_offset_curve(geom, distance: float, quad_segs: int = 8,
+                    join_style: str = "round",
+                    mitre_limit: float = 5.0) -> Column:
+    """base.py:1265; ``join_style`` ('round'|'mitre'|'bevel') shapes
+    convex turns, mitre spikes cropped at ``mitre_limit*distance``."""
     return _transform_udf(
-        lambda t, b: t.offset_curve(b, distance, quad_segs)
+        lambda t, b: t.offset_curve(b, distance, quad_segs,
+                                    join_style=join_style,
+                                    mitre_limit=mitre_limit)
     )(_col(geom))
 
 

@@ -233,14 +233,21 @@ _ELLIPSOIDS = {
     "GRS80": (6378137.0, 1 / 298.257222101),
     "airy": (6377563.396, 1 / 299.3249646),
     "intl": (6378388.0, 1 / 297.0),
+    "clrk66": (6378206.4, 1 / 294.9786982138982),  # Clarke 1866 (NAD27)
 }
 
 # datum -> Helmert params TO WGS84: (tx, ty, tz [m], rx, ry, rz [arcsec],
 # ds [ppm]); position-vector convention (EPSG 9606). OSGB36 from the
 # OS national standard transformation (~2 m accuracy, the published
-# single-Helmert figure).
+# single-Helmert figure). NAD27 is the CONUS 3-parameter shift
+# (EPSG 1173 towgs84 -8,160,176): the real NAD27<->NAD83 transformation
+# is the NADCON grid, which this engine does not embed — the single
+# Helmert is accurate to ~5-10 m over CONUS and degrades toward
+# Alaska/Canada; callers needing survey accuracy should reproject
+# upstream.
 _DATUM_TO_WGS84 = {
     "OSGB36": (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894),
+    "NAD27": (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0),
 }
 
 
@@ -285,11 +292,17 @@ def _helmert(x, y, z, p, inverse=False):
     return x2, y2, z2
 
 
+def _datum_params(datum):
+    """Named embedded datum or a raw towgs84 7-tuple (tx ty tz rx ry rz
+    ds, position-vector convention)."""
+    return _DATUM_TO_WGS84[datum] if isinstance(datum, str) else tuple(datum)
+
+
 def _datum_to_wgs84(lon, lat, datum, a, f):
     if datum is None:
         return lon, lat
     x, y, z = _geodetic_to_xyz(lon, lat, a, f)
-    x, y, z = _helmert(x, y, z, _DATUM_TO_WGS84[datum])
+    x, y, z = _helmert(x, y, z, _datum_params(datum))
     return _xyz_to_geodetic(x, y, z, *_ELLIPSOIDS["WGS84"])
 
 
@@ -297,7 +310,7 @@ def _wgs84_to_datum(lon, lat, datum, a, f):
     if datum is None:
         return lon, lat
     x, y, z = _geodetic_to_xyz(lon, lat, *_ELLIPSOIDS["WGS84"])
-    x, y, z = _helmert(x, y, z, _DATUM_TO_WGS84[datum], inverse=True)
+    x, y, z = _helmert(x, y, z, _datum_params(datum), inverse=True)
     return _xyz_to_geodetic(x, y, z, a, f)
 
 
@@ -458,11 +471,14 @@ _PROJ_REGISTRY = {
     # NZGD2000 / New Zealand Transverse Mercator
     2193: ("tm", dict(lon0=173.0, lat0=0.0, k0=0.9996,
                       fe=1600000.0, fn=10000000.0, ellps="GRS80"), None),
+    # NAD27 geographic (Clarke 1866 + CONUS 3-param Helmert; see the
+    # accuracy note on _DATUM_TO_WGS84 — ~5-10 m vs the NADCON grid)
+    4267: ("geo", dict(ellps="clrk66"), "NAD27"),
 }
 
 _SUPPORTED_MSG = ("4326, 3857, WGS84 UTM 326xx/327xx, ETRS89 UTM 258xx, "
                   "3035 LAEA, 2154 LCC, Albers 5070/3310/3577, "
-                  "27700 BNG, 2193 NZTM, or any projected CRS added via "
+                  "27700 BNG, 2193 NZTM, 4267 NAD27, or any CRS added via "
                   "register_crs(code, method, **params)")
 
 # user-registered projected CRSs (register_crs). Kept separate from the
@@ -475,11 +491,12 @@ _METHOD_PARAMS = {
     "aea": ("lon0", "lat0", "lat1", "lat2", "fe", "fn"),
     "lcc": ("lon0", "lat0", "lat1", "lat2", "fe", "fn"),
     "laea": ("lon0", "lat0", "fe", "fn"),
+    "geo": (),  # geographic CRS: datum shift only, no projection
 }
 
 
-def register_crs(code, method: str, datum: str | None = None,
-                 ellps: str = "WGS84", **params) -> None:
+def register_crs(code, method: str, datum=None,
+                 ellps: str = "WGS84", towgs84=None, **params) -> None:
     """Register a projected CRS by EPSG projection method + parameters.
 
     The reference delegates ``to_crs`` to pyproj's full EPSG database
@@ -494,16 +511,28 @@ def register_crs(code, method: str, datum: str | None = None,
         register_crs(32633)                      # nothing to do: built in
         register_crs(26917, "tm", lon0=-81, lat0=0, k0=0.9996,
                      fe=500000, fn=0, ellps="GRS80")   # NAD83 / UTM 17N
+        register_crs(4806, "geo", ellps="intl",        # proj-style datum
+                     towgs84=(-104.1, -49.1, -9.9, 0.971, -2.917,
+                              0.714, -11.68))          # Monte Mario ex.
 
-    ``ellps`` is one of the embedded ellipsoids (WGS84/GRS80/airy/intl)
-    and ``datum`` an embedded Helmert shift (currently OSGB36) for
-    ``tm``/``aea``; the ``lcc``/``laea`` kernels are the WGS84-constant
-    ones used by the built-in 2154/3035 entries. Registration validates
-    the parameters with a forward/inverse round-trip probe and raises
-    on disagreement. Worker note: plan-time snapshots of this registry
-    travel inside the transform UDF closures, so registrations made on
-    the driver BEFORE building a plan work on a real cluster; mutations
-    after plan creation only affect new plans.
+    ``ellps`` is one of the embedded ellipsoids (WGS84/GRS80/airy/intl/
+    clrk66). The datum shift is either ``datum`` — an embedded named
+    Helmert (OSGB36, NAD27) — or ``towgs84``, a raw proj-style 7-tuple
+    (tx ty tz [m], rx ry rz [arcsec], ds [ppm]; position-vector
+    convention; 3-tuples are zero-padded), for ``tm``/``aea``/``geo``
+    methods. ``geo`` registers a GEOGRAPHIC CRS (no projection — the
+    transform is the datum shift alone), the route for NAD27-family or
+    other legacy-datum lon/lat data. Accuracy note: a single Helmert is
+    a ~1-10 m approximation of grid-based transformations (NADCON,
+    NTv2); the engine raises no further warning — callers needing
+    survey-grade accuracy should reproject upstream. The ``lcc``/
+    ``laea`` kernels are the WGS84-constant ones used by the built-in
+    2154/3035 entries. Registration validates the parameters with a
+    forward/inverse round-trip probe and raises on disagreement. Worker
+    note: plan-time snapshots of this registry travel inside the
+    transform UDF closures, so registrations made on the driver BEFORE
+    building a plan work on a real cluster; mutations after plan
+    creation only affect new plans.
     """
     code = _parse_epsg(code)
     if method not in _METHOD_PARAMS:
@@ -520,26 +549,41 @@ def register_crs(code, method: str, datum: str | None = None,
     if ellps not in _ELLIPSOIDS:
         raise ValueError(f"unknown ellipsoid {ellps!r} "
                          f"(embedded: {sorted(_ELLIPSOIDS)})")
-    if datum is not None and datum not in _DATUM_TO_WGS84:
+    if towgs84 is not None:
+        if datum is not None:
+            raise ValueError("pass either datum= (named) or towgs84= "
+                             "(7-param), not both")
+        t = tuple(float(v) for v in towgs84)
+        if len(t) == 3:
+            t = t + (0.0, 0.0, 0.0, 0.0)
+        if len(t) != 7:
+            raise ValueError("towgs84 must have 3 or 7 parameters "
+                             "(tx ty tz [rx ry rz ds])")
+        datum = t
+    if isinstance(datum, str) and datum not in _DATUM_TO_WGS84:
         raise ValueError(f"unknown datum {datum!r} (embedded Helmert "
-                         f"shifts: {sorted(_DATUM_TO_WGS84)})")
+                         f"shifts: {sorted(_DATUM_TO_WGS84)}; or pass "
+                         "towgs84=(tx,ty,tz,rx,ry,rz,ds))")
     if method in ("lcc", "laea") and (ellps != "WGS84" or datum is not None):
         raise ValueError(
             f"the {method} kernel is the WGS84-constant one (built-in "
             "3035/2154 entries); non-WGS84 ellipsoids/datums are only "
-            "implemented for tm/aea")
+            "implemented for tm/aea/geo")
     p = dict(params)
-    if method in ("tm", "aea"):
+    if method in ("tm", "aea", "geo"):
         p["ellps"] = ellps
     entry = (method, p, datum)
     # forward/inverse round-trip probe near the projection center: a
     # typo'd parameter set fails loudly at registration, not as NaNs in
     # a distributed job
-    if method in ("aea", "lcc"):
+    if method == "geo":
+        lon_probe, lat_probe = 1.0, 45.0
+    elif method in ("aea", "lcc"):
         lat_probe = (float(params["lat1"]) + float(params["lat2"])) / 2.0
+        lon_probe = float(params["lon0"]) + 1.0
     else:
         lat_probe = min(80.0, max(-80.0, float(params["lat0"]) + 5.0))
-    lon_probe = float(params["lon0"]) + 1.0
+        lon_probe = float(params["lon0"]) + 1.0
     lon_a = np.array([lon_probe])
     lat_a = np.array([lat_probe])
     _USER_REGISTRY[code] = entry
@@ -586,6 +630,10 @@ def _registry_inverse(s, x, y):
         lon, lat = aea_to_lonlat(x, y, **p)
     elif kind == "tm":
         lon, lat = tm_generic_to_lonlat(x, y, **p)
+    elif kind == "geo":
+        # geographic CRS: coordinates ARE datum lon/lat
+        lon = np.asarray(x, dtype=np.float64)
+        lat = np.asarray(y, dtype=np.float64)
     else:  # pragma: no cover
         raise ValueError(kind)
     a, f = _ELLIPSOIDS[p.get("ellps", "WGS84")]
@@ -606,6 +654,8 @@ def _registry_forward(d, lon, lat):
         return lonlat_to_aea(lon, lat, **p)
     if kind == "tm":
         return lonlat_to_tm_generic(lon, lat, **p)
+    if kind == "geo":
+        return lon, lat
     raise ValueError(kind)  # pragma: no cover
 
 

@@ -554,43 +554,147 @@ def representative_point(batch: GeometryBatch) -> np.ndarray:
 
 
 def buffer_general(batch: GeometryBatch, distance: float,
-                   quad_segs: int = 8) -> GeometryBatch:
+                   quad_segs: int = 8, cap_style: str = "round",
+                   join_style: str = "round",
+                   mitre_limit: float = 5.0) -> GeometryBatch:
     """Buffer for any geometry type (base.py:4806).
 
     Positive distance: the buffered region is the union of per-segment
-    capsules (rectangle + vertex discs with 4*quad_segs-gon arcs) and,
-    for polygonal inputs, the polygon itself — merged exactly with the
-    Martinez-Rueda sweep. Negative distance erodes polygons by
-    differencing the boundary capsules. Matches GEOS's discretized-arc
-    semantics (same vertex count per quadrant)."""
+    capsules (rectangle + per-vertex style patches) and, for polygonal
+    inputs, the polygon itself — merged exactly with the Martinez-Rueda
+    sweep. Negative distance erodes polygons by differencing the
+    boundary capsules. Matches GEOS's discretized-arc semantics (same
+    vertex count per quadrant for round joins/caps).
+
+    ``cap_style`` ('round'|'flat'|'square') shapes open-line ENDPOINTS
+    (and lone points: flat -> empty, square -> axis-aligned-to-nothing
+    square of side 2d); ``join_style`` ('round'|'mitre'|'bevel') shapes
+    every other vertex, with mitre spikes cropped at
+    ``mitre_limit * d`` from the vertex (GEOS limited-mitre bevel)."""
     from .boolean import boolean_rings, group_rings
     from .clipping import _all_poly_rings
     from .unary import _geom_rings
     from .ragged import MULTIPOLYGON, TYPE_DIM
 
+    if cap_style not in ("round", "flat", "square"):
+        raise ValueError(f"cap_style must be round/flat/square, "
+                         f"got {cap_style!r}")
+    if join_style not in ("round", "mitre", "bevel"):
+        raise ValueError(f"join_style must be round/mitre/bevel, "
+                         f"got {join_style!r}")
     d = float(distance)
+    r_abs = abs(d)
     n_arc = 4 * quad_segs
     # half-step rotation: no disc vertex falls exactly on a capsule corner
     # or axis (avoids degenerate vertex-on-vertex sweep cases)
     ang = np.linspace(0, 2 * np.pi, n_arc, endpoint=False) + np.pi / n_arc
-    disc = np.column_stack([np.cos(ang), np.sin(ang)]) * abs(d)
+    disc = np.column_stack([np.cos(ang), np.sin(ang)]) * r_abs
+
+    def _disc_ring(v: np.ndarray) -> np.ndarray:
+        c = v + disc
+        return np.vstack([c, c[:1]])
+
+    def _cap_patches(v: np.ndarray, d_out: np.ndarray) -> list[np.ndarray]:
+        """End-cap at endpoint v; d_out = unit direction AWAY from line."""
+        if cap_style == "round":
+            return [_disc_ring(v)]
+        if cap_style == "flat":
+            return []
+        n = np.array([-d_out[1], d_out[0]]) * r_abs
+        u = d_out * r_abs
+        return [np.array([v + n, v + n + u, v - n + u, v - n, v + n])]
+
+    def _join_patches(v, d_prev, d_next) -> list[np.ndarray]:
+        """Join patch at interior/ring vertex v; d_prev/d_next = unit
+        directions of the incoming and outgoing segments."""
+        if join_style == "round":
+            return [_disc_ring(v)]
+        turn = float(d_prev[0] * d_next[1] - d_prev[1] * d_next[0])
+        if abs(turn) < 1e-12:
+            # collinear or U-turn: nothing to fill on either side (the
+            # U-turn outer gap is covered by cap semantics only for
+            # round; GEOS bevels it to nothing as well)
+            return []
+        # outer side of the turn: right of travel for a left turn
+        s = -1.0 if turn > 0 else 1.0
+        n1 = np.array([-d_prev[1], d_prev[0]]) * (s * r_abs)
+        n2 = np.array([-d_next[1], d_next[0]]) * (s * r_abs)
+        c1 = v + n1
+        c2 = v + n2
+        if join_style == "bevel":
+            return [np.array([v, c1, c2, v])]
+        # mitre: intersection of the two offset support lines
+        den = d_prev[0] * d_next[1] - d_prev[1] * d_next[0]
+        t = ((c2[0] - c1[0]) * d_next[1] - (c2[1] - c1[1]) * d_next[0]) / den
+        m = c1 + t * d_prev
+        if np.hypot(*(m - v)) <= mitre_limit * r_abs:
+            return [np.array([v, c1, m, c2, v])]
+        # limited mitre: crop the spike with a cut perpendicular to the
+        # mitre direction at distance mitre_limit*d from the vertex
+        um = (m - v) / np.hypot(*(m - v))
+        lim = mitre_limit * r_abs
+        # intersect the cut line with each offset line
+        def _cut(p, dv):
+            # solve p + t*dv with dot(x - v, um) == lim
+            den2 = float(dv @ um)
+            if den2 == 0:
+                return p
+            t2 = (lim - float((p - v) @ um)) / den2
+            return p + t2 * dv
+        m1 = _cut(c1, d_prev)
+        m2 = _cut(c2, d_next)
+        return [np.array([v, c1, m1, m2, c2, v])]
 
     def capsules(g: int) -> list[np.ndarray]:
         rings_out = []
+        is_poly = TYPE_DIM[int(batch.types[g])] == 2
         for _, r in _geom_rings(batch, g):
-            for i in range(len(r)):
-                c = r[i] + disc
-                rings_out.append(np.vstack([c, c[:1]]))
+            if len(r) == 1:
+                # lone point: cap semantics (flat -> empty)
+                if cap_style == "round":
+                    rings_out.append(_disc_ring(r[0]))
+                elif cap_style == "square":
+                    n = np.array([0.0, r_abs])
+                    u = np.array([r_abs, 0.0])
+                    v = r[0]
+                    rings_out.append(np.array(
+                        [v - u - n, v + u - n, v + u + n, v - u + n,
+                         v - u - n]))
+                continue
+            # segment rectangles
+            seg = np.diff(r, axis=0)
+            L = np.hypot(seg[:, 0], seg[:, 1])
             for i in range(len(r) - 1):
-                p0, p1 = r[i], r[i + 1]
-                seg = p1 - p0
-                L = np.hypot(*seg)
-                if L == 0:
+                if L[i] == 0:
                     continue
-                nrm = np.array([-seg[1], seg[0]]) / L * abs(d)
-                rect = np.array([p0 + nrm, p1 + nrm, p1 - nrm, p0 - nrm,
-                                 p0 + nrm])
-                rings_out.append(rect)
+                p0, p1 = r[i], r[i + 1]
+                nrm = np.array([-seg[i, 1], seg[i, 0]]) / L[i] * r_abs
+                rings_out.append(np.array(
+                    [p0 + nrm, p1 + nrm, p1 - nrm, p0 - nrm, p0 + nrm]))
+            # per-vertex patches: walk the non-degenerate segments
+            live = np.nonzero(L > 0)[0]
+            if not len(live):
+                # degenerate linework: treat first vertex as a point
+                if not is_poly:
+                    rings_out.extend(
+                        _cap_patches(r[0], np.array([1.0, 0.0]))
+                        if cap_style != "flat" else [])
+                continue
+            dirs = seg[live] / L[live, None]
+            closed = bool((r[0] == r[-1]).all()) or is_poly
+            for k in range(len(live)):
+                i = live[k]
+                # vertex at the END of segment live[k] joins with the
+                # START of segment live[k+1]
+                if k + 1 < len(live):
+                    rings_out.extend(
+                        _join_patches(r[i + 1], dirs[k], dirs[k + 1]))
+            if closed:
+                rings_out.extend(
+                    _join_patches(r[live[0]], dirs[-1], dirs[0]))
+            else:
+                rings_out.extend(_cap_patches(r[live[0]], -dirs[0]))
+                rings_out.extend(_cap_patches(r[live[-1] + 1], dirs[-1]))
         return rings_out
 
     def union_fold(ring_sets: list[list[np.ndarray]]) -> list[np.ndarray]:
@@ -638,14 +742,20 @@ def buffer_general(batch: GeometryBatch, distance: float,
 
 
 def offset_curve(batch: GeometryBatch, distance: float,
-                 quad_segs: int = 8) -> GeometryBatch:
+                 quad_segs: int = 8, join_style: str = "round",
+                 mitre_limit: float = 5.0) -> GeometryBatch:
     """Parallel offset of lineal geometries (base.py:1265): left side for
-    positive distance, right for negative; round joins with
-    quad_segs-per-quadrant arcs at convex turns, miter-trim at concave
-    turns. Non-lineal rows -> missing."""
+    positive distance, right for negative; ``join_style`` shapes convex
+    turns — 'round' (quad_segs-per-quadrant arcs), 'mitre' (offset-line
+    intersection, spikes cropped at ``mitre_limit*d``), 'bevel' (direct
+    connect); always miter-trim at concave turns. Non-lineal rows ->
+    missing."""
     from .ragged import LINESTRING, MULTILINESTRING, TYPE_DIM
     from .unary import _geom_rings
 
+    if join_style not in ("round", "mitre", "bevel"):
+        raise ValueError(f"join_style must be round/mitre/bevel, "
+                         f"got {join_style!r}")
     d = float(distance)
     side = 1.0 if d >= 0 else -1.0
     r = abs(d)
@@ -678,7 +788,7 @@ def offset_curve(batch: GeometryBatch, distance: float,
                     pts[-1] = p0 + t * d0
                 else:
                     pts.append(starts[i] + nrm[i])
-            else:
+            elif join_style == "round":
                 # arc around the vertex from nrm[i-1] to nrm[i]
                 a0 = np.arctan2(nrm[i - 1][1], nrm[i - 1][0])
                 a1 = np.arctan2(nrm[i][1], nrm[i][0])
@@ -693,6 +803,30 @@ def offset_curve(batch: GeometryBatch, distance: float,
                 for k in range(1, nsteps + 1):
                     a = a0 + sweep * k / nsteps
                     pts.append(v + r * np.array([np.cos(a), np.sin(a)]))
+            elif join_style == "mitre":
+                # intersection of the two offset support lines; spikes
+                # cropped at mitre_limit*r (GEOS limited-mitre)
+                c1 = v + nrm[i - 1]
+                c2 = v + nrm[i]
+                d0, d1 = seg[i - 1] / L[i - 1], seg[i] / L[i]
+                den = d0[0] * d1[1] - d0[1] * d1[0]
+                if den != 0:
+                    t = ((c2[0] - c1[0]) * d1[1]
+                         - (c2[1] - c1[1]) * d1[0]) / den
+                    m = c1 + t * d0
+                    dist_m = float(np.hypot(*(m - v)))
+                    if dist_m <= mitre_limit * r:
+                        pts.append(m)
+                    else:
+                        um = (m - v) / dist_m
+                        lim = mitre_limit * r
+                        for p, dv in ((c1, d0), (c2, d1)):
+                            den2 = float(dv @ um)
+                            if den2 != 0:
+                                t2 = (lim - float((p - v) @ um)) / den2
+                                pts.append(p + t2 * dv)
+            # 'bevel': no fill points — the polyline connects the two
+            # offset segment ends directly
             pts.append(ends[i] + nrm[i])
         return np.array(pts)
 

@@ -18,9 +18,33 @@ from __future__ import annotations
 import numpy as np
 
 
-def delaunay(points: np.ndarray):
-    """Bowyer–Watson -> (list of vertex-index triangles (CCW), unique pts)."""
+def snap_points(points: np.ndarray, tolerance: float) -> np.ndarray:
+    """GEOS-style robustness snapping (base.py:908/999 ``tolerance``):
+    each point within ``tolerance`` of an earlier kept point collapses
+    onto it; 0 disables. O(n*kept) — inputs are feature-sized."""
     pts = np.asarray(points, dtype=np.float64)
+    if tolerance <= 0 or len(pts) == 0:
+        return pts
+    tol2 = float(tolerance) ** 2
+    kept: list[np.ndarray] = []
+    out = np.empty_like(pts)
+    for i, p in enumerate(pts):
+        hit = None
+        for q in kept:
+            if (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2 <= tol2:
+                hit = q
+                break
+        if hit is None:
+            kept.append(p)
+            out[i] = p
+        else:
+            out[i] = hit
+    return out
+
+
+def delaunay(points: np.ndarray, tolerance: float = 0.0):
+    """Bowyer–Watson -> (list of vertex-index triangles (CCW), unique pts)."""
+    pts = snap_points(np.asarray(points, dtype=np.float64), tolerance)
     pts = np.unique(pts, axis=0)
     n = len(pts)
     if n < 3:
@@ -162,8 +186,8 @@ def delaunay(points: np.ndarray):
     return out, pts
 
 
-def delaunay_edges(points: np.ndarray):
-    tris, pts = delaunay(points)
+def delaunay_edges(points: np.ndarray, tolerance: float = 0.0):
+    tris, pts = delaunay(points, tolerance)
     edges = set()
     for t in tris:
         for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
@@ -171,13 +195,15 @@ def delaunay_edges(points: np.ndarray):
     return sorted(edges), pts
 
 
-def voronoi(points: np.ndarray, extent: tuple[float, float, float, float]):
+def voronoi(points: np.ndarray, extent: tuple[float, float, float, float],
+            tolerance: float = 0.0):
     """Voronoi cells of unique points, clipped to ``extent`` (bbox).
 
     Returns (cells, pts): cells[i] is a closed CCW ring for pts[i] (or
     None when degenerate). Built by half-plane clipping of the extent box
     against each neighbor — robust and exact for feature-sized inputs."""
-    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    pts = snap_points(np.asarray(points, dtype=np.float64), tolerance)
+    pts = np.unique(pts, axis=0)
     n = len(pts)
     minx, miny, maxx, maxy = extent
     box = np.array([[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy]])

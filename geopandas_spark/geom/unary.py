@@ -548,8 +548,12 @@ def segmentize(b: GeometryBatch, max_segment_length: float) -> GeometryBatch:
     return bld.finish()
 
 
-def line_merge(b: GeometryBatch) -> GeometryBatch:
-    """Stitch connected linestrings of a (multi)linestring (base.py:1887)."""
+def line_merge(b: GeometryBatch, directed: bool = False) -> GeometryBatch:
+    """Stitch connected linestrings of a (multi)linestring (base.py:1887).
+
+    ``directed=True`` only merges lines whose directions agree (end of
+    one == start of another); no line is reversed (GEOS directed
+    LineMerger)."""
     bld = GeometryBatchBuilder()
     for g in range(len(b)):
         t = int(b.types[g])
@@ -563,7 +567,7 @@ def line_merge(b: GeometryBatch) -> GeometryBatch:
             bld.add(GEOMETRYCOLLECTION, [])
             continue
         lines = [r for _, r in _geom_rings(b, g) if len(r) >= 2]
-        merged = _merge_lines(lines)
+        merged = _merge_lines(lines, directed=directed)
         if len(merged) == 1:
             bld.add(LINESTRING, [(LINESTRING, merged)])
         else:
@@ -571,8 +575,13 @@ def line_merge(b: GeometryBatch) -> GeometryBatch:
     return bld.finish()
 
 
-def _merge_lines(lines: list[np.ndarray]) -> list[np.ndarray]:
-    """Greedy endpoint stitching (degree<=2 nodes merge, GEOS LineMerger)."""
+def _merge_lines(lines: list[np.ndarray],
+                 directed: bool = False) -> list[np.ndarray]:
+    """Greedy endpoint stitching (degree<=2 nodes merge, GEOS LineMerger).
+
+    ``directed=True`` restricts stitching to direction-preserving
+    connections (a's end meets c's start, or c's end meets a's start);
+    no segment is ever reversed."""
     lines = [l.copy() for l in lines]
     changed = True
     while changed:
@@ -586,11 +595,11 @@ def _merge_lines(lines: list[np.ndarray]) -> list[np.ndarray]:
                 a, c = lines[i], lines[j]
                 if (a[-1] == c[0]).all():
                     lines[i] = np.vstack([a, c[1:]])
-                elif (a[-1] == c[-1]).all():
+                elif not directed and (a[-1] == c[-1]).all():
                     lines[i] = np.vstack([a, c[::-1][1:]])
                 elif (a[0] == c[-1]).all():
                     lines[i] = np.vstack([c, a[1:]])
-                elif (a[0] == c[0]).all():
+                elif not directed and (a[0] == c[0]).all():
                     lines[i] = np.vstack([c[::-1], a[1:]])
                 else:
                     continue

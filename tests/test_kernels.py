@@ -287,3 +287,45 @@ def test_register_crs():
     finally:
         _USER_REGISTRY.pop(26917, None)
         _USER_REGISTRY.pop(3347, None)
+
+
+def test_nad27_and_towgs84():
+    """NAD27 (EPSG:4267) geographic support + register_crs towgs84
+    7-param (ref geoseries.py:878 accepts any pyproj CRS; this engine
+    embeds Clarke 1866 + the CONUS 3-param Helmert, ~5-10 m accuracy
+    vs NADCON — documented in geom/crs.py)."""
+    import numpy as np
+    import pytest
+
+    from geopandas_spark.geom.crs import (_USER_REGISTRY, register_crs,
+                                          transform_xy)
+
+    lon = np.array([-100.0]); lat = np.array([40.0])
+    lon2, lat2 = transform_xy(lon, lat, 4267, 4326)
+    # CONUS NAD27->WGS84 shifts are tens of meters
+    d_m = float(np.hypot((lon2 - lon) * np.cos(np.radians(lat)) * 111320,
+                         (lat2 - lat) * 111320)[0])
+    assert 10.0 < d_m < 100.0
+    blon, blat = transform_xy(lon2, lat2, 4326, 4267)
+    assert abs(float(blon[0]) - -100.0) < 1e-7
+    assert abs(float(blat[0]) - 40.0) < 1e-7
+    # towgs84 on a registered geographic CRS (3-param zero-padded)
+    register_crs(90801, "geo", ellps="intl", towgs84=(-87, -98, -121))
+    try:
+        x, y = transform_xy(np.array([10.0]), np.array([50.0]), 90801, 4326)
+        assert abs(float(x[0]) - 10.0) > 1e-4  # the shift is real
+        # towgs84 on a projected CRS: NAD27 / UTM 14N
+        register_crs(90802, "tm", lon0=-99.0, lat0=0.0, k0=0.9996,
+                     fe=500000.0, fn=0.0, ellps="clrk66",
+                     towgs84=(-8, 160, 176))
+        e, n = transform_xy(np.array([-100.0]), np.array([40.0]), 4326, 90802)
+        lo, la = transform_xy(e, n, 90802, 4326)
+        assert abs(float(lo[0]) + 100.0) < 1e-7
+        assert abs(float(la[0]) - 40.0) < 1e-7
+        with pytest.raises(ValueError, match="3 or 7"):
+            register_crs(90803, "geo", towgs84=(1, 2, 3, 4))
+        with pytest.raises(ValueError, match="not both"):
+            register_crs(90803, "geo", datum="OSGB36", towgs84=(1, 2, 3))
+    finally:
+        for c in (90801, 90802, 90803):
+            _USER_REGISTRY.pop(c, None)

@@ -798,3 +798,113 @@ def test_3d_fixture_parity():
     assert f2.geom_has_z is None or not f2.geom_has_z.any()
     f3 = U.force_3d(f2, 9.0)
     assert f3.geom_has_z.all() and (f3.zs == 9.0).all()
+
+
+def test_buffer_cap_join_styles():
+    """base.py:4806 cap_style/join_style/mitre_limit — GEOS conventions
+    on arc-free fixtures with exact closed-form areas."""
+    import numpy as np
+    import pandas as pd
+
+    from geopandas_spark.geom import wkt as W
+    from geopandas_spark.geom.kernels import area as _area
+    from geopandas_spark.geom.transforms import buffer_general
+
+    d, L = 2.0, 10.0
+    seg = W.from_wkt(pd.Series(["LINESTRING (0 0, 10 0)"]))
+    # square-cap capsule: 2dL + 4d^2; flat: 2dL (GEOS doc semantics)
+    assert _area(buffer_general(seg, d, cap_style="square"))[0] == \
+        2 * d * L + 4 * d * d
+    assert _area(buffer_general(seg, d, cap_style="flat"))[0] == 2 * d * L
+    # round cap at high resolution approaches 2dL + pi d^2 from below
+    a_round = _area(buffer_general(seg, d, quad_segs=64))[0]
+    assert 2 * d * L + np.pi * d * d * 0.999 < a_round < 2 * d * L + np.pi * d * d
+    # L-shape joins: mitre fills the corner square (2d(L1+L2) with flat
+    # caps), bevel loses d^2/2 at the corner
+    ell = W.from_wkt(pd.Series(["LINESTRING (0 0, 10 0, 10 10)"]))
+    am = _area(buffer_general(ell, d, cap_style="flat", join_style="mitre"))[0]
+    ab = _area(buffer_general(ell, d, cap_style="flat", join_style="bevel"))[0]
+    assert am == 2 * d * (10 + 10)
+    assert am - ab == d * d / 2
+    # polygon joins: mitred square grows to (s+2d)^2; erosion is
+    # style-independent for a square: (s-2d)^2
+    sq = W.from_wkt(pd.Series(["POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"]))
+    assert _area(buffer_general(sq, d, join_style="mitre"))[0] == (10 + 2 * d) ** 2
+    assert _area(buffer_general(sq, d, join_style="bevel"))[0] == \
+        (10 + 2 * d) ** 2 - 4 * (d * d / 2)
+    assert _area(buffer_general(sq, -d, join_style="mitre"))[0] == (10 - 2 * d) ** 2
+    # mitre_limit crops the spike of a sharp corner
+    sharp = W.from_wkt(pd.Series(["LINESTRING (0 0, 10 0, 0 1)"]))
+    a_unl = _area(buffer_general(sharp, d, cap_style="flat",
+                                 join_style="mitre", mitre_limit=1000.0))[0]
+    a_lim = _area(buffer_general(sharp, d, cap_style="flat",
+                                 join_style="mitre", mitre_limit=2.0))[0]
+    assert a_lim < a_unl
+    # lone points: flat -> empty, square -> 2d x 2d square
+    pt = W.from_wkt(pd.Series(["POINT (3 4)"]))
+    assert _area(buffer_general(pt, d, cap_style="flat"))[0] == 0.0
+    assert _area(buffer_general(pt, d, cap_style="square"))[0] == 4 * d * d
+    # invalid style names raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cap_style"):
+        buffer_general(seg, d, cap_style="pointy")
+    with _pytest.raises(ValueError, match="join_style"):
+        buffer_general(seg, d, join_style="sharp")
+
+
+def test_line_merge_directed_and_offset_join_styles():
+    """line_merge(directed) never reverses a line (base.py:1887);
+    offset_curve join_style mitre/bevel shape convex turns
+    (base.py:1265)."""
+    import numpy as np
+    import pandas as pd
+
+    from geopandas_spark.geom import wkt as W
+    from geopandas_spark.geom.transforms import offset_curve
+    from geopandas_spark.geom.unary import line_merge
+
+    lm = W.from_wkt(pd.Series(
+        ["MULTILINESTRING ((0 0, 1 0), (2 0, 1 0))",
+         "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0))"]))
+    und = W.to_wkt(line_merge(lm))
+    dird = W.to_wkt(line_merge(lm, directed=True))
+    assert und[0] == "LINESTRING (0 0, 1 0, 2 0)"      # reversal allowed
+    assert dird[0].startswith("MULTILINESTRING")        # not merged
+    assert dird[1] == "LINESTRING (0 0, 1 0, 2 0)"      # direction agrees
+    # offset mitre passes through the offset-line intersection; bevel
+    # connects the segment offsets directly (shorter)
+    line = W.from_wkt(pd.Series(["LINESTRING (0 0, 10 0, 10 -10)"]))
+    om = offset_curve(line, 2.0, join_style="mitre")
+    ob = offset_curve(line, 2.0, join_style="bevel")
+    cm = om.coords
+    assert any((abs(c[0] - 12) < 1e-12 and abs(c[1] - 2) < 1e-12)
+               for c in cm)  # mitre point (12, 2)
+    def _len(b):
+        c = b.coords
+        return float(np.sqrt(((c[1:] - c[:-1]) ** 2).sum(axis=1)).sum())
+    assert _len(ob) < _len(om)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="join_style"):
+        offset_curve(line, 2.0, join_style="sharp")
+
+
+def test_delaunay_voronoi_tolerance():
+    """base.py:908/999 ``tolerance``: vertices within the tolerance snap
+    together before triangulation (4 points with one near-duplicate ->
+    1 triangle; tolerance 0 keeps it as 2)."""
+    import numpy as np
+
+    from geopandas_spark.geom.triangulate import delaunay, snap_points, voronoi
+
+    pts = np.array([[0.0, 0.0], [10.0, 0.0], [5.0, 8.0], [0.001, 0.001]])
+    tris0, up0 = delaunay(pts, tolerance=0.0)
+    tris1, up1 = delaunay(pts, tolerance=0.01)
+    assert len(up0) == 4 and len(tris0) == 3  # near-dup splits the fan
+    assert len(up1) == 3 and len(tris1) == 1
+    cells, upv = voronoi(pts, (-1, -1, 11, 9), tolerance=0.01)
+    assert len(upv) == 3 and sum(c is not None for c in cells) == 3
+    # snapped coordinates collapse onto the FIRST kept point
+    s = snap_points(pts, 0.01)
+    assert (s[3] == s[0]).all()
