@@ -955,6 +955,30 @@ def q_lsh_topk_embeddings(spark, sf_dir) -> DataFrame:
     return out.select("query_id", "corpus_id", F.col("rank").alias("rnk"))
 
 
+def q_lsh_topk_recall(spark, sf_dir) -> DataFrame:
+    """Driver-gated recall floor for the multi-probe LSH ANN path
+    (VERDICT r4 item 5 — lsh_topk itself stays rows-only because the
+    bucketing is not SQL-expressible): per-query recall@11 of lsh_topk
+    vs the exact brute-force top-k, bucketed at the >=0.8 floor. The
+    LSH is fully seeded so the booleans are deterministic (measured
+    min recall 0.818 across sf0.001/sf0.01); the exact reference side
+    is itself oracle-checked by the cosine_topk query."""
+    from geopandas_spark.operators.similarity import cosine_topk, lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, q, k=11).select("query_id", "corpus_id")
+    approx = lsh_topk(emb, q, k=11).select("query_id", "corpus_id")
+    hit = exact.join(approx, ["query_id", "corpus_id"], "left_semi")
+    nk = exact.groupBy("query_id").agg(F.count("*").alias("nk"))
+    nh = hit.groupBy("query_id").agg(F.count("*").alias("nh"))
+    return (
+        nk.join(nh, "query_id", "left")
+        .select("query_id",
+                (F.coalesce(F.col("nh"), F.lit(0)) / F.col("nk")
+                 >= 0.8).alias("recall_ge_08")))
+
+
 def q_ivf_topk_embeddings(spark, sf_dir) -> DataFrame:
     """ANN top-k via an IVF index (spherical k-means quantizer + probe
     join + exact rerank). Probing ALL cells makes the result exact, so
@@ -1574,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_roundtrip": q_geojson_roundtrip,
         # -- new in round 5
         "buffer_styles": q_buffer_styles,
+        "lsh_topk_recall": q_lsh_topk_recall,
         # -- driver-checked once, in round 4 (the r3-item-4 backlog + the
         # r4-new queries)
         "bbox_partition_pruned": q_bbox_partition_pruned,
@@ -1878,6 +1903,10 @@ def oracle_sql() -> dict[str, str]:
                            AS rnk
                   FROM s)
             SELECT query_id, corpus_id, rnk FROM r WHERE rnk <= 3
+        """,
+        "lsh_topk_recall": """
+            SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ge_08
+            FROM embeddings WHERE vec_id < 5
         """,
         "ivf_topk_embeddings": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

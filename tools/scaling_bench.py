@@ -50,6 +50,12 @@ N_RECTS = int(os.environ.get("SCALING_N_RECTS", "100000"))
 N_POINTS_KNN = int(os.environ.get("SCALING_N_POINTS_KNN", "16000000"))
 N_RECTS_KNN = int(os.environ.get("SCALING_N_RECTS_KNN", "200000"))
 N_DOCS = int(os.environ.get("SCALING_N_DOCS", "300000"))
+# map-only text jobs (decontaminate / repetition_stats): no shuffle, so
+# the corpus only needs to be big enough that per-batch compute
+# dominates the ~1.5 s per-call floor — measured 59 s (repetition) /
+# 28 s (decontaminate) per 400k docs at 8 lanes, so 150k keeps the
+# 2-lane leg under ~90 s while staying far above the floor
+N_DOCS_MAP = int(os.environ.get("SCALING_N_DOCS_MAP", "150000"))
 N_VECS = int(os.environ.get("SCALING_N_VECS", "1000000"))
 # overlay job: two 12-gon layers; ~1-2M bbox-crossing pairs at 60k
 # polygons/side keeps the GH kernel (the compute) dominant over the
@@ -73,7 +79,8 @@ DEFAULT_JOBS = ("sjoin_intersects", "sjoin_nearest_knn",
 # optional extra jobs, runnable via SCALING_JOBS (results land in a
 # per-selection BENCH_PARTIAL_<jobs>.md so neither the default table nor
 # an earlier partial report gets clobbered)
-ALL_JOBS = DEFAULT_JOBS + ("overlay_star", "spans_pipeline")
+ALL_JOBS = DEFAULT_JOBS + ("overlay_star", "spans_pipeline",
+                           "decontaminate", "repetition_stats")
 
 
 def _build_inputs(spark, n_points: int, n_rects: int):
@@ -224,6 +231,35 @@ def run_level(cpus: int, job: str | None = None) -> dict:
         qvecs = vecs.filter(F.col("vec_id") < 64).persist()
         qvecs.count()
 
+    mdocs = bench_docs = None
+    if wanted & {"decontaminate", "repetition_stats"}:
+        # same deterministic word-corpus generator as the minhash job,
+        # sized for the map-only text family (no shuffle — per-batch
+        # compute must dominate the per-call floor)
+        base = (F.col("did") / 2).cast("long") + 1
+        words = [F.concat(F.lit("w"),
+                          F.pmod(base * (k + 1) * _HA, F.lit(50021)))
+                 for k in range(40)]
+        arr = F.array(*words)
+        mut_pos = F.pmod(F.col("did"), F.lit(7)) * 5 + 3
+        arr = F.when(
+            F.pmod(F.col("did"), F.lit(2)) == 1,
+            F.transform(arr, lambda w, i: F.when(
+                i.cast("long") == mut_pos, F.lit("zq")).otherwise(w)),
+        ).otherwise(arr)
+        mdocs = (
+            spark.range(N_DOCS_MAP).withColumnRenamed("id", "did")
+            .select(F.col("did").alias("doc_id"),
+                    F.concat_ws(" ", arr).alias("text"))
+        ).persist()
+        mdocs.count()
+        if "decontaminate" in wanted:
+            # benchmark = the first 500 docs (guaranteed deterministic
+            # contamination hits; eval sets are tiny vs the corpus)
+            bench_docs = mdocs.filter(F.col("doc_id") < 500).select(
+                F.col("text").alias("bench_text")).persist()
+            bench_docs.count()
+
     sdocs = None
     if "spans_pipeline" in wanted:
         # the Catalyst twin of __spark_entry__._interleaved_docs, scaled
@@ -299,6 +335,25 @@ def run_level(cpus: int, job: str | None = None) -> dict:
         return ivf_topk(vecs, qvecs, k=10, n_centroids=64, n_probe=8,
                         iters=3).count()
 
+    def run_decontaminate():
+        from geopandas_spark.operators.dedup import decontaminate
+
+        out_df = decontaminate(mdocs, bench_docs,
+                               bench_text_col="bench_text")
+        # aggregate over the computed column so Catalyst cannot prune
+        # the n-gram pipeline away under a bare count()
+        return int(out_df.agg(F.sum("n_overlap")).collect()[0][0] or 0)
+
+    def run_repetition():
+        from geopandas_spark.operators.textstats import repetition_stats
+
+        out_df = repetition_stats(mdocs)
+        row = out_df.agg(
+            F.count("*"),
+            F.sum(F.col("dup_word_frac") + F.col("top_2gram_frac"))).collect()[0]
+        assert row[1] is not None
+        return int(row[0])
+
     def run_spans():
         from geopandas_spark.operators.tiles import to_tiles
         from geopandas_spark.sources.documents import (
@@ -317,7 +372,9 @@ def run_level(cpus: int, job: str | None = None) -> dict:
     reps = int(os.environ.get("SCALING_REPS", "2"))
     jobs = (("sjoin_intersects", run_sjoin), ("sjoin_nearest_knn", run_knn),
             ("minhash_near_dups", run_minhash), ("ivf_topk", run_ivf),
-            ("overlay_star", run_overlay), ("spans_pipeline", run_spans))
+            ("overlay_star", run_overlay), ("spans_pipeline", run_spans),
+            ("decontaminate", run_decontaminate),
+            ("repetition_stats", run_repetition))
     jobs = tuple(j for j in jobs if j[0] in wanted)
     for name, fn in jobs:
         fn()  # warmup
