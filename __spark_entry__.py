@@ -894,6 +894,32 @@ def q_ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
 
+def q_pii_scrub(spark, sf_dir) -> DataFrame:
+    """pii_scrub (operators/textstats.py): dialect-portable regex
+    redaction — PII injected deterministically per doc, counts + the
+    scrubbed text's md5 reproduced by the DuckDB oracle (Java regex and
+    RE2 agree on these patterns by construction)."""
+    from geopandas_spark.operators.textstats import pii_scrub
+
+    docs = _load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact w"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."), (F.col("doc_id") % 200).cast("string"),
+            F.lit(" ssn 123-45-6789 end")).alias("text"))
+    out = pii_scrub(aug)
+    return out.select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4",
+        F.md5(F.encode("text_scrubbed", "UTF-8")).alias("fp"))
+
+
 def q_disjoint_window(spark, sf_dir) -> DataFrame:
     """st_disjoint predicate (base.py:2744) vs a fixed window polygon."""
     from geopandas_spark.functions.st import st_disjoint, st_geomfromtext
@@ -1599,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 5
         "buffer_styles": q_buffer_styles,
         "lsh_topk_recall": q_lsh_topk_recall,
+        "pii_scrub": q_pii_scrub,
         # -- driver-checked once, in round 4 (the r3-item-4 backlog + the
         # r4-new queries)
         "bbox_partition_pruned": q_bbox_partition_pruned,
@@ -1903,6 +1930,39 @@ def oracle_sql() -> dict[str, str]:
                            AS rnk
                   FROM s)
             SELECT query_id, corpus_id, rnk FROM r WHERE rnk <= 3
+        """,
+        "pii_scrub": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       coalesce(text, '') || ' contact w' || doc_id
+                       || '@example.com or 555-'
+                       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.0.' || CAST(doc_id % 200 AS VARCHAR)
+                       || ' ssn 123-45-6789 end' AS txt
+                FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(txt,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS n_email,
+                   len(regexp_extract_all(txt,
+                       '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+                   len(regexp_extract_all(txt,
+                       '\+?\d{3}[-. ]\d{3}[-. ]\d{4}')) AS n_phone,
+                   len(regexp_extract_all(txt,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                     AS n_ipv4,
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(txt,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '[email]', 'g'),
+                           '\b\d{3}-\d{2}-\d{4}\b', '[ssn]', 'g'),
+                           '\+?\d{3}[-. ]\d{3}[-. ]\d{4}', '[phone]', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '[ipv4]', 'g')) AS fp
+            FROM t
         """,
         "lsh_topk_recall": """
             SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ge_08

@@ -13,7 +13,7 @@ setup_malloc_env()
 
 __all__ = ["GeoFrame", "read_geoparquet", "read_file", "read_postgis",
            "sjoin", "sjoin_nearest", "overlay", "dissolve", "clip",
-           "register_crs", "register_sql_functions"]
+           "register_crs", "register_crs_proj", "register_sql_functions"]
 
 
 def __getattr__(name):  # lazy: keep bare import light
@@ -29,6 +29,10 @@ def __getattr__(name):  # lazy: keep bare import light
         from .geom.crs import register_crs
 
         return register_crs
+    if name == "register_crs_proj":
+        from .geom.crs import register_crs_proj
+
+        return register_crs_proj
     if name == "register_sql_functions":
         from .functions.sql_registry import register_sql_functions
 

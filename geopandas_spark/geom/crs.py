@@ -602,6 +602,106 @@ def register_crs(code, method: str, datum=None,
         raise
 
 
+_PROJ_METHOD_MAP = {
+    # +proj= name -> (engine method, {proj key -> engine param})
+    "tmerc": ("tm", {"lon_0": "lon0", "lat_0": "lat0", "k": "k0",
+                     "k_0": "k0", "x_0": "fe", "y_0": "fn"}),
+    "utm": ("tm", {}),  # handled specially (zone/south)
+    "aea": ("aea", {"lon_0": "lon0", "lat_0": "lat0", "lat_1": "lat1",
+                    "lat_2": "lat2", "x_0": "fe", "y_0": "fn"}),
+    "lcc": ("lcc", {"lon_0": "lon0", "lat_0": "lat0", "lat_1": "lat1",
+                    "lat_2": "lat2", "x_0": "fe", "y_0": "fn"}),
+    "laea": ("laea", {"lon_0": "lon0", "lat_0": "lat0", "x_0": "fe",
+                      "y_0": "fn"}),
+    "longlat": ("geo", {}),
+    "latlong": ("geo", {}),
+}
+
+_PROJ_ELLPS = {"wgs84": "WGS84", "grs80": "GRS80", "airy": "airy",
+               "intl": "intl", "clrk66": "clrk66"}
+
+
+def register_crs_proj(code, proj: str | dict) -> None:
+    """Bind an EPSG code to a proj-style definition — the escape hatch
+    for CRSs the registry lacks, without engine changes (ref
+    geoseries.py:878 accepts proj strings via pyproj).
+
+    Accepts a proj.4 string (``"+proj=tmerc +lat_0=0 +lon_0=-81
+    +k=0.9996 +x_0=500000 +y_0=0 +ellps=GRS80 +towgs84=-8,160,176"``)
+    or the equivalent dict. Supported ``+proj`` values: tmerc, utm
+    (zone/south), aea, lcc, laea, longlat/latlong (geographic datum
+    shift only); ``+ellps`` one of WGS84/GRS80/airy/intl/clrk66
+    (``+datum=NAD27/WGS84`` sets ellipsoid+shift); ``+towgs84`` 3- or
+    7-parameter. Anything else raises naming the unsupported key —
+    grid-based datum transforms (+nadgrids) are out of scope (see the
+    accuracy note on register_crs)."""
+    if isinstance(proj, str):
+        d: dict = {}
+        for tok in proj.split():
+            tok = tok.lstrip("+")
+            if not tok:
+                continue
+            k, _, v = tok.partition("=")
+            d[k] = v if v != "" else True
+    else:
+        d = {k.lstrip("+"): v for k, v in dict(proj).items()}
+    d.pop("no_defs", None)
+    d.pop("type", None)
+    d.pop("units", None)  # metres assumed; degree units only for geo
+    if "nadgrids" in d:
+        raise ValueError("+nadgrids (grid-based datum transform) is not "
+                         "supported — use +towgs84 (Helmert, ~1-10 m) or "
+                         "reproject upstream")
+    name = str(d.pop("proj", "")).lower()
+    if name not in _PROJ_METHOD_MAP:
+        raise ValueError(f"unsupported +proj={name!r} (supported: "
+                         f"{sorted(_PROJ_METHOD_MAP)})")
+    method, keymap = _PROJ_METHOD_MAP[name]
+    ellps = "WGS84"
+    if "datum" in d:
+        datum_name = str(d.pop("datum")).upper()
+        if datum_name == "NAD27":
+            ellps = "clrk66"
+            d.setdefault("towgs84", "-8,160,176")
+        elif datum_name in ("WGS84", "NAD83", "ETRS89", "GDA94"):
+            ellps = "WGS84" if datum_name == "WGS84" else "GRS80"
+        else:
+            raise ValueError(f"unsupported +datum={datum_name!r} — pass "
+                             "+ellps and +towgs84 explicitly")
+    if "ellps" in d:
+        e = str(d.pop("ellps")).lower()
+        if e not in _PROJ_ELLPS:
+            raise ValueError(f"unsupported +ellps={e!r} "
+                             f"(embedded: {sorted(_PROJ_ELLPS.values())})")
+        ellps = _PROJ_ELLPS[e]
+    towgs84 = None
+    if "towgs84" in d:
+        towgs84 = tuple(float(v) for v in str(d.pop("towgs84")).split(","))
+        if all(v == 0.0 for v in towgs84):
+            towgs84 = None  # identity shift == WGS84-equivalent datum
+    params: dict = {}
+    if name == "utm":
+        zone = int(d.pop("zone"))
+        south = bool(d.pop("south", False))
+        params = dict(lon0=-183.0 + 6 * zone, lat0=0.0, k0=0.9996,
+                      fe=500000.0, fn=10000000.0 if south else 0.0)
+    elif method != "geo":
+        for pk, ek in keymap.items():
+            if pk in d:
+                params[ek] = float(d.pop(pk))
+        # proj defaults for omitted keys
+        defaults = {"lon0": 0.0, "lat0": 0.0, "k0": 1.0, "fe": 0.0,
+                    "fn": 0.0, "lat1": params.get("lat0", 0.0),
+                    "lat2": params.get("lat0", 0.0)}
+        for ek in _METHOD_PARAMS[method]:
+            params.setdefault(ek, defaults[ek])
+    leftovers = set(d)
+    if leftovers:
+        raise ValueError(f"unsupported proj keys {sorted(leftovers)} for "
+                         f"+proj={name}")
+    register_crs(code, method, ellps=ellps, towgs84=towgs84, **params)
+
+
 def user_registry_snapshot() -> dict:
     """Plan-time snapshot of user registrations, for UDF closures."""
     return dict(_USER_REGISTRY)

@@ -171,3 +171,47 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     (xxhash64 over lowercased whitespace-collapsed text)."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return df.withColumn(out_col, F.xxhash64(norm))
+
+
+# PII patterns chosen to parse and match IDENTICALLY under Java regex
+# (Spark) and RE2 (DuckDB) — no backreferences, no lookaround — so the
+# operator has a full SQL oracle. Counts are computed independently per
+# kind on the ORIGINAL text (overlapping kinds both count); scrubbing
+# applies the kinds in the caller's order, first pattern wins.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              kinds: tuple = ("email", "ssn", "phone", "ipv4"),
+              tag: str = "[{kind}]") -> DataFrame:
+    """Redact common PII from a text corpus before training — the
+    standard compliance pass of an LLM data pipeline. Adds, per kind in
+    ``kinds``, an ``n_<kind>`` match count (on the original text) and a
+    ``<text_col>_scrubbed`` column with every match replaced by ``tag``
+    (a ``{kind}`` placeholder names the class, preserving document
+    structure for downstream quality filters).
+
+    Pure Catalyst (regexp_count/regexp_replace — whole-stage codegen,
+    map-only, no shuffle): scales as a projection at any corpus size.
+    Patterns are deliberately regex-dialect-portable so external SQL
+    engines reproduce the outputs bit-for-bit.
+    """
+    unknown = [k for k in kinds if k not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(f"unknown PII kinds {unknown} "
+                         f"(supported: {sorted(PII_PATTERNS)})")
+    src = F.coalesce(F.col(text_col), F.lit(""))
+    out = df
+    for kind in kinds:
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(src, F.lit(PII_PATTERNS[kind])))
+    scrub = src
+    for kind in kinds:
+        scrub = F.regexp_replace(scrub, PII_PATTERNS[kind],
+                                 tag.format(kind=kind))
+    return out.withColumn(f"{text_col}_scrubbed", scrub)

@@ -613,3 +613,33 @@ def test_lsh_band_geometry_guard(spark):
         lsh_topk(df, df, nbits=64, bands=1)
     with pytest.raises(ValueError, match="divide"):
         embedding_near_dups(df, nbits=64, bands=5)
+
+
+def test_pii_scrub(spark):
+    """pii_scrub (operators/textstats.py): counts on the original text,
+    ordered first-pattern-wins scrubbing, null-safe, unknown kinds
+    raise."""
+    import pandas as pd
+    import pytest
+
+    from geopandas_spark.operators.textstats import pii_scrub
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "mail a.b+c@ex.com and d@sub.ex.org twice",
+            "call 555-123-4567 or +1 555.123.4567; ssn 123-45-6789",
+            "server 10.0.0.1 and 192.168.255.3",
+            None,
+        ]}))
+    out = pii_scrub(df).orderBy("doc_id").toPandas()
+    assert list(out.n_email) == [2, 0, 0, 0]
+    assert list(out.n_phone) == [0, 2, 0, 0]
+    assert list(out.n_ssn) == [0, 1, 0, 0]
+    assert list(out.n_ipv4) == [0, 0, 2, 0]
+    assert out.text_scrubbed[0] == "mail [email] and [email] twice"
+    assert "[phone]" in out.text_scrubbed[1] and "[ssn]" in out.text_scrubbed[1]
+    assert out.text_scrubbed[2] == "server [ipv4] and [ipv4]"
+    assert out.text_scrubbed[3] == ""  # null-safe
+    with pytest.raises(ValueError, match="unknown PII"):
+        pii_scrub(df, kinds=("email", "iban"))

@@ -329,3 +329,46 @@ def test_nad27_and_towgs84():
     finally:
         for c in (90801, 90802, 90803):
             _USER_REGISTRY.pop(c, None)
+
+
+def test_register_crs_proj_strings():
+    """register_crs_proj binds proj.4 strings/dicts to the embedded
+    methods (ref geoseries.py:878 accepts proj strings via pyproj)."""
+    import numpy as np
+    import pytest
+
+    from geopandas_spark.geom.crs import (_USER_REGISTRY, register_crs_proj,
+                                          transform_xy)
+
+    try:
+        register_crs_proj(
+            90901, "+proj=utm +zone=17 +datum=NAD83 +units=m +no_defs")
+        e1, n1 = transform_xy(np.array([-81.5]), np.array([35.0]),
+                              4326, 90901)
+        e2, n2 = transform_xy(np.array([-81.5]), np.array([35.0]),
+                              4326, 32617)
+        # NAD83 ~ WGS84; GRS80-vs-WGS84 ellipsoid difference is sub-mm E
+        assert abs(float(e1[0] - e2[0])) < 1e-3
+        assert abs(float(n1[0] - n2[0])) < 1e-2
+        register_crs_proj(
+            90902, "+proj=tmerc +lat_0=0 +lon_0=-99 +k=0.9996 "
+            "+x_0=500000 +y_0=0 +ellps=clrk66 +towgs84=-8,160,176")
+        e, n = transform_xy(np.array([-100.0]), np.array([40.0]),
+                            4326, 90902)
+        lo, la = transform_xy(e, n, 90902, 4326)
+        assert abs(float(lo[0]) + 100.0) < 1e-7
+        assert abs(float(la[0]) - 40.0) < 1e-7
+        register_crs_proj(90903, {"proj": "longlat", "ellps": "intl",
+                                  "towgs84": "-87,-98,-121"})
+        x, y = transform_xy(np.array([10.0]), np.array([50.0]), 90903, 4326)
+        assert abs(float(x[0]) - 10.0) > 1e-4
+        with pytest.raises(ValueError, match="proj='omerc'"):
+            register_crs_proj(90904, "+proj=omerc +lat_0=4")
+        with pytest.raises(ValueError, match="nadgrids"):
+            register_crs_proj(
+                90904, "+proj=tmerc +lat_0=0 +lon_0=0 +nadgrids=x")
+        with pytest.raises(ValueError, match="lonc"):
+            register_crs_proj(90904, "+proj=tmerc +lat_0=0 +lonc=3")
+    finally:
+        for c in (90901, 90902, 90903, 90904):
+            _USER_REGISTRY.pop(c, None)
