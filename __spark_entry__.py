@@ -512,6 +512,15 @@ def q_buffer_styles(spark, sf_dir) -> DataFrame:
         F.round(st_area(st_buffer(
             "g", 2.0, cap_style="square", join_style="mitre")), 9)
         .alias("a_square"),
+        # single-sided (GEOS: left for +d, right for -d, flat ends):
+        # the L turns left, so the left strip loses d^2 at the inner
+        # corner and the right strip gains the d^2 mitre square
+        F.round(st_area(st_buffer(
+            "g", 2.0, join_style="mitre", single_sided=True)), 9)
+        .alias("a_ss_left"),
+        F.round(st_area(st_buffer(
+            "g", -2.0, join_style="mitre", single_sided=True)), 9)
+        .alias("a_ss_right"),
     )
 
 
@@ -2062,7 +2071,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey,
                    round(4.0 * (l1 + l2), 9) AS a_mitre,
                    round(4.0 * (l1 + l2) - 2.0, 9) AS a_bevel,
-                   round(4.0 * (l1 + l2) + 16.0, 9) AS a_square
+                   round(4.0 * (l1 + l2) + 16.0, 9) AS a_square,
+                   round(2.0 * (l1 + l2) - 4.0, 9) AS a_ss_left,
+                   round(2.0 * (l1 + l2) + 4.0, 9) AS a_ss_right
             FROM seg
         """,
         "union_rect_area": f"""

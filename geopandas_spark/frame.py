@@ -88,11 +88,12 @@ class GeoFrame:
     def buffer(self, distance: float, quad_segs: int = 8,
                cap_style: str = "round", join_style: str = "round",
                mitre_limit: float = 5.0,
-               resolution: int | None = None) -> "GeoFrame":
+               resolution: int | None = None,
+               single_sided: bool = False) -> "GeoFrame":
         return self._with_geom(st.st_buffer(
             self.geometry, distance, quad_segs, cap_style=cap_style,
             join_style=join_style, mitre_limit=mitre_limit,
-            resolution=resolution))
+            resolution=resolution, single_sided=single_sided))
 
     def simplify(self, tolerance: float) -> "GeoFrame":
         return self._with_geom(st.st_simplify(self.geometry, tolerance))

@@ -251,7 +251,8 @@ def st_force_2d(geom) -> Column:
 def st_buffer(geom, distance: float, quad_segs: int = 8,
               cap_style: str = "round", join_style: str = "round",
               mitre_limit: float = 5.0,
-              resolution: int | None = None) -> Column:
+              resolution: int | None = None,
+              single_sided: bool = False) -> Column:
     """base.py:4806 — all geometry types. Puntal batches take the fast
     vectorized disc path (round caps only); lines/polygons buffer via
     capsule union with the Martinez-Rueda sweep
@@ -266,13 +267,14 @@ def st_buffer(geom, distance: float, quad_segs: int = 8,
     def _dispatch(t, b):
         from ..geom.ragged import POINT
 
-        if cap_style == "round" and distance > 0 and len(b) and (
-                b.types == POINT).all() and (
+        if not single_sided and cap_style == "round" and distance > 0 \
+                and len(b) and (b.types == POINT).all() and (
                 b.n_coords_per_geom() == 1).all():
             return t.buffer_points(b, distance, quad_segs)
         return t.buffer_general(b, distance, quad_segs,
                                 cap_style=cap_style, join_style=join_style,
-                                mitre_limit=mitre_limit)
+                                mitre_limit=mitre_limit,
+                                single_sided=single_sided)
 
     return _transform_udf(_dispatch)(_col(geom))
 

@@ -556,7 +556,8 @@ def representative_point(batch: GeometryBatch) -> np.ndarray:
 def buffer_general(batch: GeometryBatch, distance: float,
                    quad_segs: int = 8, cap_style: str = "round",
                    join_style: str = "round",
-                   mitre_limit: float = 5.0) -> GeometryBatch:
+                   mitre_limit: float = 5.0,
+                   single_sided: bool = False) -> GeometryBatch:
     """Buffer for any geometry type (base.py:4806).
 
     Positive distance: the buffered region is the union of per-segment
@@ -570,7 +571,14 @@ def buffer_general(batch: GeometryBatch, distance: float,
     (and lone points: flat -> empty, square -> axis-aligned-to-nothing
     square of side 2d); ``join_style`` ('round'|'mitre'|'bevel') shapes
     every other vertex, with mitre spikes cropped at
-    ``mitre_limit * d`` from the vertex (GEOS limited-mitre bevel)."""
+    ``mitre_limit * d`` from the vertex (GEOS limited-mitre bevel).
+
+    ``single_sided`` buffers lineal rows on ONE side only (left of the
+    digitization direction for positive distance, right for negative;
+    flat ends, GEOS convention) via one-sided segment rectangles plus
+    outer-turn join patches — round joins use an arc WEDGE, not a full
+    disc, so nothing spills across the line. Puntal/polygonal rows
+    ignore the flag (GEOS parity)."""
     from .boolean import boolean_rings, group_rings
     from .clipping import _all_poly_rings
     from .unary import _geom_rings
@@ -645,9 +653,88 @@ def buffer_general(batch: GeometryBatch, distance: float,
         m2 = _cut(c2, d_next)
         return [np.array([v, c1, m1, m2, c2, v])]
 
+    def _one_sided_ring_patches(r: np.ndarray) -> list[np.ndarray]:
+        """One-sided rectangles + outer-turn join patches for line r;
+        the offset side follows the SIGN of ``distance`` (left for +)."""
+        out = []
+        seg = np.diff(r, axis=0)
+        L = np.hypot(seg[:, 0], seg[:, 1])
+        live = np.nonzero(L > 0)[0]
+        if not len(live):
+            return out
+        dirs = seg[live] / L[live, None]
+        # perp-left scaled by the SIGNED distance: left side for d > 0
+        norms = np.column_stack([-dirs[:, 1], dirs[:, 0]]) * d
+        for k, i in enumerate(live):
+            p0, p1 = r[i], r[i + 1]
+            n = norms[k]
+            out.append(np.array([p0, p1, p1 + n, p0 + n, p0]))
+        closed = bool((r[0] == r[-1]).all())
+        pairs = [(k, k + 1) for k in range(len(live) - 1)]
+        if closed and len(live) > 1:
+            pairs.append((len(live) - 1, 0))
+        for ka, kb in pairs:
+            v = r[live[kb]] if (ka, kb) == (len(live) - 1, 0) \
+                else r[live[ka] + 1]
+            d_prev, d_next = dirs[ka], dirs[kb]
+            turn = float(d_prev[0] * d_next[1] - d_prev[1] * d_next[0])
+            # the offset side is OUTER (a gap to fill) when the line
+            # turns away from it: left offset (d>0) + right turn, or
+            # right offset (d<0) + left turn
+            if abs(turn) < 1e-12 or turn * d > 0:
+                continue
+            n1, n2 = norms[ka], norms[kb]
+            c1, c2 = v + n1, v + n2
+            if join_style == "bevel":
+                out.append(np.array([v, c1, c2, v]))
+            elif join_style == "mitre":
+                den = d_prev[0] * d_next[1] - d_prev[1] * d_next[0]
+                t = ((c2[0] - c1[0]) * d_next[1]
+                     - (c2[1] - c1[1]) * d_next[0]) / den
+                m = c1 + t * d_prev
+                if np.hypot(*(m - v)) <= mitre_limit * r_abs:
+                    out.append(np.array([v, c1, m, c2, v]))
+                else:
+                    um = (m - v) / np.hypot(*(m - v))
+                    lim = mitre_limit * r_abs
+
+                    def _cut(p, dv):
+                        den2 = float(dv @ um)
+                        if den2 == 0:
+                            return p
+                        t2 = (lim - float((p - v) @ um)) / den2
+                        return p + t2 * dv
+                    out.append(np.array([v, c1, _cut(c1, d_prev),
+                                         _cut(c2, d_next), c2, v]))
+            else:  # round: arc WEDGE between the two offset normals,
+                # swept across the outer side (never crosses the line)
+                a0 = float(np.arctan2(n1[1], n1[0]))
+                a1 = float(np.arctan2(n2[1], n2[0]))
+                sweep = a1 - a0
+                # the normals rotate WITH the turn (CW for a right
+                # turn, CCW for a left turn); the wedge sweeps that way
+                if turn < 0:
+                    while sweep > 0:
+                        sweep -= 2 * np.pi
+                else:
+                    while sweep < 0:
+                        sweep += 2 * np.pi
+                nsteps = max(1, int(np.ceil(
+                    abs(sweep) / (np.pi / 2) * quad_segs)))
+                ang_w = a0 + sweep * np.arange(nsteps + 1) / nsteps
+                arc = v + r_abs * np.column_stack(
+                    [np.cos(ang_w), np.sin(ang_w)])
+                out.append(np.vstack([[v], arc, [v]]))
+        return out
+
     def capsules(g: int) -> list[np.ndarray]:
         rings_out = []
         is_poly = TYPE_DIM[int(batch.types[g])] == 2
+        if single_sided and not is_poly and TYPE_DIM[int(batch.types[g])] == 1:
+            for _, r in _geom_rings(batch, g):
+                if len(r) >= 2:
+                    rings_out.extend(_one_sided_ring_patches(r))
+            return rings_out
         for _, r in _geom_rings(batch, g):
             if len(r) == 1:
                 # lone point: cap semantics (flat -> empty)
@@ -719,7 +806,11 @@ def buffer_general(batch: GeometryBatch, distance: float,
         if not caps:
             out.add(POLYGON, [(POLYGON, [])])
             continue
-        if d >= 0:
+        if single_sided and TYPE_DIM[t] == 1:
+            # one-sided line buffer: the SIGN of d picked the side in
+            # the patch builder; the region is a plain union either way
+            rings = union_fold([[c] for c in caps])
+        elif d >= 0:
             sets = [[c] for c in caps]
             if TYPE_DIM[t] == 2:
                 sets.append(_all_poly_rings(batch, g)[0])

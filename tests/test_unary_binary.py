@@ -908,3 +908,37 @@ def test_delaunay_voronoi_tolerance():
     # snapped coordinates collapse onto the FIRST kept point
     s = snap_points(pts, 0.01)
     assert (s[3] == s[0]).all()
+
+
+def test_buffer_single_sided():
+    """base.py:4806 single_sided: left strip for +d, right for -d, flat
+    ends; round joins use a wedge (no spill across the line); polygons
+    ignore the flag (GEOS parity). Closed-form areas at d=2."""
+    import numpy as np
+    import pandas as pd
+
+    from geopandas_spark.geom import wkt as W
+    from geopandas_spark.geom.kernels import area as _area
+    from geopandas_spark.geom.transforms import buffer_general
+
+    d = 2.0
+    seg = W.from_wkt(pd.Series(["LINESTRING (0 0, 10 0)"]))
+    assert _area(buffer_general(seg, d, single_sided=True))[0] == d * 10
+    assert _area(buffer_general(seg, -d, single_sided=True))[0] == d * 10
+    ell = W.from_wkt(pd.Series(["LINESTRING (0 0, 10 0, 10 10)"]))
+    # the L turns left: the left strip's corner is inner (-d^2), the
+    # right strip's is outer (+d^2 mitre, +d^2/2 bevel, +pi d^2/4 round)
+    assert _area(buffer_general(
+        ell, d, single_sided=True, join_style="mitre"))[0] == 20 * d - d * d
+    assert _area(buffer_general(
+        ell, -d, single_sided=True, join_style="mitre"))[0] == 20 * d + d * d
+    assert _area(buffer_general(
+        ell, -d, single_sided=True, join_style="bevel"))[0] == \
+        20 * d + d * d / 2
+    ar = _area(buffer_general(ell, -d, single_sided=True,
+                              join_style="round", quad_segs=64))[0]
+    want = 20 * d + np.pi * d * d / 4
+    assert want * 0.999 < ar < want + 1e-9
+    sq = W.from_wkt(pd.Series(["POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"]))
+    assert _area(buffer_general(
+        sq, d, single_sided=True, join_style="mitre"))[0] == (10 + 2 * d) ** 2
