@@ -44,12 +44,14 @@ def convex_polygon_wkt(draw):
                         allow_nan=False, allow_infinity=False))
          for _ in range(k)]))
     # distinct angles with a minimum separation of 0.01 rad: vertices
-    # closer than ~r*1e-2 create sliver features below the engine's
-    # documented robustness envelope (the float line clipper, like GEOS
-    # without snap-rounding, emits garbage pieces against rings whose
-    # width is ~1e-6 of their extent — found by hypothesis; the exact-
-    # fallback work covers predicates/relate/triangulation, not the
-    # Sutherland-Hodgman clipper)
+    # closer than ~r*1e-2 create sliver features below the BOOLEAN-OP
+    # robustness envelope (the float clipper, like GEOS without
+    # snap-rounding, can emit garbage AREA pieces for rings whose width
+    # is ~1e-6 of their extent — found by hypothesis). Round 5 narrowed
+    # the envelope for predicates/relate: classification no longer
+    # trusts the clipper's piece lists (cut-interval dedup + ulp bands
+    # + exact DE-9IM fallback), pinned down to ~1e-7 rad separation by
+    # batch 5 below; the area algebra in this batch keeps the guard.
     if len(np.unique(np.round(ang, 2))) < 3:
         ang = np.array([0.0, 2.1, 4.2])
     else:
@@ -377,3 +379,61 @@ def test_star_boolean_algebra(wa, wb):
     assert abs(inter + union - area_a - area_b) <= 1e-6 * scale
     assert abs(diff - (area_a - inter)) <= 1e-6 * scale
     assert abs(xor - (union - inter)) <= 1e-6 * scale
+
+
+# ---------------------------------------------------------------------------
+# batch 5 (round 5): SLIVER robustness — the round-4 envelope said ring
+# slivers (width ~1e-6 of extent) fed the float line clipper garbage and
+# corrupted relate's boundary-length classes. The round-5 rewrite stops
+# trusting the clipper's piece lists (cut-interval dedup + ulp-scaled
+# midpoint bands + exact DE-9IM fallback), so sliver self-identity and
+# sliver-in-container relations now hold down to ~1e-7 rad vertex
+# separation. This batch pins that.
+
+
+@st.composite
+def sliver_triangle_wkt(draw):
+    cx = draw(st.floats(min_value=-1000, max_value=1000, allow_nan=False))
+    cy = draw(st.floats(min_value=-1000, max_value=1000, allow_nan=False))
+    r = draw(st.floats(min_value=0.1, max_value=500.0, allow_nan=False))
+    a0 = draw(st.floats(min_value=0.0, max_value=6.28, allow_nan=False))
+    log_eps = draw(st.floats(min_value=-7.0, max_value=-2.2,
+                             allow_nan=False))
+    spread = draw(st.floats(min_value=1.5, max_value=3.0, allow_nan=False))
+    ang = np.array([a0, a0 + 10.0 ** log_eps, a0 + spread])
+    xs = cx + r * np.cos(ang)
+    ys = cy + r * np.sin(ang)
+    pts = ", ".join(f"{x:.9f} {y:.9f}" for x, y in zip(xs, ys))
+    return (f"POLYGON (({pts}, {xs[0]:.9f} {ys[0]:.9f}))",
+            cx, cy, r)
+
+
+@settings(max_examples=60, deadline=None)
+@given(sliver_triangle_wkt())
+def test_sliver_self_identity(t):
+    w, _, _, _ = t
+    a = W.from_wkt([w])
+    from geopandas_spark.geom.relate import relate_pair
+
+    assert relate_pair(a, 0, a, 0) == "2FFF1FFF2"
+    assert pairwise_predicate("equals", a, a)[0]
+    assert pairwise_predicate("covered_by", a, a)[0]
+    assert pairwise_predicate("covers", a, a)[0]
+    assert not pairwise_predicate("overlaps", a, a)[0]
+
+
+@settings(max_examples=60, deadline=None)
+@given(sliver_triangle_wkt())
+def test_sliver_in_container(t):
+    w, cx, cy, r = t
+    a = W.from_wkt([w])
+    m = 2 * r + 1
+    big = W.from_wkt([
+        f"POLYGON (({cx - m} {cy - m}, {cx + m} {cy - m}, "
+        f"{cx + m} {cy + m}, {cx - m} {cy + m}, {cx - m} {cy - m}))"])
+    from geopandas_spark.geom.relate import relate_pair
+
+    assert relate_pair(a, 0, big, 0) == "2FF1FF212"
+    assert pairwise_predicate("within", a, big)[0]
+    assert pairwise_predicate("contains", big, a)[0]
+    assert not pairwise_predicate("touches", a, big)[0]
