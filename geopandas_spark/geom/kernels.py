@@ -303,7 +303,8 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray,
     cross = (px - x0) * dy - (py - y0) * dx
     dot = (px - x0) * dx + (py - y0) * dy
     seg_len2 = dx * dx + dy * dy
-    tol = eps * np.sqrt(seg_len2)
+    # hot path (sjoin refine) runs eps=0: skip the per-edge sqrt there
+    tol = eps * np.sqrt(seg_len2) if eps != 0.0 else 0.0
     on_seg = (np.abs(cross) <= tol) & (dot >= -tol) & (dot <= seg_len2 + tol)
     zl = seg_len2 == 0
     if zl.any():
