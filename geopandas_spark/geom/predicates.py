@@ -615,7 +615,10 @@ def _relate_group(pred: str, lb: GeometryBatch, lrows: np.ndarray,
         # lineal-left rows need the exact DE-9IM path: the vectorized
         # vertex/edge tests don't model line-interior vs line-boundary
         # (session-2 fix — line x line crosses/overlaps/containment)
-        lin = np.nonzero(ldim <= 1)[0]
+        # every remaining predicate implies a nonempty intersection, so
+        # only intersecting lineal rows need the per-row exact matrix
+        # (same prefilter argument as the touches branch below)
+        lin = np.nonzero((ldim <= 1) & inter)[0]
         if pred in ("contains", "covers"):
             out = (ldim == 2) & r_all_in_l & (r_in_l if pred == "contains" else True)
             return _matrix_rows(out, pred, sub, lin, rb, g, ldim)
@@ -635,8 +638,10 @@ def _relate_group(pred: str, lb: GeometryBatch, lrows: np.ndarray,
                 res = _matrix_rows(res, pred, sub, cand, rb, g, ldim)
             return res
         if pred == "contains_properly":
-            # polygon-left rows included: the branch never handled them
-            return _matrix_rows(res, pred, sub, np.arange(n), rb, g, ldim)
+            # polygon-left rows included (the old branch never handled
+            # them); non-intersecting rows can never contain
+            return _matrix_rows(res, pred, sub, np.nonzero(inter)[0],
+                                rb, g, ldim)
         if pred in ("within", "covered_by", "overlaps"):
             # dim rules make these impossible for polygon-left; lineal
             # rows via the matrix

@@ -325,3 +325,27 @@ def test_spans_pipeline_stream_matches_batch(spark, tmpdir):
     got = _run_to_memory(pipeline(stream_src), spark, "spans_out", tmpdir)
     out = got.toPandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, batch)
+
+
+def test_pii_scrub_stream_matches_batch(spark, tmpdir):
+    """pii_scrub is a stateless pure-Catalyst projection, so the same
+    rows through a file-source stream produce the identical scrubbed
+    rows (the compliance pass works in a streaming ingest pipeline)."""
+    from geopandas_spark.operators.textstats import pii_scrub
+
+    pdf = pd.DataFrame({
+        "doc_id": list(range(8)),
+        "text": [f"doc {i} mail w{i}@ex.com call 555-123-456{i} "
+                 f"ip 10.0.{i}.1 ssn 123-45-678{i}" for i in range(8)],
+    })
+    batch = spark.createDataFrame(pdf)
+    want = {tuple(r) for r in pii_scrub(batch)
+            .select("doc_id", "n_email", "n_phone", "n_ssn", "n_ipv4",
+                    "text_scrubbed").collect()}
+    stream = _stream_rows(spark, batch, tmpdir, "pii")
+    got_df = _run_to_memory(
+        pii_scrub(stream).select("doc_id", "n_email", "n_phone", "n_ssn",
+                                 "n_ipv4", "text_scrubbed"),
+        spark, "pii_out", tmpdir)
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == want and len(got) == 8
