@@ -929,6 +929,18 @@ def q_pii_scrub(spark, sf_dir) -> DataFrame:
         F.md5(F.encode("text_scrubbed", "UTF-8")).alias("fp"))
 
 
+def q_hash_split(spark, sf_dir) -> DataFrame:
+    """hash_split (operators/dedup.py): deterministic md5-bucket
+    train/val/test assignment — the full per-document assignment is
+    hash-checked against the same bucketing computed in SQL."""
+    from geopandas_spark.operators.dedup import hash_split
+
+    docs = _load(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id",
+                     {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r5")
+    return out.select("doc_id", "split")
+
+
 def q_disjoint_window(spark, sf_dir) -> DataFrame:
     """st_disjoint predicate (base.py:2744) vs a fixed window polygon."""
     from geopandas_spark.functions.st import st_disjoint, st_geomfromtext
@@ -1635,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_styles": q_buffer_styles,
         "lsh_topk_recall": q_lsh_topk_recall,
         "pii_scrub": q_pii_scrub,
+        "hash_split": q_hash_split,
         # -- driver-checked once, in round 4 (the r3-item-4 backlog + the
         # r4-new queries)
         "bbox_partition_pruned": q_bbox_partition_pruned,
@@ -1939,6 +1952,19 @@ def oracle_sql() -> dict[str, str]:
                            AS rnk
                   FROM s)
             SELECT query_id, corpus_id, rnk FROM r WHERE rnk <= 3
+        """,
+        "hash_split": """
+            WITH b AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(
+                           CAST(doc_id AS VARCHAR) || 'r5'), 1, 8))
+                         AS UBIGINT) % 1000000 AS bk
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN bk < 800000 THEN 'train'
+                        WHEN bk < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
         """,
         "pii_scrub": r"""
             WITH t AS (

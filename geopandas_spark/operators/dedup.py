@@ -574,3 +574,46 @@ def ngram_jaccard(df: DataFrame, text_col: str = "text",
         .filter(F.col("jaccard") >= float(threshold))
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def hash_split(df: DataFrame, key_col: str = "doc_id",
+               fractions: dict | None = None, salt: str = "",
+               buckets: int = 1_000_000,
+               out_col: str = "split") -> DataFrame:
+    """Deterministic dataset splitting for training pipelines: assign
+    every row to a named split (train/val/test/...) by hashing its key —
+    reproducible across runs, machines and engines (no RNG, no
+    ordering dependence), stable under repartitioning, and new rows
+    never move existing rows between splits. The standard way to carve
+    holdout sets out of a 100 TB corpus.
+
+    ``fractions`` maps split name -> fraction (must sum to 1 within
+    1e-9; dict order defines the bucket ranges). The bucket is the
+    first 8 hex chars of md5(key || salt) taken as an integer modulo
+    ``buckets`` — md5 rather than xxhash64 so external SQL engines
+    reproduce the assignment bit-for-bit (same trick as the simhash
+    oracle). Pure Catalyst projection: map-only, no shuffle.
+    """
+    if fractions is None:
+        fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if not fractions:
+        raise ValueError("fractions must not be empty")
+    bucket = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+            1, 8), 16, 10).cast("long"),
+        F.lit(int(buckets)))
+    names = list(fractions)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        thresh = int(round(cum * buckets))
+        cond = bucket < F.lit(thresh)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, expr)

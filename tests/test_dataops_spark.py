@@ -643,3 +643,43 @@ def test_pii_scrub(spark):
     assert out.text_scrubbed[3] == ""  # null-safe
     with pytest.raises(ValueError, match="unknown PII"):
         pii_scrub(df, kinds=("email", "iban"))
+
+
+def test_pii_and_split_plans_are_pure_catalyst(spark):
+    """pii_scrub and hash_split are compliance/split passes that must
+    scale as plain projections: no Exchange of any kind, no Python UDF
+    stage (pure JVM codegen), on either operator's plan."""
+    import pandas as pd
+
+    from geopandas_spark.operators.dedup import hash_split
+    from geopandas_spark.operators.textstats import pii_scrub
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a@b.co", "x"]}))
+    for out in (pii_scrub(df), hash_split(df, "doc_id")):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_hash_split_properties(spark):
+    """hash_split: deterministic, exhaustive, stable under salt change
+    only, fractions validated, approximate proportions at 5k keys."""
+    import pandas as pd
+    import pytest
+
+    from geopandas_spark.operators.dedup import hash_split
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(5000)}))
+    a = hash_split(df, "doc_id").toPandas().set_index("doc_id")["split"]
+    b = hash_split(df, "doc_id").toPandas().set_index("doc_id")["split"]
+    assert (a == b).all()  # deterministic
+    frac = a.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.9) < 0.02
+    assert abs(frac.get("val", 0) - 0.05) < 0.02
+    assert abs(frac.get("test", 0) - 0.05) < 0.02
+    c = hash_split(df, "doc_id", salt="other").toPandas()\
+        .set_index("doc_id")["split"]
+    assert (a != c).any()  # salt moves assignments
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "doc_id", {"train": 0.5, "val": 0.1})
