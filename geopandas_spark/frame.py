@@ -95,8 +95,10 @@ class GeoFrame:
             join_style=join_style, mitre_limit=mitre_limit,
             resolution=resolution, single_sided=single_sided))
 
-    def simplify(self, tolerance: float) -> "GeoFrame":
-        return self._with_geom(st.st_simplify(self.geometry, tolerance))
+    def simplify(self, tolerance: float,
+                 preserve_topology: bool = True) -> "GeoFrame":
+        return self._with_geom(st.st_simplify(
+            self.geometry, tolerance, preserve_topology=preserve_topology))
 
     def centroid(self) -> "GeoFrame":
         return self._with_geom(st.st_centroid(self.geometry))

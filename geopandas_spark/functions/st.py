@@ -279,9 +279,15 @@ def st_buffer(geom, distance: float, quad_segs: int = 8,
     return _transform_udf(_dispatch)(_col(geom))
 
 
-def st_simplify(geom, tolerance: float) -> Column:
-    """base.py:4874."""
-    return _transform_udf(lambda t, b: t.simplify(b, tolerance))(_col(geom))
+def st_simplify(geom, tolerance: float,
+                preserve_topology: bool = True) -> Column:
+    """base.py:4874; ``preserve_topology`` keeps every polygon ring
+    valid (collapsing/self-intersecting DP results retry at smaller
+    tolerances, then keep their original vertices)."""
+    return _transform_udf(
+        lambda t, b: t.simplify(b, tolerance,
+                                preserve_topology=preserve_topology)
+    )(_col(geom))
 
 
 def st_translate(geom, xoff: float = 0.0, yoff: float = 0.0) -> Column:

@@ -273,9 +273,33 @@ def _dp_simplify(ring: np.ndarray, tol: float) -> np.ndarray:
     return ring[keep]
 
 
-def simplify(batch: GeometryBatch, tolerance: float) -> GeometryBatch:
-    """base.py:4874 (preserve_topology handled per-ring; rings that collapse
-    below 4 points are dropped like GEOS does for degenerate output)."""
+def _ring_simple(r: np.ndarray) -> bool:
+    """Closed ring self-intersection check: non-adjacent segments must
+    not cross or touch (used by preserve_topology simplification)."""
+    from .kernels import segments_cross
+
+    s0, s1 = r[:-1], r[1:]
+    E = len(s0)
+    if E < 4:
+        return True
+    hits = segments_cross(s0, s1, s0, s1)
+    idx = np.arange(E)
+    dd = np.abs(idx[:, None] - idx[None, :])
+    adj = (dd <= 1) | (dd == E - 1)
+    return not bool((hits & ~adj).any())
+
+
+def simplify(batch: GeometryBatch, tolerance: float,
+             preserve_topology: bool = True) -> GeometryBatch:
+    """base.py:4874. ``preserve_topology=False`` is plain Douglas-Peucker
+    (polygon rings that collapse below 4 points are dropped, like GEOS's
+    degenerate output). ``preserve_topology=True`` (the reference
+    default) keeps every polygon ring valid: a ring whose DP result
+    collapses or self-intersects retries at halved tolerances and
+    finally keeps its ORIGINAL vertices — per-ring preservation (the
+    cross-RING guarantees of GEOS's TopologyPreservingSimplifier, e.g.
+    a hole crossing its simplified shell, are out of scope and
+    documented here)."""
     out = GeometryBatchBuilder()
     for g in range(len(batch)):
         t = int(batch.types[g])
@@ -293,13 +317,25 @@ def simplify(batch: GeometryBatch, tolerance: float) -> GeometryBatch:
             for r in rings:
                 closed = len(r) >= 2 and (r[0] == r[-1]).all()
                 s = _dp_simplify(r, tolerance)
-                # only POLYGON rings are dropped when they collapse below
-                # 4 points (GEOS degenerate-output rule); a closed or
-                # zero-length LINESTRING keeps its simplified form — the
-                # old unconditional drop silently emptied e.g.
+                if pt == POLYGON and closed:
+                    if preserve_topology:
+                        t_cur = tolerance
+                        for _ in range(20):
+                            if len(s) >= 4 and _ring_simple(s):
+                                break
+                            t_cur /= 2.0
+                            s = _dp_simplify(r, t_cur)
+                        else:
+                            s = r
+                        if len(s) < 4 or not _ring_simple(s):
+                            s = r
+                    elif len(s) < 4:
+                        # GEOS degenerate-output rule without topology
+                        # preservation: the collapsed ring is dropped
+                        continue
+                # a closed or zero-length LINESTRING keeps its simplified
+                # form — an unconditional drop silently emptied e.g.
                 # LINESTRING (0 0, 0 0) (hypothesis finding)
-                if pt == POLYGON and closed and len(s) < 4:
-                    continue
                 new_rings.append(s)
             if pt == POLYGON and not new_rings:
                 continue

@@ -372,3 +372,25 @@ def test_register_crs_proj_strings():
     finally:
         for c in (90901, 90902, 90903, 90904):
             _USER_REGISTRY.pop(c, None)
+
+
+def test_simplify_preserve_topology():
+    """base.py:4874 preserve_topology: a thin triangle that plain DP
+    collapses survives with its ring valid; preserve_topology=False
+    keeps the old drop-degenerate behavior."""
+    import numpy as np
+
+    from geopandas_spark.geom import transforms as T
+    from geopandas_spark.geom import wkt as W
+    from geopandas_spark.geom.kernels import area
+
+    thin = W.from_wkt(["POLYGON ((0 0, 10 0, 5 0.1, 0 0))"])
+    kept = T.simplify(thin, 1.0, preserve_topology=True)
+    assert area(kept)[0] > 0  # ring survived, still a valid triangle
+    dropped = T.simplify(thin, 1.0, preserve_topology=False)
+    assert area(dropped)[0] == 0  # degenerate output dropped
+    # a well-behaved square is identical under both modes
+    sq = W.from_wkt(["POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"])
+    a = W.to_wkt(T.simplify(sq, 0.5, preserve_topology=True))[0]
+    b = W.to_wkt(T.simplify(sq, 0.5, preserve_topology=False))[0]
+    assert a == b
