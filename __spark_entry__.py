@@ -1026,6 +1026,29 @@ def q_lsh_topk_recall(spark, sf_dir) -> DataFrame:
                  >= 0.8).alias("recall_ge_08")))
 
 
+def q_embedding_near_dups(spark, sf_dir) -> DataFrame:
+    """embedding_near_dups (hyperplane-LSH banding + exact cosine
+    rerank): every vector is unioned with a deterministically perturbed
+    twin (+0.001 on component 0 -> cosine ~0.9999), while the corpus's
+    own max cross-pair cosine is 0.51 — so at threshold 0.9 the TRUE
+    pair set is exactly {(i, i+10000)} and the seeded LSH's per-pair
+    miss probability is ~1e-13. The oracle enumerates that closed-form
+    pair set; the SQL side never needs the LSH."""
+    from geopandas_spark.operators.similarity import embedding_near_dups
+
+    emb = _load(spark, sf_dir, "embeddings")
+    pert = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (x + F.when(i == F.lit(0), F.lit(0.001))
+                          .otherwise(F.lit(0.0))).cast("float")
+        ).alias("embedding"))
+    allv = emb.select("vec_id", "embedding").unionByName(pert)
+    out = embedding_near_dups(allv, threshold=0.9)
+    return out.select("id_a", "id_b")
+
+
 def q_ivf_topk_embeddings(spark, sf_dir) -> DataFrame:
     """ANN top-k via an IVF index (spherical k-means quantizer + probe
     join + exact rerank). Probing ALL cells makes the result exact, so
@@ -1648,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_recall": q_lsh_topk_recall,
         "pii_scrub": q_pii_scrub,
         "hash_split": q_hash_split,
+        "embedding_near_dups": q_embedding_near_dups,
         # -- driver-checked once, in round 4 (the r3-item-4 backlog + the
         # r4-new queries)
         "bbox_partition_pruned": q_bbox_partition_pruned,
@@ -2002,6 +2026,9 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk_recall": """
             SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ge_08
             FROM embeddings WHERE vec_id < 5
+        """,
+        "embedding_near_dups": """
+            SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings
         """,
         "ivf_topk_embeddings": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
