@@ -555,7 +555,7 @@ def _relate_group(pred: str, lb: GeometryBatch, lrows: np.ndarray,
                 out = _matrix_rows(out, pred, sub, cand, rb, g, ldim)
             return out
         if pred in ("contains", "covers", "contains_properly"):
-            esc, amb = edge_x_escapes(sub, rb, g)
+            esc, amb = edge_x_escapes(sub, rb, g, edge_x)
             cov = r_all_in_l & ~esc
             if pred == "covers":
                 out = cov
@@ -570,14 +570,23 @@ def _relate_group(pred: str, lb: GeometryBatch, lrows: np.ndarray,
         if pred == "overlaps":
             same_dim = ldim == rdim
             exits, amb_lr = edge_cross_exits(sub, rb, g, edge_x, any_out)
-            esc, amb_rl = edge_x_escapes(sub, rb, g)
+            esc, amb_rl = edge_x_escapes(sub, rb, g, edge_x)
             cov_lr = all_in & ~exits
             cov_rl = r_all_in_l & ~esc
+            # sound cheap TRUE rules: a vertex strictly inside the other
+            # polygon certifies II (and its boundary neighborhood IE/EI
+            # given ~covered); rows that intersect without either
+            # certificate — e.g. a CROSS overlap where every vertex of
+            # each polygon is outside the other (fuzz finding, round 5)
+            # — and boundary-only touches are decided exactly
             out = same_dim & any_int & any_out & ~cov_lr & ~cov_rl | (
                 same_dim & any_int & r_in_l & ~cov_lr & ~cov_rl
             )
-            und = np.nonzero(same_dim
-                             & ((all_in & amb_lr) | (r_all_in_l & amb_rl)))[0]
+            maybe = same_dim & inter & ~cov_lr & ~cov_rl & ~out
+            und = np.nonzero(maybe
+                             | (same_dim
+                                & ((all_in & amb_lr)
+                                   | (r_all_in_l & amb_rl))))[0]
             if len(und):
                 out = _matrix_rows(out, pred, sub, und, rb, g, ldim)
             return out
@@ -656,6 +665,7 @@ def _relate_group(pred: str, lb: GeometryBatch, lrows: np.ndarray,
     any_int_r = np.zeros(n, dtype=bool)
     any_bnd_r = np.zeros(n, dtype=bool)
     all_cov = np.zeros(n, dtype=bool)
+    l_all_cov = np.zeros(n, dtype=bool)
     for i in range(n):
         ld = int(ldim[i])
         if ld == 2:
@@ -690,6 +700,7 @@ def _relate_group(pred: str, lb: GeometryBatch, lrows: np.ndarray,
                 eq = (rpts[:, None, 0] == lpts[None, :, 0]) & (rpts[:, None, 1] == lpts[None, :, 1])
                 st_per_row[i] = bool(eq.any(axis=1).any())
                 all_cov[i] = bool(eq.any(axis=1).all())
+                l_all_cov[i] = bool(eq.any(axis=0).all())
                 any_int_r[i] = st_per_row[i]
     if pred == "intersects":
         return st_per_row
@@ -701,6 +712,11 @@ def _relate_group(pred: str, lb: GeometryBatch, lrows: np.ndarray,
         return all_cov & any_int_r & ~any_bnd_r
     if pred == "touches":
         return any_bnd_r & ~any_int_r
+    if pred == "overlaps":
+        # dim-0 x dim-0 only: shared point + an exclusive point on EACH
+        # side (GEOS: two multipoints with partial sharing overlap; the
+        # old branch always answered False — fuzz follow-up, round 5)
+        return (ldim == 0) & st_per_row & ~all_cov & ~l_all_cov
     return res
 
 
@@ -804,12 +820,15 @@ def _probe_escape(mx, my, pb, pg):
 
 def edge_cross_exits(sub, rb, g, edge_x, any_out):
     """(exits, ambiguous) per left row: a left edge properly exits the
-    right polygon — approximated by any vertex strictly outside, or an
-    edge crossing that leads outside. With all vertices covered, a
-    crossing through the polygon only happens for non-convex rings;
-    detect via midpoint probes of crossing edges. Rows where the probe
-    lands inside the float-noise band of the boundary are flagged
-    ambiguous for the caller to route through the exact matrix."""
+    right polygon. A vertex strictly outside certifies the exit; with
+    all vertices covered, edge midpoints are probed — a midpoint
+    genuinely outside certifies the exit, but a clean probe CANNOT
+    certify coverage when the boundaries cross/touch (the escaping
+    stretch can lie between midpoints — round-5 fuzz finding: a cross
+    overlap with every vertex of each polygon inside the other read
+    covered). Such rows are flagged ambiguous and the caller decides
+    them with the exact DE-9IM matrix; rows with no boundary contact
+    at all (edge_x False) are decided by the vertex statuses alone."""
     out = any_out.copy()
     amb = np.zeros(len(sub), dtype=bool)
     check = edge_x & ~any_out
@@ -818,16 +837,20 @@ def edge_cross_exits(sub, rb, g, edge_x, any_out):
         if not len(s0):
             continue
         mid = (s0 + s1) / 2.0
-        esc, a = _probe_escape(mid[:, 0], mid[:, 1], rb, g)
-        out[i] = esc
-        amb[i] = a
+        esc, _ = _probe_escape(mid[:, 0], mid[:, 1], rb, g)
+        if esc:
+            out[i] = True
+        else:
+            amb[i] = True
     return out, amb
 
 
-def edge_x_escapes(sub, rb, g):
+def edge_x_escapes(sub, rb, g, edge_x):
     """(escapes, ambiguous) per left row: a *right* edge escapes the left
-    polygon row (two-band midpoint probe of right segments against each
-    polygonal left row — see _probe_escape)."""
+    polygon row. Same certification rule as edge_cross_exits — the
+    midpoint probe certifies escape only; rows whose boundaries
+    cross/touch (edge_x, which is symmetric) without a certifying
+    midpoint go to the exact matrix."""
     n = len(sub)
     out = np.zeros(n, dtype=bool)
     amb = np.zeros(n, dtype=bool)
@@ -839,9 +862,11 @@ def edge_x_escapes(sub, rb, g):
         if TYPE_DIM[sub.types[i]] != 2:
             out[i] = True  # non-polygon can't cover a 1/2-dim right
             continue
-        esc, a = _probe_escape(mid[:, 0], mid[:, 1], sub, i)
-        out[i] = esc
-        amb[i] = a
+        esc, _ = _probe_escape(mid[:, 0], mid[:, 1], sub, i)
+        if esc:
+            out[i] = True
+        elif edge_x[i]:
+            amb[i] = True
     return out, amb
 
 

@@ -437,3 +437,88 @@ def test_sliver_in_container(t):
     assert pairwise_predicate("within", a, big)[0]
     assert pairwise_predicate("contains", big, a)[0]
     assert not pairwise_predicate("touches", a, big)[0]
+
+
+# ---------------------------------------------------------------------------
+# batch 6 (round 5): matrix-vs-predicate agreement on OVERLAPPING star
+# pairs. A 5-minute free-form fuzz found the vectorized overlaps branch
+# answering False for CROSS overlaps (no vertex of either polygon inside
+# the other) and within/covered_by answering True when the escape
+# stretch lay between probed edge midpoints. The fix makes the midpoint
+# probe certify ESCAPE only — crossing-but-unprobed rows go to the
+# exact matrix. 17k random pairs then passed; this batch keeps a
+# regression sample in CI.
+
+
+@st.composite
+def near_star_pair(draw):
+    cx = draw(st.floats(min_value=-50, max_value=50, allow_nan=False))
+    cy = draw(st.floats(min_value=-50, max_value=50, allow_nan=False))
+
+    def one(ox, oy, r):
+        k = 8
+        ang = np.sort(np.array([draw(st.floats(min_value=0, max_value=6.2,
+                                               allow_nan=False))
+                                for _ in range(k)]))
+        # same minimum angular separation as the batch-1/4 generators:
+        # polygon x polygon relate routes through the boolean sweep,
+        # whose sliver envelope (0.01 rad) is documented above
+        if len(np.unique(np.round(ang, 2))) < 3:
+            ang = np.array([0.0, 2.1, 4.2])
+        else:
+            ang = np.unique(np.round(ang, 2))
+        rad = r * np.array([draw(st.floats(min_value=0.3, max_value=1.0,
+                                           allow_nan=False))
+                            for _ in range(len(ang))])
+        xs, ys = ox + rad * np.cos(ang), oy + rad * np.sin(ang)
+        pts = ", ".join(f"{x:.9f} {y:.9f}" for x, y in zip(xs, ys))
+        return f"POLYGON (({pts}, {xs[0]:.9f} {ys[0]:.9f}))"
+
+    r1 = draw(st.floats(min_value=0.5, max_value=20, allow_nan=False))
+    r2 = draw(st.floats(min_value=0.5, max_value=20, allow_nan=False))
+    dx = draw(st.floats(min_value=-5, max_value=5, allow_nan=False))
+    dy = draw(st.floats(min_value=-5, max_value=5, allow_nan=False))
+    return one(cx, cy, r1), one(cx + dx, cy + dy, r2)
+
+
+@settings(max_examples=50, deadline=None)
+@given(near_star_pair())
+def test_predicates_agree_with_matrix(pair):
+    from geopandas_spark.geom.relate import matches_pattern, relate_pair
+
+    wa, wb = pair
+    a = W.from_wkt([wa])
+    b = W.from_wkt([wb])
+    m_ab = relate_pair(a, 0, b, 0)
+    m_ba = relate_pair(b, 0, a, 0)
+    # transpose consistency
+    assert "".join(m_ab[i] for i in (0, 3, 6, 1, 4, 7, 2, 5, 8)) == m_ba
+    want = {
+        "intersects": not matches_pattern(m_ab, "FF*FF****"),
+        "within": matches_pattern(m_ab, "T*F**F***"),
+        "contains": matches_pattern(m_ba, "T*F**F***"),
+        "touches": (matches_pattern(m_ab, "FT*******")
+                    or matches_pattern(m_ab, "F**T*****")
+                    or matches_pattern(m_ab, "F***T****")),
+        "covered_by": (matches_pattern(m_ab, "T*F**F***")
+                       or matches_pattern(m_ab, "*TF**F***")
+                       or matches_pattern(m_ab, "**FT*F***")
+                       or matches_pattern(m_ab, "**F*TF***")),
+        "overlaps": matches_pattern(m_ab, "T*T***T**"),
+    }
+    for pred, w in want.items():
+        assert bool(pairwise_predicate(pred, a, b)[0]) == w, (pred, m_ab)
+
+
+def test_cross_overlap_and_multipoint_overlaps():
+    """Deterministic pins of the two round-5 fuzz findings."""
+    a = W.from_wkt(["POLYGON ((0 4, 10 4, 10 6, 0 6, 0 4))"])
+    b = W.from_wkt(["POLYGON ((4 0, 6 0, 6 10, 4 10, 4 0))"])
+    assert pairwise_predicate("overlaps", a, b)[0]
+    assert not pairwise_predicate("within", a, b)[0]
+    assert not pairwise_predicate("covered_by", a, b)[0]
+    m1 = W.from_wkt(["MULTIPOINT (0 0, 1 1, 2 2)"])
+    m2 = W.from_wkt(["MULTIPOINT (1 1, 3 3)"])
+    assert pairwise_predicate("overlaps", m1, m2)[0]
+    assert not pairwise_predicate("overlaps", m1,
+                                  W.from_wkt(["MULTIPOINT (1 1)"]))[0]
