@@ -311,3 +311,47 @@ def test_fuzz_mixed_types_vs_brute(seed, spark):
         got = sorted((r.lid, r.index_right)
                      for r in out.select("lid", "index_right").collect())
         assert got == exp, (seed, bcast, len(got), len(exp))
+
+
+def test_sjoin_overlaps_cross_strips(spark):
+    """predicate='overlaps' through the full sjoin plan on long thin
+    strips — the geometry family where two rectangles overlap in a
+    cross with NO vertex of either inside the other (round-5 kernel
+    fix); byte-equal to the brute-force kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from geopandas_spark.functions.st import st_geomfromtext
+    from geopandas_spark.geom import wkt as W
+    from geopandas_spark.geom.predicates import pairwise_predicate
+    from geopandas_spark.operators.sjoin import sjoin
+
+    rng = np.random.RandomState(77)
+
+    def rect(i):
+        x, y = rng.uniform(0, 60, 2)
+        if i % 3 == 0:
+            w, h = rng.uniform(5, 25), rng.uniform(0.5, 2)
+        elif i % 3 == 1:
+            w, h = rng.uniform(0.5, 2), rng.uniform(5, 25)
+        else:
+            w, h = rng.uniform(1, 8), rng.uniform(1, 8)
+        return (f"POLYGON (({x} {y}, {x + w} {y}, {x + w} {y + h}, "
+                f"{x} {y + h}, {x} {y}))")
+
+    L = [rect(i) for i in range(60)]
+    R = [rect(i + 500) for i in range(60)]
+    ldf = spark.createDataFrame(pd.DataFrame({"lid": range(60), "wkt": L})) \
+        .select("lid", st_geomfromtext("wkt").alias("geometry"))
+    rdf = spark.createDataFrame(pd.DataFrame({"rid": range(60), "wkt": R})) \
+        .select("rid", st_geomfromtext("wkt").alias("geometry"))
+    got = {(r.lid, r.rid) for r in sjoin(
+        ldf, rdf, how="inner", predicate="overlaps",
+        left_id="lid", right_id="rid").select("lid", "rid").collect()}
+    rb = W.from_wkt(pd.Series(R))
+    want = set()
+    for i in range(60):
+        li = W.from_wkt(pd.Series([L[i]] * 60))
+        for j in np.nonzero(pairwise_predicate("overlaps", li, rb))[0]:
+            want.add((i, int(j)))
+    assert got == want and len(want) > 10
