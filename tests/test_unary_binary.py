@@ -942,3 +942,33 @@ def test_buffer_single_sided():
     sq = W.from_wkt(pd.Series(["POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"]))
     assert _area(buffer_general(
         sq, d, single_sided=True, join_style="mitre"))[0] == (10 + 2 * d) ** 2
+
+
+def test_buffer_styles_holed_polygon():
+    """Join styles only shape CONVEX offset corners: a hole's corners
+    are concave, so the remaining hole is the exact erosion of the hole
+    under EVERY style (Minkowski semantics) — outer-ring corners still
+    differ by style."""
+    import pandas as pd
+
+    from geopandas_spark.geom import wkt as W
+    from geopandas_spark.geom.kernels import area as _area
+    from geopandas_spark.geom.transforms import buffer_general
+
+    holed = W.from_wkt(pd.Series([
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+        "(3 3, 7 3, 7 7, 3 7, 3 3))"]))
+    d = 1.0
+    # grow: outer (10+2d)^2 with style corners; hole erodes to (4-2d)^2
+    assert _area(buffer_general(holed, d, join_style="mitre"))[0] == \
+        12 * 12 - 2 * 2
+    assert _area(buffer_general(holed, d, join_style="bevel"))[0] == \
+        (12 * 12 - 4 * 0.5) - 2 * 2
+    # erode: outer shrinks exactly (concave from the offset's view);
+    # the hole DILATES, and the dilated hole's corners are CONVEX, so
+    # style applies there — mitre fills the full corner square, bevel
+    # cuts d^2/2 per corner off the dilation
+    assert _area(buffer_general(holed, -d, join_style="mitre"))[0] == \
+        8 * 8 - 6 * 6
+    assert _area(buffer_general(holed, -d, join_style="bevel"))[0] == \
+        8 * 8 - (6 * 6 - 4 * 0.5)
